@@ -1,0 +1,128 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every query in the registry at a given sf dir, runs its oracle SQL in
+DuckDB over the same parquet files, and compares:
+  * row count
+  * column name set
+  * order-insensitive values (rows sorted, columns sorted by name),
+    exact equality for non-floats, exact-first then 1e-9-relative for floats
+    (exact mismatches are reported loudly — the driver may hash exact).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from yfinance_etl_spark.catalog import TABLES  # noqa: E402
+from yfinance_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from yfinance_etl_spark.session import get_spark  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(row[i] for i in order) for row in rows]
+    return sorted(out, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+
+def cells_equal(a, b) -> tuple[bool, bool]:
+    """(equal_loose, equal_exact)"""
+    if a is None or b is None:
+        return (a is None and b is None,) * 2
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float):
+            if a == b or (math.isnan(a) and math.isnan(b)):
+                return True, True
+            tol = 1e-9 * max(1.0, abs(a), abs(b))
+            return abs(a - b) <= tol, False
+        try:
+            af, bf = float(a), float(b)
+            return (af == bf, af == bf)
+        except (TypeError, ValueError):
+            return False, False
+    return (a == b,) * 2
+
+
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> bool:
+    ok = True
+    if sorted(spark_cols) != sorted(duck_cols):
+        print(f"  FAIL schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return False
+    if len(spark_rows) != len(duck_rows):
+        print(f"  FAIL rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+        return False
+    s = normalize(spark_rows, spark_cols)
+    d = normalize(duck_rows, duck_cols)
+    n_inexact = 0
+    first_bad = None
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        for j, (sv, dv) in enumerate(zip(sr, dr)):
+            loose, exact = cells_equal(sv, dv)
+            if not loose:
+                ok = False
+                if first_bad is None:
+                    first_bad = (i, j, sv, dv)
+            elif not exact:
+                n_inexact += 1
+    if first_bad:
+        i, j, sv, dv = first_bad
+        print(f"  FAIL value row {i} col {sorted(spark_cols)[j]}: spark={sv!r} duck={dv!r}")
+    elif n_inexact:
+        print(f"  WARN {n_inexact} cells match only to 1e-9 (exact-hash would fail!)")
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-compare")
+    con = duck_connect(sf_dir)
+    n_pass = n_fail = 0
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"{name}: rows-only ({len(spark_rows)} rows) — no oracle")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(q.oracle)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        print(f"{name}: {len(spark_rows)} rows", end="")
+        if compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+            print("  PASS")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,98 @@
+"""Scalar expression library (SURVEY.md §2.8, F1-F13) + determinism helpers.
+
+Everything here is a *Catalyst expression builder* — pure ``pyspark.sql.functions``
+composition, JVM-side, whole-stage-codegen friendly. No Python UDFs.
+
+Determinism helpers (``dsum``/``davg``/``r6``): the driver's correctness gate
+hash-compares Spark output against a DuckDB oracle. Floating-point SUM/AVG over
+doubles is order-dependent, and Spark/DuckDB will visit rows in different orders,
+so a naive ``F.sum(double)`` can hash-mismatch even when both engines are
+"correct". Summing through a wide decimal is exact and order-insensitive; casting
+the exact decimal back to double is a single, deterministic rounding. This costs
+one extra cast per row — negligible next to the shuffle — and at 100 TB it also
+makes results *reproducible across partitionings*, which plain double sums are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# determinism helpers
+# ---------------------------------------------------------------------------
+
+#: decimal scale for money-magnitude values (|x| < 1e20)
+MONEY_SCALE = 12
+#: decimal scale for O(1) statistics (returns, ratios)
+STAT_SCALE = 18
+
+
+def dsum(c: Column | str, scale: int = MONEY_SCALE) -> Column:
+    """Order-insensitive exact sum of a double column, returned as double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def davg(c: Column | str, scale: int = MONEY_SCALE) -> Column:
+    """Deterministic mean: exact decimal sum → double → / count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return dsum(c, scale) / F.count(c)
+
+
+def r6(c: Column, places: int = 6) -> Column:
+    """Round a float output to a fixed number of decimals (hash stability)."""
+    return F.round(c, places)
+
+
+# ---------------------------------------------------------------------------
+# F1-F13 scalar operators (references cite the behavior being re-expressed)
+# ---------------------------------------------------------------------------
+
+
+def clean_ticker(c: Column | str) -> Column:
+    """F1/P3: upper+trim ticker cleanup (reference src/utils.py:14-18)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.upper(F.trim(c))
+
+
+def date_str(c: Column | str) -> Column:
+    """F2: date → 'yyyy-MM-dd' string at the sink only (reference src/etl.py:34)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def parse_pct(c: Column | str) -> Column:
+    """F4: strip %/$/B decorations and cast to double
+    (reference fund_comp2.py:884-885,934-935)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(c, r"[%$B,]", "").cast("double")
+
+
+def coalesce_default(c: Column | str, default) -> Column:
+    """F12: dict.get(key, default) → coalesce (reference src/etl.py:29-33)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(c, F.lit(default))
+
+
+def sentiment_bucket(score: Column | str) -> Column:
+    """F8: >0.1 positive / <-0.1 negative / else neutral
+    (reference streamlit_app.py:272-273)."""
+    score = F.col(score) if isinstance(score, str) else score
+    return (
+        F.when(score > 0.1, F.lit("positive"))
+        .when(score < -0.1, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+def status_label(status: Column | str) -> Column:
+    """F7: status → labeled string, chained CASE WHEN
+    (reference fund_comp2.py:979-994)."""
+    status = F.col(status) if isinstance(status, str) else status
+    return (
+        F.when(status == "critical", F.lit("[CRIT] critical"))
+        .when(status == "warning", F.lit("[WARN] warning"))
+        .when(status == "good", F.lit("[OK] good"))
+        .otherwise(F.concat(F.lit("[INFO] "), status))
+    )

@@ -1,0 +1,50 @@
+"""SQL fragment builders shared by the DuckDB oracle strings in queries.py.
+
+These mirror the determinism helpers in functions/scalar.py: every float
+aggregate goes through an exact decimal sum and every float output is rounded,
+so the oracle and the Spark plan agree bit-for-bit (see scalar.py docstring).
+"""
+
+from __future__ import annotations
+
+MONEY_SCALE = 12
+STAT_SCALE = 18
+
+
+def dsum(x: str, scale: int = MONEY_SCALE) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def davg(x: str, scale: int = MONEY_SCALE) -> str:
+    return f"{dsum(x, scale)} / COUNT({x})"
+
+
+#: daily price bars per supplier — the engine's OHLCV-analog series
+#: (windows.daily_bars is the Spark twin)
+BARS = f"""bars AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(l_shipdate AS DATE) AS ddate,
+         {dsum('l_extendedprice')} / COUNT(*) AS price,
+         {dsum('l_quantity')} AS qty
+  FROM lineitem
+  GROUP BY 1, 2
+)"""
+
+#: daily returns (W1 pct_change) over the bars
+RETS = """rets AS (
+  SELECT suppkey, ddate, price,
+         price / LAG(price) OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS r
+  FROM bars
+)"""
+
+#: market benchmark series: equal-weight mean price across ALL suppliers per day
+BENCH = f"""bench AS (
+  SELECT CAST(l_shipdate AS DATE) AS ddate,
+         {dsum('l_extendedprice')} / COUNT(*) AS bprice
+  FROM lineitem
+  GROUP BY 1
+)""" + """,
+bench_rets AS (
+  SELECT ddate, bprice / LAG(bprice) OVER (ORDER BY ddate) - 1 AS b
+  FROM bench
+)"""

@@ -1,0 +1,38 @@
+"""SparkSession bootstrap.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every knob is
+chosen for the 1000-executor / 100 TB posture:
+
+* AQE on (runtime coalesce, skew-join splitting, dynamic join strategy switch).
+* ``spark.sql.shuffle.partitions`` sized to the local core count here; on a real
+  cluster you'd leave AQE's coalescing to right-size it from a high initial value.
+* Arrow enabled so the few pandas-UDF operators (EMA, multimodal decode) move
+  data in columnar batches, never row-at-a-time pickling.
+* Broadcast threshold left at default (10 MB): dimension tables (region, nation,
+  supplier, fund_info-style lookups) broadcast; fact tables never do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "yfinance-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

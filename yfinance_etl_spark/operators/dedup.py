@@ -1,0 +1,139 @@
+"""Deduplication operators over the documents table (north-star extension).
+
+Three tiers, all shuffle-conscious:
+
+* exact: hash-groupBy on a normalized fingerprint — one shuffle, the 100 TB
+  workhorse.
+* n-gram Jaccard: inverted-index self-join on shingles (join fans out only on
+  *shared* shingles, so cost tracks true similarity, not |docs|²).
+* MinHash + LSH: constant-size signatures (k seeded md5 minima), banded so
+  only same-bucket docs join — the scale path; candidates are then verified
+  with exact Jaccard *on the candidate set only* (the classic
+  cheap-filter → exact-verify pipeline).
+
+MinHash uses lexicographic minima of seeded md5 hex digests: md5 is available
+and bit-identical in both Spark and DuckDB, which keeps the whole pipeline
+oracle-testable (a seeded murmur would not be).
+
+Reference has no dedup at all; nearest analogs are its FAISS near-neighbor
+retrieval (pdf_rag_chatbot.py:223) and pandas index dedup — cited for parity
+bookkeeping only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yfinance_etl_spark.operators.text import fingerprint, word_shingles
+
+N_HASHES = 8
+BAND_ROWS = 2  # → 4 bands of 2 rows
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate profile via normalized-md5 fingerprint."""
+    fp = docs.select("source", fingerprint("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index base."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles("text")).alias("shingle")
+    ).distinct()
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """All doc pairs with word-3gram Jaccard ≥ threshold, via inverted index."""
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val): banded MinHash signatures.
+
+    minhash_s(doc) = min over shingles of md5('<s>:' || shingle); a band is
+    the '|'-join of its BAND_ROWS consecutive minima.
+    """
+    sh = doc_shingles(docs)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    seeded = sh.select("doc_id", seeds, "shingle").withColumn(
+        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return (
+        minh.withColumn("band_id", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                "|",
+            ).alias("band_val")
+        )
+    )
+
+
+def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Full near-dedup pipeline: LSH candidate pairs → exact Jaccard verify.
+
+    Only same-bucket docs are joined (the LSH point); exact Jaccard then runs
+    on the tiny candidate set. Returns (doc_a, doc_b, n_shared_bands, jaccard).
+    """
+    bands = minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    ib = sh.select(F.col("doc_id").alias("cand_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ia, "doc_a")
+        .join(ib, (F.col("doc_b") == F.col("cand_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared_bands", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,48 @@
+"""Genuinely sequential per-key operators (SURVEY.md §7 "what's hard" list).
+
+EMA (W5, reference streamlit_app.py:523 ``ewm(span=20, adjust=False)``) is the
+one reference op that is NOT expressible as a Spark window frame: each value
+depends recursively on the previous output. The Spark-idiomatic shape is a
+grouped-map pandas UDF (``applyInPandas``): one shuffle on the series key, then
+each group's recursion runs vectorized in Arrow batches.
+
+Scale note: this shuffles whole groups, so a single series must fit in one
+task's memory (a 30-year daily series is ~8k rows — trivial; even tick data at
+1B rows/key would need chunked segment-recursion, documented here as the known
+ceiling). All other window ops in this engine stay JVM-side; this is the
+deliberate slow path, used only where semantics demand it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def ema_last(
+    bars: DataFrame,
+    span: int = 20,
+    key: str = "suppkey",
+    date: str = "ddate",
+    value: str = "price",
+) -> DataFrame:
+    """Per-key recursive EMA (adjust=False); returns the final EMA per key.
+
+    y_0 = x_0;  y_t = a·x_t + (1−a)·y_{t−1},  a = 2/(span+1)
+    """
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date)
+        ema = pdf[value].ewm(span=span, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_days": [len(pdf)],
+                "last_ema": [round(float(ema.iloc[-1]), 4)],
+            }
+        )
+
+    return bars.select(key, date, value).groupBy(key).applyInPandas(
+        _ema, schema=f"{key} bigint, n_days bigint, last_ema double"
+    )

@@ -1,0 +1,126 @@
+"""Vector similarity search over the embeddings table (north-star extension).
+
+Brute-force cosine top-k is the exactness baseline: broadcast the (small)
+query set, score every candidate with array higher-order functions (JVM-side,
+no Python), window top-k per query. At 100 TB the scale path is bucketed
+pruning (LSH / IVF — see ``lsh_bucket``): candidates shrink from |corpus| to
+one bucket before exact scoring, same cheap-filter → exact-verify shape as
+MinHash dedup.
+
+Everything computes in float64 regardless of the stored float32 — both engines
+widen floats exactly, keeping the DuckDB oracle comparable. Scores are rounded
+*before* ranking so rank boundaries are identical across engines.
+
+Reference analog: FAISS as_retriever(k) (pdf_rag_chatbot.py:60-61,223,254).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b):
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return _dot(a, b) / (na * nb)
+
+
+def knn_topk(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k per query vector (brute force baseline).
+
+    Queries default to vec_id < 5. Ties broken on vec_id; scores rounded to
+    6 dp before ranking for cross-engine-stable ordering.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+    if query_ids is None:
+        q = emb.filter(F.col("vec_id") < 5)
+    else:
+        q = emb.filter(F.col("vec_id").isin(query_ids))
+    q = F.broadcast(
+        q.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "label", "cos_sim", F.col("rank").alias("knn_rank"))
+    )
+
+
+def lsh_bucket(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+    """Random-hyperplane (SimHash-style) LSH bucket id per vector — the
+    scale path's pruning key. Planes are deterministic ±1 sign patterns
+    derived from the dimension index so the oracle can reproduce them:
+    plane p gives sign(Σ_i vec[i]·s(p,i)), s(p,i) = +1 if ((i >> p) & 1)=0
+    else −1. Bucket = the n_planes-bit code."""
+    vec = F.col("embedding").cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: F.when(((i.bitwiseAND(F.lit(1 << p))) == 0), x).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn("bucket", bucket)
+
+
+def ann_bucketed_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact cosine only within each query's LSH bucket.
+
+    At 100 TB: bucket is the shuffle/partition key, so each task scores one
+    bucket — no all-pairs crossJoin ever materializes.
+    """
+    b = lsh_bucket(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label", "bucket"
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    scored = (
+        b.join(q, F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
+    )

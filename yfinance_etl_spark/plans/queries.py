@@ -246,3 +246,548 @@ def q_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(dsum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 SMA with min_periods nulls (reference rolling(50).mean(),
+# streamlit_app.py:522) — aggregated per key for a compact compare
+# ---------------------------------------------------------------------------
+
+_SMA_SQL = f"""
+WITH {S.BARS},
+sma_rows AS (
+  SELECT suppkey, ddate,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY ddate) >= 20
+              THEN ROUND(CAST(SUM(CAST(price AS DECIMAL(38,12))) OVER (
+                       PARTITION BY suppkey ORDER BY ddate
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / 20, 6)
+         END AS sma
+  FROM bars
+)
+SELECT suppkey,
+       COUNT(*) AS n_rows,
+       COUNT(sma) AS n_full_windows,
+       ROUND({S.davg('sma')}, 6) AS avg_sma,
+       ROUND(MAX(sma), 6) AS max_sma
+FROM sma_rows
+GROUP BY suppkey
+"""
+
+
+@_register("sma_min_periods", _SMA_SQL)
+def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    sma = W.with_sma(bars, n=20).withColumn("sma", r6(F.col("sma")))
+    return sma.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("sma").alias("n_full_windows"),
+        r6(davg("sma")).alias("avg_sma"),
+        r6(F.max("sma")).alias("max_sma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 cumulative return via log-sum-exp (reference (1+r).cumprod(),
+# streamlit_app.py:330-333)
+# ---------------------------------------------------------------------------
+
+_CUMRET_SQL = f"""
+WITH {S.BARS},
+{S.RETS},
+cum AS (
+  SELECT suppkey, ddate,
+         ROUND(EXP(SUM(LN(1 + r)) OVER (PARTITION BY suppkey ORDER BY ddate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1, 6) AS cum_return
+  FROM rets
+  WHERE r IS NOT NULL
+)
+SELECT suppkey,
+       COUNT(*) AS n_rows,
+       ROUND(arg_max(cum_return, ddate), 6) AS final_cum_return,
+       ROUND(MAX(cum_return), 6) AS best_cum_return,
+       ROUND(MIN(cum_return), 6) AS worst_cum_return
+FROM cum
+GROUP BY suppkey
+"""
+
+
+@_register("cumulative_return", _CUMRET_SQL)
+def q_cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    cum = W.with_cum_return(W.with_return(bars)).withColumn(
+        "cum_return", r6(F.col("cum_return"))
+    )
+    return cum.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r6(F.max_by("cum_return", "ddate")).alias("final_cum_return"),
+        r6(F.max("cum_return")).alias("best_cum_return"),
+        r6(F.min("cum_return")).alias("worst_cum_return"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6/P8/F7 trend flags + CASE label (reference streamlit_app.py:524-525)
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = f"""
+WITH {S.BARS},
+flags AS (
+  SELECT suppkey, price > LAG(price) OVER (PARTITION BY suppkey ORDER BY ddate) AS uptrend
+  FROM bars
+)
+SELECT suppkey,
+       COUNT(CASE WHEN uptrend THEN 1 END) AS n_up,
+       COUNT(CASE WHEN NOT uptrend THEN 1 END) AS n_down,
+       CASE WHEN COUNT(CASE WHEN uptrend THEN 1 END)
+               > COUNT(CASE WHEN NOT uptrend THEN 1 END)
+            THEN 'UP' ELSE 'DOWN' END AS trend_label
+FROM flags
+GROUP BY suppkey
+"""
+
+
+@_register("uptrend_flags", _TREND_SQL)
+def q_uptrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    flags = W.with_trend_flag(bars)
+    n_up = F.count(F.when(F.col("uptrend"), 1))
+    n_down = F.count(F.when(~F.col("uptrend"), 1))
+    return flags.groupBy("suppkey").agg(
+        n_up.alias("n_up"),
+        n_down.alias("n_down"),
+        F.when(n_up > n_down, F.lit("UP")).otherwise(F.lit("DOWN")).alias("trend_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7/A10 positional lookback returns at the last row (reference
+# iloc[-756]/iloc[-1260] 3Y/5Y returns, streamlit_app.py:411-422)
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_SQL = f"""
+WITH {S.BARS},
+lb AS (
+  SELECT suppkey, ddate, price,
+         price / LAG(price, 50)  OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS r_50,
+         price / LAG(price, 252) OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS r_252,
+         ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY ddate DESC) AS rn_desc
+  FROM bars
+)
+SELECT suppkey, ROUND(r_50, 6) AS lookback_50, ROUND(r_252, 6) AS lookback_252
+FROM lb WHERE rn_desc = 1
+"""
+
+
+@_register("positional_lookback", _LOOKBACK_SQL)
+def q_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as SW
+
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    lb = W.with_lookback(bars, {"r_50": 50, "r_252": 252})
+    w_desc = SW.partitionBy("suppkey").orderBy(F.desc("ddate"))
+    return (
+        lb.withColumn("rn_desc", F.row_number().over(w_desc))
+        .filter(F.col("rn_desc") == 1)
+        .select(
+            "suppkey",
+            r6(F.col("r_50")).alias("lookback_50"),
+            r6(F.col("r_252")).alias("lookback_252"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + A6 + A11: benchmark join → tracking error + closed-form OLS
+# alpha/beta/R² (reference streamlit_app.py:360-372,424-442 — the per-ticker
+# statsmodels loop collapsed into native covariance aggregates)
+# ---------------------------------------------------------------------------
+
+_OLS_SQL = f"""
+WITH {S.BARS},
+{S.RETS},
+{S.BENCH},
+joined AS (
+  SELECT rets.suppkey, rets.r, bench_rets.b
+  FROM rets JOIN bench_rets ON rets.ddate = bench_rets.ddate
+  WHERE rets.r IS NOT NULL AND bench_rets.b IS NOT NULL
+),
+mom AS (
+  SELECT suppkey,
+         COUNT(*) AS n_days,
+         {S.dsum('r', S.STAT_SCALE)} AS rs1,
+         {S.dsum('r * r', S.STAT_SCALE)} AS rs2,
+         {S.dsum('b', S.STAT_SCALE)} AS bs1,
+         {S.dsum('b * b', S.STAT_SCALE)} AS bs2,
+         {S.dsum('r * b', S.STAT_SCALE)} AS srb,
+         {S.dsum('r - b', S.STAT_SCALE)} AS ds1,
+         {S.dsum('(r - b) * (r - b)', S.STAT_SCALE)} AS ds2,
+         COUNT(r) AS n
+  FROM joined
+  GROUP BY suppkey
+)
+SELECT suppkey, n_days,
+       ROUND(SQRT((ds2 - ds1 * ds1 / n) / n * 252), 6) AS tracking_error,
+       ROUND(((srb - rs1 * bs1 / n) / (n - 1)) / ((bs2 - bs1 * bs1 / n) / (n - 1)), 6) AS beta,
+       ROUND((rs1 / n - ((srb - rs1 * bs1 / n) / (n - 1)) / ((bs2 - bs1 * bs1 / n) / (n - 1)) * (bs1 / n)) * 252, 6) AS alpha,
+       ROUND(((srb - rs1 * bs1 / n) / (n - 1)) * ((srb - rs1 * bs1 / n) / (n - 1))
+             / (((rs2 - rs1 * rs1 / n) / (n - 1)) * ((bs2 - bs1 * bs1 / n) / (n - 1))), 6) AS r_squared
+FROM mom
+"""
+
+
+def _bench_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight market benchmark: mean price across all suppliers per day,
+    then daily returns — the ^GSPC analog (streamlit_app.py:281,426), fetched
+    once and broadcast instead of the reference's duplicate downloads."""
+    from pyspark.sql import Window as SW
+
+    li = _t(spark, sf_dir, "lineitem")
+    bench = li.groupBy(F.col("l_shipdate").cast("date").alias("ddate")).agg(
+        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("bprice")
+    )
+    wb = SW.orderBy("ddate")
+    return bench.withColumn("b", F.col("bprice") / F.lag("bprice", 1).over(wb) - 1).select(
+        "ddate", "b"
+    )
+
+
+@_register("benchmark_ols", _OLS_SQL)
+def q_benchmark_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    rets = W.with_return(bars)
+    bench = F.broadcast(_bench_rets(spark, sf_dir))
+    joined = (
+        rets.join(bench, "ddate")
+        .filter(F.col("r").isNotNull() & F.col("b").isNotNull())
+        .select("suppkey", "r", "b")
+    )
+    return M.benchmark_relative_metrics(joined)
+
+
+# ---------------------------------------------------------------------------
+# A7 Sortino with the reference's asymmetry (mean over ALL excess rows, pop-std
+# over the negative subset only — streamlit_app.py:374-381)
+# ---------------------------------------------------------------------------
+
+_SORTINO_SQL = f"""
+WITH {S.BARS},
+{S.RETS},
+ex AS (
+  SELECT suppkey, r - (0.01 / 252) AS excess
+  FROM rets WHERE r IS NOT NULL
+),
+mom AS (
+  SELECT suppkey,
+         {S.dsum('excess', S.STAT_SCALE)} AS es1,
+         COUNT(excess) AS en,
+         {S.dsum('CASE WHEN excess < 0 THEN excess END', S.STAT_SCALE)} AS ns1,
+         {S.dsum('CASE WHEN excess < 0 THEN excess * excess END', S.STAT_SCALE)} AS ns2,
+         COUNT(CASE WHEN excess < 0 THEN excess END) AS nn
+  FROM ex
+  GROUP BY suppkey
+)
+SELECT suppkey,
+       ROUND(es1 / en, 8) AS mean_excess,
+       ROUND(SQRT((ns2 - ns1 * ns1 / nn) / nn), 8) AS downside_dev,
+       ROUND((es1 / en) / SQRT((ns2 - ns1 * ns1 / nn) / nn) * SQRT(252.0), 6) AS sortino
+FROM mom
+"""
+
+
+@_register("sortino", _SORTINO_SQL)
+def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    rets = W.with_return(bars)
+    return M.sortino_metrics(rets)
+
+
+# ---------------------------------------------------------------------------
+# J2/J5 + A8/A9 dividend yield analog: sparse cash-flow sum ÷ latest price
+# (reference streamlit_app.py:391-404; discount amounts play the dividends)
+# ---------------------------------------------------------------------------
+
+_DIVYIELD_SQL = f"""
+WITH {S.BARS},
+divs AS (
+  SELECT l_suppkey AS suppkey,
+         {S.dsum('l_extendedprice * l_discount')} AS total_div
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY 1
+),
+latest AS (
+  SELECT suppkey, arg_max(price, ddate) AS last_price
+  FROM bars
+  GROUP BY suppkey
+)
+SELECT latest.suppkey,
+       ROUND(COALESCE(divs.total_div, 0), 2) AS total_div,
+       ROUND(latest.last_price, 6) AS last_price,
+       ROUND(COALESCE(divs.total_div, 0) / latest.last_price * 100, 6) AS div_yield_pct
+FROM latest LEFT JOIN divs ON latest.suppkey = divs.suppkey
+"""
+
+
+@_register("dividend_yield", _DIVYIELD_SQL)
+def q_dividend_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bars = W.daily_bars(li)
+    divs = (
+        li.filter(F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("total_div"))
+    )
+    latest = bars.groupBy("suppkey").agg(F.max_by("price", "ddate").alias("last_price"))
+    total_div = F.coalesce(F.col("total_div"), F.lit(0.0))
+    return latest.join(divs, "suppkey", "left").select(
+        "suppkey",
+        r6(total_div, 2).alias("total_div"),
+        r6(F.col("last_price")).alias("last_price"),
+        r6(total_div / F.col("last_price") * 100).alias("div_yield_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 EMA — the one genuinely sequential op: applyInPandas on the Spark side,
+# closed-form weighted window sum as the SQL oracle
+# (reference ewm(span=20, adjust=False), streamlit_app.py:523)
+# ---------------------------------------------------------------------------
+
+# adjust=False EMA: y_t = (1-a)^t·x_0 + a·Σ_{j=1..t} (1-a)^{t-j}·x_j, a = 2/21.
+# Rewritten for a cumulative window: y_t = (1-a)^t · Σ_{j≤t} u_j with
+# u_0 = x_0, u_j = a·x_j·(1-a)^{-j}. Group sizes (~600 rows) keep (1-a)^{-j}
+# well inside double range.
+_EMA_SQL = f"""
+WITH {S.BARS},
+ordered AS (
+  SELECT suppkey, ddate, price,
+         ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS t
+  FROM bars
+),
+wsum AS (
+  SELECT suppkey, ddate, t,
+         SUM(price * POWER(1 - 2.0/21.0, -t)
+             * CASE WHEN t = 0 THEN 1.0 ELSE 2.0/21.0 END)
+           OVER (PARTITION BY suppkey ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM ordered
+),
+ema AS (
+  SELECT suppkey, t + 1 AS n_rows, POWER(1 - 2.0/21.0, t) * s AS ema_val,
+         ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY t DESC) AS rn_desc
+  FROM wsum
+)
+SELECT suppkey, n_rows AS n_days, ROUND(ema_val, 4) AS last_ema
+FROM ema WHERE rn_desc = 1
+"""
+
+
+@_register("ema_20", _EMA_SQL)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sequential import ema_last
+
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    return ema_last(bars, span=20)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north-star extension; SURVEY §2.9 L6 + §7 M3)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTES = r"""toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+)"""
+
+_EXACT_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
+FROM fp
+GROUP BY source
+"""
+
+
+@_register("dedup_exact_fingerprint", _EXACT_DEDUP_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.8
+"""
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTES},
+minh AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band_id, string_agg(mh, '|' ORDER BY seed) AS band_val
+  FROM minh
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b, cand.n_shared_bands,
+       ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) AS jaccard
+FROM cand
+JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+JOIN sizes sa ON sa.doc_id = cand.doc_a
+JOIN sizes sb ON sb.doc_id = cand.doc_b
+WHERE ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) >= 0.7
+"""
+
+
+@_register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import minhash_lsh_neardup
+
+    return minhash_lsh_neardup(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (L6; reference FAISS retriever pdf_rag_chatbot.py:60-61)
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label,
+         ROUND(
+           list_sum(list_transform(range(1, len(e.vec) + 1), i -> q.q_vec[i] * e.vec[i]))
+           / (SQRT(list_sum(list_transform(range(1, len(q.q_vec) + 1), i -> q.q_vec[i] * q.q_vec[i])))
+            * SQRT(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+           6) AS cos_sim
+  FROM emb e CROSS JOIN q
+  WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, label, cos_sim, knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@_register("knn_cosine_topk", _KNN_SQL)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import knn_topk
+
+    return knn_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star: quality scoring, token stats, lang-ID heuristic)
+# ---------------------------------------------------------------------------
+
+_TEXT_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         list_sum(list_transform(t, x -> length(x))) AS tok_chars,
+         len(list_filter(t, x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
+  FROM toks
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(tok_chars / n_tokens, 6) AS avg_token_len,
+       ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + (1 - n_stop / n_tokens) * 0.5, 6) AS quality_score,
+       CASE WHEN n_stop >= 2 THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM feat
+"""
+
+
+@_register("text_quality", _TEXT_QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_text_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score", "pred_lang"
+    )
+
+
+_LANG_PROFILE_SQL = f"""
+WITH toks AS (
+  SELECT lang, n_chars,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND({S.davg('n_tokens')}, 6) AS avg_tokens,
+       ROUND({S.davg('n_chars')}, 6) AS avg_chars,
+       MAX(n_tokens) AS max_tokens
+FROM toks
+GROUP BY lang
+"""
+
+
+@_register("lang_profile", _LANG_PROFILE_SQL)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tokens", F.size(tokens("text")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(davg("n_tokens")).alias("avg_tokens"),
+        r6(davg("n_chars")).alias("avg_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

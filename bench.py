@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, materializing each
+result through the no-op writer (full distributed execution, nothing
+collected to the driver), and prints exactly one JSON line::
+
+    {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>, ...}
+
+Before timing, the shared intermediate stages (daily bars, doc shingles) are
+cached once — see yfinance_etl_spark/cache.py — mirroring the reference's
+``st.cache_data`` memoization (streamlit_app.py:279,293) and cutting the
+repeated lineitem scans the round-1 verdict flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yfinance_etl_spark.cache import cache_shared_stages  # noqa: E402
+from yfinance_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from yfinance_etl_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    """Execute the full plan distributed-side; never collect rows."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    cached = cache_shared_stages(spark, sf_dir)
+    setup_sec = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        t1 = time.perf_counter()
+        try:
+            materialize(q.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t1, 3)
+        except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    for df in cached:
+        df.unpersist()
+
+    total = round(setup_sec + sum(timings.values()), 3)
+    out = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "setup_sec": round(setup_sec, 3),
+        "n_queries": len(timings),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,40 @@
+"""S12 cache/materialization (reference ``@st.cache_data``,
+streamlit_app.py:279,293).
+
+Spark's CacheManager substitutes a cached ``InMemoryRelation`` into ANY later
+query whose canonicalized logical subplan matches the cached plan — so caching
+the shared intermediate stages once (daily bars, document shingles) makes every
+registry query that rebuilds the identical plan hit memory instead of
+rescanning lineitem/documents. That is the engine analog of the reference's
+``st.cache_data`` memoization, and at 100 TB it is the difference between one
+lineitem scan per *suite* and one per *query*.
+
+Nothing here changes results: cache substitution is purely physical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yfinance_etl_spark.catalog import load_table
+from yfinance_etl_spark.operators.dedup import doc_shingles
+from yfinance_etl_spark.operators.windows import daily_bars
+
+
+def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Cache + materialize the intermediates shared across the query suite.
+
+    Returns the cached frames (call ``unpersist()`` on them to release).
+    """
+    cached = [
+        daily_bars(load_table(spark, sf_dir, "lineitem")),
+        doc_shingles(load_table(spark, sf_dir, "documents")),
+    ]
+    for df in cached:
+        df.cache().count()  # materialize eagerly so queries only ever read memory
+    return cached
+
+
+def uncache_all(cached: list[DataFrame]) -> None:
+    for df in cached:
+        df.unpersist()

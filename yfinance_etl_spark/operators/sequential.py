@@ -15,9 +15,20 @@ deliberate slow path, used only where semantics demand it.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+
+def round_half_away(x: float, places: int = 4) -> float:
+    """Round half AWAY from zero, like DuckDB/C++ ROUND — not Python's
+    ``round()``, which is banker's (half-to-even) and would diverge from the
+    oracle at exact .5 boundaries."""
+    p = 10.0**places
+    y = x * p
+    return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / p
 
 
 def ema_last(
@@ -39,7 +50,7 @@ def ema_last(
             {
                 key: [pdf[key].iloc[0]],
                 "n_days": [len(pdf)],
-                "last_ema": [round(float(ema.iloc[-1]), 4)],
+                "last_ema": [round_half_away(float(ema.iloc[-1]), 4)],
             }
         )
 

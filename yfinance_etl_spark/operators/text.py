@@ -61,15 +61,22 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (input to MinHash/Jaccard dedup)."""
+    """Word n-gram shingles as an array column (input to MinHash/Jaccard dedup).
+
+    Documents shorter than n tokens yield an EMPTY array (matching the
+    DuckDB ``range(1, m+1)`` oracle semantics). Without the guard,
+    ``sequence(1, 0)`` would produce a *descending* [1, 0] array and
+    ``element_at`` would fail on out-of-range indices for short docs.
+    """
     t = tokens(text)
-    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    return F.transform(
+    m = F.size(t) - (n - 1)
+    shingles = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.concat_ws(
             " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
         ),
     )
+    return F.when(m >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def chunk_text(text: Column | str, size: int = 800, overlap: int = 100) -> Column:

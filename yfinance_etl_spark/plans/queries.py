@@ -553,32 +553,21 @@ def q_dividend_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference ewm(span=20, adjust=False), streamlit_app.py:523)
 # ---------------------------------------------------------------------------
 
-# adjust=False EMA: y_t = (1-a)^t·x_0 + a·Σ_{j=1..t} (1-a)^{t-j}·x_j, a = 2/21.
-# Rewritten for a cumulative window: y_t = (1-a)^t · Σ_{j≤t} u_j with
-# u_0 = x_0, u_j = a·x_j·(1-a)^{-j}. Group sizes (~600 rows) keep (1-a)^{-j}
-# well inside double range.
+# adjust=False EMA: y_0 = x_0; y_t = a·x_t + (1−a)·y_{t−1}, a = 2/21.
+# list_reduce runs the recursion directly (first element seeds the
+# accumulator), so the oracle is numerically identical to pandas' ewm loop
+# and — unlike a POWER(1-a, -t)-rescaled window sum — never overflows, no
+# matter how long the series is.
 _EMA_SQL = f"""
 WITH {S.BARS},
-ordered AS (
-  SELECT suppkey, ddate, price,
-         ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS t
-  FROM bars
-),
-wsum AS (
-  SELECT suppkey, ddate, t,
-         SUM(price * POWER(1 - 2.0/21.0, -t)
-             * CASE WHEN t = 0 THEN 1.0 ELSE 2.0/21.0 END)
-           OVER (PARTITION BY suppkey ORDER BY t
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-  FROM ordered
-),
-ema AS (
-  SELECT suppkey, t + 1 AS n_rows, POWER(1 - 2.0/21.0, t) * s AS ema_val,
-         ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY t DESC) AS rn_desc
-  FROM wsum
+series AS (
+  SELECT suppkey, list(price ORDER BY ddate) AS prices
+  FROM bars GROUP BY suppkey
 )
-SELECT suppkey, n_rows AS n_days, ROUND(ema_val, 4) AS last_ema
-FROM ema WHERE rn_desc = 1
+SELECT suppkey,
+       len(prices) AS n_days,
+       ROUND(list_reduce(prices, (acc, x) -> 2.0/21.0 * x + (1 - 2.0/21.0) * acc), 4) AS last_ema
+FROM series
 """
 
 

@@ -1,0 +1,91 @@
+"""Dedup (exact / Jaccard / MinHash-LSH) and similarity search on tiny
+literal corpora with hand-checkable answers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yfinance_etl_spark.operators.dedup import (
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_lsh_neardup,
+)
+from yfinance_etl_spark.operators.similarity import cosine, knn_topk, lsh_bucket
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat", "b"),  # near dup of 0
+    (3, "completely different text about spark engines here", "b"),
+    (4, "hi", "b"),  # short doc: < 3 tokens, must not crash
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t, s) for i, t, s in DOCS], "doc_id bigint, text string, source string"
+    )
+
+
+def test_exact_dedup_counts_per_source(spark):
+    out = {r.source: (r.n_docs, r.n_distinct, r.n_dupes) for r in exact_dedup_stats(_docs(spark)).collect()}
+    assert out["a"] == (2, 1, 1)
+    assert out["b"] == (3, 3, 0)
+
+
+def test_jaccard_pairs_exact_and_near(spark):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0  # identical docs
+    # doc0 vs doc2: 7 shingles each, 6 shared → J = 6/8 = 0.75
+    assert got[(0, 2)] == pytest.approx(0.75)
+    assert got[(1, 2)] == pytest.approx(0.75)
+    assert not any(3 in pair or 4 in pair for pair in got)
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_neardup(_docs(spark), threshold=0.9).collect()}
+    assert got[(0, 1)] == 1.0  # identical docs share every band → always a candidate
+    assert all(j >= 0.9 for j in got.values())
+
+
+def test_cosine_matches_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(df.a, df.b).alias("c")).collect()[0].c
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def _emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # closest to 0
+        (5, [0.8, 0.3, 0.0, 0.0], 0),   # second closest
+        (6, [0.0, 1.0, 0.0, 0.0], 1),
+        (7, [0.0, 0.0, 1.0, 0.0], 1),
+        (8, [-1.0, 0.0, 0.0, 0.0], 2),  # antipode
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in vecs],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+
+def test_knn_topk_order_and_k(spark):
+    out = [
+        (r.neighbor_id, r.knn_rank)
+        for r in knn_topk(_emb(spark), query_ids=[0], k=3).orderBy("knn_rank").collect()
+    ]
+    assert out == [(1, 1), (5, 2), (6, 3)]
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [-1.0, -2.0, -3.0, -4.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r.bucket for r in lsh_bucket(df).collect()}
+    assert got[0] == got[1]  # identical vectors always share a bucket
+    assert got[0] != got[2]  # antipodal vectors flip every plane's sign

@@ -1,0 +1,75 @@
+"""Aggregation-family semantics (SURVEY §2.4) vs the reference's exact pandas
+formulas (streamlit_app.py:349-462), including the ddof quirks: sample std for
+volatility (A2) but POPULATION std for tracking error (A6) and downside
+deviation (A7); Sortino's mean over ALL excess rows vs std over negatives only."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from yfinance_etl_spark.operators import metrics as M
+from yfinance_etl_spark.operators import windows as W
+
+PRICES = [100.0, 103.0, 101.0, 104.0, 102.0, 108.0, 107.0, 111.0]
+BENCH = [50.0, 50.5, 50.2, 51.0, 50.8, 52.0, 51.9, 52.6]
+
+
+def _rets_frame(spark):
+    rows = []
+    d = dt.date(2024, 1, 1)
+    for p in PRICES:
+        rows.append((7, d, p, 1.0))
+        d += dt.timedelta(days=1)
+    bars = spark.createDataFrame(rows, "suppkey bigint, ddate date, price double, qty double")
+    return W.with_drawdown(W.with_return(bars))
+
+
+def test_risk_metrics_match_reference_formulas(spark):
+    row = M.risk_metrics(_rets_frame(spark)).collect()[0]
+    s = pd.Series(PRICES)
+    r = s.pct_change().dropna()
+    assert row.n_days == len(PRICES)
+    assert row.ann_return == pytest.approx(round(r.mean() * 252, 6), abs=1e-6)
+    # volatility is SAMPLE std (pandas .std() ddof=1, streamlit_app.py:353)
+    assert row.volatility == pytest.approx(round(r.std(ddof=1) * np.sqrt(252), 6), abs=1e-6)
+    assert row.sharpe == pytest.approx(
+        round((r.mean() * 252) / (r.std(ddof=1) * np.sqrt(252)), 6), abs=1e-6
+    )
+    assert row.period_return == pytest.approx(round(s.iloc[-1] / s.iloc[0] - 1, 6), abs=1e-6)
+    dd = (s - s.cummax()) / s.cummax()
+    assert row.max_drawdown == pytest.approx(round(dd.min(), 6), abs=1e-6)
+
+
+def test_benchmark_metrics_pop_std_and_closed_form_ols(spark):
+    r = pd.Series(PRICES).pct_change().dropna().to_numpy()
+    b = pd.Series(BENCH).pct_change().dropna().to_numpy()
+    joined = spark.createDataFrame(
+        [(7, float(x), float(y)) for x, y in zip(r, b)], "suppkey bigint, r double, b double"
+    )
+    row = M.benchmark_relative_metrics(joined).collect()[0]
+    # tracking error uses np.std ddof=0 (streamlit_app.py:368)
+    te = np.std(r - b) * np.sqrt(252)
+    assert row.tracking_error == pytest.approx(round(te, 6), abs=1e-6)
+    # OLS closed form == statsmodels OLS with intercept (streamlit_app.py:436-442)
+    beta, alpha_daily = np.polyfit(b, r, 1)
+    assert row.beta == pytest.approx(round(beta, 6), abs=1e-6)
+    assert row.alpha == pytest.approx(round(alpha_daily * 252, 6), abs=1e-6)
+    r2 = np.corrcoef(r, b)[0, 1] ** 2
+    assert row.r_squared == pytest.approx(round(r2, 6), abs=1e-6)
+
+
+def test_sortino_asymmetry_mean_all_std_negative(spark):
+    row = M.sortino_metrics(_rets_frame(spark)).collect()[0]
+    r = pd.Series(PRICES).pct_change().dropna().to_numpy()
+    excess = r - 0.01 / 252
+    neg = excess[excess < 0]
+    # mean over ALL rows, pop-std over NEGATIVE subset (streamlit_app.py:374-381)
+    assert row.mean_excess == pytest.approx(round(excess.mean(), 8), abs=1e-8)
+    assert row.downside_dev == pytest.approx(round(np.std(neg), 8), abs=1e-8)
+    assert row.sortino == pytest.approx(
+        round(excess.mean() / np.std(neg) * np.sqrt(252), 6), abs=1e-6
+    )

@@ -1,0 +1,80 @@
+"""Text operators (tokens/shingles/chunking/fingerprint) and the sequential
+EMA — the edge cases the round-1 ADVICE flagged: short documents, .5 rounding
+ties, long series."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yfinance_etl_spark.operators.sequential import ema_last, round_half_away
+from yfinance_etl_spark.operators.text import chunk_text, fingerprint, tokens, word_shingles
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    out = (
+        _docs(spark, ["", "one", "one two", "one two three", "a b c d"])
+        .select("doc_id", word_shingles("text").alias("sh"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.sh for r in out[:2]] == [[], []]  # 0/1 tokens → empty, no crash
+    assert out[2].sh == []  # 2 tokens < n=3
+    assert out[3].sh == ["one two three"]
+    assert out[4].sh == ["a b c", "b c d"]
+
+
+def test_tokens_collapse_whitespace(spark):
+    out = _docs(spark, ["  a\t b\n  c  "]).select(tokens("text").alias("t")).collect()
+    assert out[0].t == ["a", "b", "c"]
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    out = _docs(spark, ["Hello   World", "hello world", "hello worlds"]).select(
+        fingerprint("text").alias("fp")
+    ).collect()
+    assert out[0].fp == out[1].fp
+    assert out[0].fp != out[2].fp
+
+
+def test_chunk_text_boundaries(spark):
+    # size=10, overlap=4 → stride 6; 22 chars → ceil((22-4)/6)=3 chunks
+    text = "abcdefghijklmnopqrstuv"
+    out = _docs(spark, [text]).select(F.explode(chunk_text("text", 10, 4)).alias("c")).collect()
+    chunks = [(r.c.chunk_id, r.c.chunk) for r in out]
+    assert chunks == [(0, text[0:10]), (1, text[6:16]), (2, text[12:22])]
+    # short text → exactly one chunk of the whole text
+    out1 = _docs(spark, ["tiny"]).select(F.explode(chunk_text("text", 10, 4)).alias("c")).collect()
+    assert [(r.c.chunk_id, r.c.chunk) for r in out1] == [(0, "tiny")]
+
+
+def test_round_half_away_matches_duckdb_round():
+    import duckdb
+
+    for x in [0.00005, -0.00005, 0.12345, -0.12345, 2.5e-4, 1.23455]:
+        duck = duckdb.sql(f"SELECT ROUND({x!r}::DOUBLE, 4) AS v").fetchone()[0]
+        assert round_half_away(x, 4) == duck, x
+
+
+def test_ema_matches_pandas_ewm_long_series(spark):
+    # 10k rows/key — far past where the old POWER-rescaled oracle overflowed
+    n = 10_000
+    prices = [100.0 + (i % 37) * 0.25 + (i % 11) * 0.1 for i in range(n)]
+    rows = [
+        (1, dt.date(2020, 1, 1) + dt.timedelta(days=i), p, 1.0)
+        for i, p in enumerate(prices)
+    ]
+    bars = spark.createDataFrame(rows, "suppkey bigint, ddate date, price double, qty double")
+    row = ema_last(bars, span=20).collect()[0]
+    expected = pd.Series(prices).ewm(span=20, adjust=False).mean().iloc[-1]
+    assert row.n_days == n
+    assert row.last_ema == pytest.approx(round_half_away(float(expected), 4), abs=1e-12)

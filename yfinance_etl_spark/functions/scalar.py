@@ -64,9 +64,11 @@ def date_str(c: Column | str) -> Column:
 
 def parse_pct(c: Column | str) -> Column:
     """F4: strip %/$/B decorations and cast to double
-    (reference fund_comp2.py:884-885,934-935)."""
+    (reference fund_comp2.py:884-885,934-935). try_cast, not cast: Spark 4's
+    ANSI mode makes a plain cast THROW on malformed input, while the reference
+    (and the DuckDB TRY_CAST oracle) yields null/NaN."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(c, r"[%$B,]", "").cast("double")
+    return F.regexp_replace(c, r"[%$B,]", "").try_cast("double")
 
 
 def coalesce_default(c: Column | str, default) -> Column:

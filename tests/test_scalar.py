@@ -14,6 +14,7 @@ from yfinance_etl_spark.functions.scalar import (
     davg,
     dsum,
     parse_pct,
+    parse_ticker_list,
     sentiment_bucket,
     status_label,
 )
@@ -42,6 +43,12 @@ def test_parse_pct_strips_decorations(spark):
 def test_coalesce_default(spark):
     df = spark.createDataFrame([(None,), (7.0,)], "x double")
     assert [r.v for r in df.select(coalesce_default("x", 0.0).alias("v")).collect()] == [0.0, 7.0]
+
+
+def test_parse_ticker_list_hof(spark):
+    df = spark.createDataFrame([("spy, qqq , ,vti",), ("",)], "s string")
+    got = [r.v for r in df.select(parse_ticker_list("s").alias("v")).collect()]
+    assert got == [["SPY", "QQQ", "VTI"], []]
 
 
 def test_sentiment_bucket_thresholds(spark):

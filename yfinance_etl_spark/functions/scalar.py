@@ -77,6 +77,16 @@ def coalesce_default(c: Column | str, default) -> Column:
     return F.coalesce(c, F.lit(default))
 
 
+def parse_ticker_list(c: Column | str) -> Column:
+    """P11: 'spy, qqq , ,vti' → ['SPY','QQQ','VTI'] — split on comma, trim,
+    upper, drop empties, all as HOFs (reference streamlit_app.py:781-782)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.transform(F.split(c, ","), lambda x: F.upper(F.trim(x))),
+        lambda x: F.length(x) > 0,
+    )
+
+
 def sentiment_bucket(score: Column | str) -> Column:
     """F8: >0.1 positive / <-0.1 negative / else neutral
     (reference streamlit_app.py:272-273)."""

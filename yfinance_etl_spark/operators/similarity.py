@@ -68,12 +68,16 @@ def knn_topk(
     )
 
 
-def lsh_bucket(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
     """Random-hyperplane (SimHash-style) LSH bucket id per vector — the
     scale path's pruning key. Planes are deterministic ±1 sign patterns
     derived from the dimension index so the oracle can reproduce them:
     plane p gives sign(Σ_i vec[i]·s(p,i)), s(p,i) = +1 if ((i >> p) & 1)=0
-    else −1. Bucket = the n_planes-bit code."""
+    else −1. Bucket = the n_planes-bit code.
+
+    n_planes must be ≤ log2(dim) (6 for the 64-dim fixture): plane p reads
+    bit p of the dimension index, so beyond that the sign pattern degenerates
+    to a constant. 2^n_planes buckets → each query scans ~corpus/2^n_planes."""
     vec = F.col("embedding").cast("array<double>")
     bits = []
     for p in range(n_planes):
@@ -93,13 +97,13 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     return embeddings.withColumn("bucket", bucket)
 
 
-def ann_bucketed_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def ann_bucketed_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     """Approximate top-k: exact cosine only within each query's LSH bucket.
 
     At 100 TB: bucket is the shuffle/partition key, so each task scores one
     bucket — no all-pairs crossJoin ever materializes.
     """
-    b = lsh_bucket(embeddings).select(
+    b = lsh_bucket(embeddings, n_planes).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label", "bucket"
     )
     q = F.broadcast(

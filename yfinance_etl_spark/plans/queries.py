@@ -753,6 +753,167 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# L3 chunking (reference RecursiveCharacterTextSplitter(800,100),
+# pdf_rag_chatbot.py:218) — fixture docs are <600 chars, so size=200/overlap=50
+# exercises the multi-chunk path; the semantics (fixed stride, substring
+# windows) are parameter-independent
+# ---------------------------------------------------------------------------
+
+_CHUNK_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+         greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS chunk_id,
+         length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS clen
+  FROM c, unnest(range(0, n_chunks)) AS t(i)
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(clen) AS BIGINT) AS total_chunk_chars,
+       CAST(MAX(clen) AS BIGINT) AS max_chunk_len,
+       CAST(MIN(clen) AS BIGINT) AS min_chunk_len
+FROM ch
+GROUP BY doc_id
+"""
+
+
+@_register("chunk_stats", _CHUNK_SQL)
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_text("text", size=200, overlap=50)).alias("c")
+    ).select("doc_id", F.length(F.col("c.chunk")).cast("long").alias("clen"))
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("total_chunk_chars"),
+        F.max("clen").alias("max_chunk_len"),
+        F.min("clen").alias("min_chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 scale path: bucketed ANN — exact cosine only inside each query's
+# 6-plane SimHash bucket (64 buckets → ~1.5% of the corpus scanned per query,
+# vs the crossJoin baseline's 100%)
+# ---------------------------------------------------------------------------
+
+
+def _ann_oracle(n_planes: int = 6) -> str:
+    sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+proj AS (
+  SELECT vec_id, vec,
+         {projs}
+  FROM emb
+),
+bkt AS (SELECT vec_id, vec, {bucket} AS bucket FROM proj),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket FROM bkt WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(b.vec) + 1), i -> q.q_vec[i] * b.vec[i]))
+           / (SQRT(list_sum(list_transform(range(1, len(q.q_vec) + 1), i -> q.q_vec[i] * q.q_vec[i])))
+            * SQRT(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))),
+           6) AS cos_sim
+  FROM bkt b JOIN q ON b.bucket = q.q_bucket
+  WHERE b.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@_register("ann_bucketed_topk", _ann_oracle())
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import ann_bucketed_topk
+
+    return ann_bucketed_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F4/F7/F8 + P9 scalar-library profile over events: string cleanup,
+# date formatting, %-strip parse, CASE status labels, threshold bucketing,
+# isin row selection — the previously-dead scalar library, all in one plan
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = f"""
+WITH base AS (
+  SELECT upper(trim(event_type)) AS etype,
+         strftime(ts, '%Y-%m-%d') AS day,
+         TRY_CAST(regexp_replace(CAST(value AS VARCHAR) || '%', '[%$B,]', '', 'g') AS DOUBLE) AS parsed,
+         CASE WHEN event_type = 'error' THEN 'critical'
+              WHEN event_type = 'view' THEN 'warning'
+              WHEN event_type = 'purchase' THEN 'good'
+              ELSE event_type END AS status,
+         (value - 245) / 245 AS s
+  FROM events
+  WHERE event_type IN ('click', 'error', 'purchase', 'view')
+)
+SELECT CASE WHEN status = 'critical' THEN '[CRIT] critical'
+            WHEN status = 'warning' THEN '[WARN] warning'
+            WHEN status = 'good' THEN '[OK] good'
+            ELSE '[INFO] ' || status END AS label,
+       CASE WHEN s > 0.1 THEN 'positive'
+            WHEN s < -0.1 THEN 'negative'
+            ELSE 'neutral' END AS bucket,
+       COUNT(*) AS n_events,
+       ROUND({S.davg('parsed', S.STAT_SCALE)}, 6) AS avg_value,
+       COUNT(DISTINCT day) AS n_days
+FROM base
+GROUP BY label, bucket
+"""
+
+
+@_register("scalar_profile", _SCALAR_SQL)
+def q_scalar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import (
+        clean_ticker,
+        date_str,
+        parse_pct,
+        sentiment_bucket,
+        status_label,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error", "purchase", "view")  # P9
+    )
+    status = (
+        F.when(F.col("event_type") == "error", "critical")
+        .when(F.col("event_type") == "view", "warning")
+        .when(F.col("event_type") == "purchase", "good")
+        .otherwise(F.col("event_type"))
+    )
+    base = ev.select(
+        clean_ticker("event_type").alias("etype"),  # F1
+        date_str("ts").alias("day"),  # F2
+        parse_pct(F.concat(F.col("value").cast("string"), F.lit("%"))).alias("parsed"),  # F4
+        status_label(status).alias("label"),  # F7
+        sentiment_bucket((F.col("value") - 245) / 245).alias("bucket"),  # F8
+    )
+    return base.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(davg("parsed", STAT_SCALE)).alias("avg_value"),
+        F.countDistinct("day").alias("n_days"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -914,6 +914,90 @@ def q_scalar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# F9/F10 semi-structured path: from_json over events.props with the
+# reference's slice-and-fallback pattern (fund_comp2.py:144-150) — props
+# parses to a typed k, bucketed to deciles, profiled per event_type
+# ---------------------------------------------------------------------------
+
+_EVENTS_JSON_SQL = f"""
+WITH parsed AS (
+  SELECT event_type,
+         COALESCE(TRY_CAST(json_extract_string(regexp_extract(props, '(\\{{.*\\}})', 1), '$.k') AS INT), -1) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(FLOOR(k / 10.0) AS INT) AS k_decile,
+       COUNT(*) AS n_events,
+       ROUND({S.davg('value', S.STAT_SCALE)}, 6) AS avg_value,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max
+FROM parsed
+GROUP BY event_type, k_decile
+"""
+
+
+@_register("events_json_profile", _EVENTS_JSON_SQL)
+def q_events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import coalesce_default
+    from yfinance_etl_spark.functions.semistructured import parse_json
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        coalesce_default(parse_json("props").getField("k"), -1).alias("k"),  # F9+F12
+        "value",
+    )
+    return parsed.groupBy(
+        "event_type", F.floor(F.col("k") / 10.0).cast("int").alias("k_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(davg("value", STAT_SCALE)).alias("avg_value"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1+F8 sentiment pipeline: Arrow-batched lexicon pandas UDF over documents,
+# bucketed at ±0.1 (reference streamlit_app.py:464-481 fetch_news +
+# TextBlob polarity + bucket)
+# ---------------------------------------------------------------------------
+
+
+def _sentiment_oracle() -> str:
+    from yfinance_etl_spark.operators.sentiment import oracle_score_sql
+
+    return f"""
+WITH scored AS (
+  SELECT source, {oracle_score_sql('text')} AS score
+  FROM documents
+)
+SELECT source,
+       CASE WHEN score > 0.1 THEN 'positive'
+            WHEN score < -0.1 THEN 'negative'
+            ELSE 'neutral' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND({S.davg('score', S.STAT_SCALE)}, 6) AS avg_score
+FROM scored
+GROUP BY source, bucket
+"""
+
+
+@_register("doc_sentiment", _sentiment_oracle())
+def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import sentiment_bucket
+    from yfinance_etl_spark.operators.sentiment import sentiment_score_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("source", sentiment_score_udf("text").alias("score"))
+    return scored.groupBy("source", sentiment_bucket("score").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(davg("score", STAT_SCALE)).alias("avg_score"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -1,0 +1,82 @@
+"""St1-St5 streaming semantics on a hand-built fixture.
+
+Each test drives the real readStream → stateful-op → AvailableNow → memory
+sink path (not a batch shortcut) over a tiny parquet directory, so window
+boundaries, session merging, and dedup-first-wins are checked end to end.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from yfinance_etl_spark.streaming import streams as ST
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    rows = [
+        # user 1: two events 10 min apart (one session), then 7h later (new)
+        (1, _ts(0, 0), 1, "click", 10.0, "{}"),
+        (2, _ts(0, 10), 1, "click", 20.0, "{}"),
+        (3, _ts(7, 30), 1, "view", 30.0, "{}"),
+        # user 2: single event; duplicate (user,type) key at a later ts
+        (4, _ts(1, 59), 2, "click", 40.0, "{}"),
+        (5, _ts(2, 1), 2, "click", 50.0, "{}"),
+    ]
+    d = str(tmp_path_factory.mktemp("events_fixture"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    return d
+
+
+def test_tumbling_window_boundaries(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in ST.run_to_memory(ST.tumbling_counts(ev), "complete").collect()
+    }
+    # 00:00 and 00:10 share the 00:00 bucket; 01:59 and 02:01 straddle buckets
+    assert got[(_ts(0), "click")] == (2, 30.0)
+    assert got[(_ts(1), "click")] == (1, 40.0)
+    assert got[(_ts(2), "click")] == (1, 50.0)
+    assert got[(_ts(7), "view")] == (1, 30.0)
+
+
+def test_sliding_windows_double_count(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    out = ST.run_to_memory(ST.sliding_avg(ev), "complete")
+    # every event appears in exactly width/slide = 2 windows
+    assert sum(r.n_events for r in out.collect()) == 10
+
+
+def test_session_gap_merge_and_split(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in ST.run_to_memory(ST.session_rollup(ev), "complete").collect()
+    )
+    gap = dt.timedelta(hours=6)
+    assert got == [
+        (1, _ts(0, 0), _ts(0, 10) + gap, 2),  # 10-min pair merged
+        (1, _ts(7, 30), _ts(7, 30) + gap, 1),  # 7h later → new session
+        (2, _ts(1, 59), _ts(2, 1) + gap, 2),  # 2-min pair merged across hour
+    ]
+
+
+def test_dedup_within_watermark_first_wins(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    out = ST.run_to_memory(
+        ST.dedup_within_watermark(ev, ["user_id", "event_type"]), "append"
+    ).collect()
+    keys = sorted((r.user_id, r.event_type) for r in out)
+    assert keys == [(1, "click"), (1, "view"), (2, "click")]
+    # first-seen row kept for user 2's duplicated key
+    u2 = [r for r in out if r.user_id == 2][0]
+    assert u2.event_id == 4 and u2.value == 40.0

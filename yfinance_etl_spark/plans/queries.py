@@ -998,6 +998,106 @@ def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.10 Structured Streaming (St1-St5): every Spark side below executes
+# through readStream → stateful op → memory sink with Trigger.AvailableNow;
+# on bounded input that must equal the batch SQL the oracle runs — that
+# stream/batch equivalence is the correctness claim being checked
+# ---------------------------------------------------------------------------
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND({S.dsum('value', S.STAT_SCALE)}, 6) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@_register("stream_tumbling_counts", _STREAM_TUMBLING_SQL)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    return ST.run_to_memory(ST.tumbling_counts(ev), "complete")
+
+
+_STREAM_SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) - o * (INTERVAL 1 HOUR) AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(o)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND({S.davg('value', S.STAT_SCALE)}, 6) AS avg_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@_register("stream_sliding_avg", _STREAM_SLIDING_SQL)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    return ST.run_to_memory(ST.sliding_avg(ev), "complete")
+
+
+_STREAM_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       ROUND({S.dsum('value', S.STAT_SCALE)}, 6) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@_register("stream_session_rollup", _STREAM_SESSION_SQL)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    return ST.run_to_memory(ST.session_rollup(ev), "complete")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("stream_dedup_distinct", _STREAM_DEDUP_SQL)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    deduped = ST.run_to_memory(
+        ST.dedup_within_watermark(ev, ["user_id", "event_type"]), "append"
+    )
+    # dedup emits one arbitrary first-seen row per key; aggregate to the
+    # order-insensitive invariant (distinct users per type) for the oracle
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -1,0 +1,140 @@
+"""Structured Streaming surface — SURVEY.md §2.10 (St1-St5).
+
+The reference is batch-only (its "incremental" mode is re-running the ETL,
+src/etl.py:16-40); this module is the engine's forward-looking streaming
+path over the same event model. Idiomatic shape:
+
+    readStream (file source, explicit schema)
+      → event-time watermark
+      → tumbling / sliding / session windows, stateful dedup
+      → writeStream (memory sink here; parquet/Kafka in production)
+    with Trigger.AvailableNow so a fixture directory is processed to
+    completion and the result is deterministic — which is what lets the
+    DuckDB batch oracle check it (streams and batch share semantics on
+    bounded input; that equivalence IS the correctness claim).
+
+Scale notes (1000-executor reality, not local[32]):
+* The file source lists + partitions input files across executors; state
+  (window aggs, dedup keys) lives in the executor-local state store keyed
+  by the shuffle partition — so both data AND state scale horizontally.
+* Watermarks bound state: without them, windowed agg state grows without
+  limit. Every stateful query here sets one.
+* The memory sink is for tests/fixtures only — it collects results to the
+  driver. Production sinks (parquet via ``sink.write_partitioned``, Kafka)
+  keep output distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
+
+_uid = itertools.count()
+
+
+def _stage_dir(path: str) -> str:
+    """The file-stream source monitors a DIRECTORY; the fixture table is a
+    bare parquet file. Stage it behind a symlink in a scratch dir (a real
+    deployment points the source at the landing directory itself)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "yfinance_etl_stream", hashlib.md5(path.encode()).hexdigest()[:12]
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St1: streaming scan of the events table.
+
+    File-source streams require an explicit schema (no inference at start);
+    we take it from a metadata-only batch read of the same path, which also
+    inherits the nanosAsLong handling, then apply the catalog's ns→µs
+    conversion so event time is a proper TimestampType.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = path if os.path.isdir(path) else _stage_dir(path)
+    stream = spark.readStream.schema(schema).parquet(src)
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming plan to completion (AvailableNow) into a memory
+    sink and return the result as a batch DataFrame."""
+    name = f"stream_result_{next(_uid)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """St2: tumbling event-time window per event_type with a 1h watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(dsum("value", STAT_SCALE)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """St2: sliding (overlapping) event-time windows — each event lands in
+    width/slide windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(davg("value", STAT_SCALE)).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """St4: gap-based session windows per user — a session closes after
+    ``gap`` of inactivity; session end = last event + gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(dsum("value", STAT_SCALE)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
+    """St5: stateful streaming dedup — first occurrence per key wins; state
+    for a key is dropped once the watermark passes it (bounded state, the
+    production-correct form of ``dropDuplicates`` on a stream)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keys)

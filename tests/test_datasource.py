@@ -1,0 +1,49 @@
+"""S1 Python DataSource: option pushdown, partitioning, empty-result guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from yfinance_etl_spark.sources.datasource import MarketDataSource, MarketReader
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(MarketDataSource)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.read.format("marketdata").option("path", SF)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_per_ticker_rows_and_date_pushdown(registered):
+    df = _read(registered, tickers="1,2", start="1996-01-01", end="1996-12-31")
+    rows = df.collect()
+    assert set(r.ticker for r in rows) == {"1", "2"}
+    assert all(r.ddate.year == 1996 for r in rows)
+    assert all(r.price > 0 for r in rows)
+
+
+def test_one_partition_per_ticker(registered):
+    df = _read(registered, tickers="1,2,3")
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_empty_result_guard(registered):
+    # P5: out-of-range request → empty frame with intact schema, no error
+    df = _read(registered, tickers="1", start="2050-01-01", end="2050-12-31")
+    assert df.isEmpty()
+    assert [f.name for f in df.schema.fields] == ["ticker", "ddate", "price", "qty"]
+
+
+def test_missing_options_raise():
+    with pytest.raises(ValueError, match="tickers"):
+        MarketReader({"path": SF})
+    with pytest.raises(ValueError, match="path"):
+        MarketReader({"tickers": "1"})

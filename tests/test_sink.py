@@ -1,0 +1,37 @@
+"""S10 sink: partitioned layout, file counts, value fidelity."""
+
+from __future__ import annotations
+
+import glob
+
+from yfinance_etl_spark.sources.sink import read_back, write_partitioned
+
+
+def test_roundtrip_values_and_partition_type(spark, tmp_path):
+    rows = [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 3.5)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = str(tmp_path / "t")
+    write_partitioned(df, out, partition_by=("grp",))
+    back = read_back(spark, out)
+    got = sorted((r.id, r.grp, r.v) for r in back.collect())
+    assert got == rows
+    # partition column recovered from directory names, still usable as a key
+    assert back.filter("grp = 'a'").count() == 2
+
+
+def test_one_file_per_partition_key(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(300)], "id long, grp string")
+    out = str(tmp_path / "t")
+    write_partitioned(df, out, partition_by=("grp",))
+    for g in ("g0", "g1", "g2"):
+        files = glob.glob(f"{out}/grp={g}/*.parquet")
+        assert len(files) == 1, f"expected exactly one file for {g}, got {files}"
+
+
+def test_salted_split_for_big_partitions(spark, tmp_path):
+    df = spark.createDataFrame([(i, "hot") for i in range(1000)], "id long, grp string")
+    out = str(tmp_path / "t")
+    write_partitioned(df, out, partition_by=("grp",), files_per_partition=4)
+    files = glob.glob(f"{out}/grp=hot/*.parquet")
+    assert 1 < len(files) <= 4
+    assert read_back(spark, out).count() == 1000

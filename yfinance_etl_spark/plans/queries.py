@@ -1098,6 +1098,91 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+# ---------------------------------------------------------------------------
+# S10 sink round-trip: orders → partitioned parquet sink → read back with a
+# partition-pruned filter → monthly rollup. The oracle computes the same
+# rollup straight from the source table, so any write/read infidelity
+# (type drift, partition-value encoding, row loss) breaks the match.
+# ---------------------------------------------------------------------------
+
+_SINK_SQL = f"""
+SELECT o_orderpriority,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS sum_total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority, month
+"""
+
+
+@_register("sink_roundtrip", _SINK_SQL)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from yfinance_etl_spark.sources.sink import read_back, write_partitioned
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "yfinance_etl_sink",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "orders",
+    )
+    write_partitioned(_t(spark, sf_dir, "orders"), out, partition_by=("o_orderpriority",))
+    back = read_back(spark, out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")  # partition-pruned scan
+    )
+    return back.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 connector: per-ticker history through the Python DataSource (options
+# pushed into the partition readers). Oracle recomputes the same bars
+# straight from lineitem — any pushdown bug (date off-by-one, missing
+# ticker, double-precision drift in the source agg) breaks the match.
+# ---------------------------------------------------------------------------
+
+_DATASOURCE_SQL = f"""
+SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
+       CAST(l_shipdate AS DATE) AS ddate,
+       ROUND({S.dsum('l_extendedprice')} / COUNT(*), 6) AS price,
+       ROUND({S.dsum('l_quantity')}, 2) AS qty
+FROM lineitem
+WHERE l_suppkey IN (1, 2, 3, 4, 5)
+  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+GROUP BY ticker, ddate
+"""
+
+
+@_register("datasource_history", _DATASOURCE_SQL)
+def q_datasource_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.sources.datasource import MarketDataSource
+
+    try:
+        spark.dataSource.register(MarketDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("marketdata")
+        .option("path", sf_dir)
+        .option("tickers", "1, 2, 3, 4, 5")
+        .option("start", "1994-01-01")
+        .option("end", "1995-12-31")
+        .load()
+    )
+    return df.select(
+        "ticker", "ddate", r6(F.col("price")).alias("price"), F.round("qty", 2).alias("qty")
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

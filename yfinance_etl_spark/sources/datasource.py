@@ -1,0 +1,113 @@
+"""S1: yfinance-shaped Python DataSource (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's only connector is the yfinance client
+(src/interface/yfinance_client.py:11-32): ``fetch(tickers, start, end,
+interval)`` loops tickers and returns one daily-history frame per ticker.
+This re-expresses that contract as a first-class Spark source:
+
+    spark.dataSource.register(MarketDataSource)
+    spark.read.format("marketdata")
+         .option("path", sf_dir).option("tickers", "1,2,3")
+         .option("start", "1994-01-01").option("end", "1996-12-31")
+         .load()
+
+* **One InputPartition per ticker** — the reference's per-ticker fetch
+  loop becomes source parallelism: 1000 tickers = 1000 concurrent reads
+  on a cluster, not a driver-side loop.
+* **Option pushdown** — tickers/start/end are applied INSIDE the
+  partition reader (DuckDB predicate on the parquet footer), so a
+  3-ticker request never deserializes the other tickers' rows. This is
+  the connector analog of PushedFilters.
+* **Offline by construction** — the "exchange" is the fixture lineitem
+  table (suppkey = ticker, daily decimal-exact mean price = close), so
+  tests never touch a network. A real deployment swaps ``_fetch_bars``
+  for the HTTP call; the Spark surface is unchanged.
+
+The per-partition read uses DuckDB (Arrow-native, vectorized) rather than
+row-at-a-time Python — the same engine the correctness oracle runs on,
+which makes the source's aggregation bit-identical to the oracle's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("ticker", StringType()),
+        StructField("ddate", DateType()),
+        StructField("price", DoubleType()),
+        StructField("qty", DoubleType()),
+    ]
+)
+
+
+def _fetch_bars(path: str, ticker: str, start: str | None, end: str | None):
+    """Worker-side per-ticker history fetch (the yfinance_client.fetch
+    analog), pushed down to a DuckDB scan of the parquet footprint."""
+    import duckdb
+
+    preds = [f"l_suppkey = {int(ticker)}"]
+    if start:
+        preds.append(f"l_shipdate >= TIMESTAMP '{start} 00:00:00'")
+    if end:
+        preds.append(f"l_shipdate <= TIMESTAMP '{end} 23:59:59'")
+    q = f"""
+        SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
+               CAST(l_shipdate AS DATE) AS ddate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS qty
+        FROM '{path}/lineitem.parquet'
+        WHERE {' AND '.join(preds)}
+        GROUP BY 1, 2
+    """
+    con = duckdb.connect()
+    try:
+        reader = con.execute(q).fetch_record_batch()
+        yield from reader
+    finally:
+        con.close()
+
+
+class _TickerPartition(InputPartition):
+    def __init__(self, ticker: str):
+        self.ticker = ticker
+
+
+class MarketReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("marketdata source requires option 'path'")
+        tickers = options.get("tickers", "")
+        self.tickers = [t.strip() for t in tickers.split(",") if t.strip()]
+        if not self.tickers:
+            raise ValueError("marketdata source requires option 'tickers'")
+        self.start = options.get("start")
+        self.end = options.get("end")
+
+    def partitions(self):
+        return [_TickerPartition(t) for t in self.tickers]
+
+    def read(self, partition: _TickerPartition):
+        # yielding Arrow RecordBatches keeps the transfer vectorized
+        yield from _fetch_bars(self.path, partition.ticker, self.start, self.end)
+
+
+class MarketDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "marketdata"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> MarketReader:
+        return MarketReader(self.options)

@@ -1,0 +1,56 @@
+"""S10 sink / write path (reference load stage: src/etl.py:38-39 writes the
+transformed frame to the configured store; settings.py:8's DB_URL intent).
+
+Spark-first equivalents:
+
+* ``write_partitioned`` — Hive-layout partitioned parquet. The partition
+  columns become directory keys, which is what makes later reads prunable:
+  a filter on a partition column never touches the other directories'
+  files (PartitionFilters in the scan, distinct from PushedFilters).
+* ``read_back`` — plain parquet read of a sink directory; partition-column
+  values are recovered from the directory names.
+
+100 TB notes:
+* Each task writes one file per (task, partition-key) pair, so a shuffled
+  upstream with many tasks × many keys explodes into millions of tiny
+  files. ``write_partitioned`` repartitions BY the partition columns first
+  — one task per key — which bounds output to one file per key. For keys
+  too big for one task, ``files_per_partition`` > 1 round-robins rows
+  across that many tasks instead (N files per key, all written in
+  parallel).
+* zstd over snappy: ~30% smaller at comparable scan speed — at 100 TB the
+  scan is IO-bound, so smaller IS faster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    files_per_partition: int = 1,
+) -> None:
+    out = df
+    if partition_by:
+        if files_per_partition > 1:
+            # round-robin across N tasks: every task sees every key, so the
+            # writer emits exactly N files per key — the salt-split for keys
+            # too large for a single task's file
+            out = df.repartition(files_per_partition)
+        else:
+            out = df.repartition(*partition_by)
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sink directory; partition columns come back from dir names."""
+    return spark.read.parquet(path)

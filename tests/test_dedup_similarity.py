@@ -35,7 +35,12 @@ def test_exact_dedup_counts_per_source(spark):
 
 
 def test_jaccard_pairs_exact_and_near(spark):
-    got = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    # max_df_frac=1.0: test pure Jaccard math (the df cutoff, which on a
+    # 5-doc corpus would drop any shingle shared by 3+ docs, has its own tests)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(_docs(spark), threshold=0.5, max_df_frac=1.0).collect()
+    }
     assert got[(0, 1)] == 1.0  # identical docs
     # doc0 vs doc2: 7 shingles each, 6 shared → J = 6/8 = 0.75
     assert got[(0, 2)] == pytest.approx(0.75)
@@ -89,3 +94,25 @@ def test_lsh_bucket_groups_identical_vectors(spark):
     got = {r.vec_id: r.bucket for r in lsh_bucket(df).collect()}
     assert got[0] == got[1]  # identical vectors always share a bucket
     assert got[0] != got[2]  # antipodal vectors flip every plane's sign
+
+
+def test_hot_shingle_df_cutoff_prevents_fanout(spark):
+    # 8 docs share a stop-phrase shingle but are otherwise unrelated: with
+    # the df cutoff the inverted-index self-join must produce NO pairs
+    # (each pair's only shared shingle is the hot one). Two real dups stay.
+    stop = "call now to subscribe"
+    docs = [(i, f"{stop} unique{i} extra{i} token{i} filler{i}", "s") for i in range(8)]
+    docs += [(100, "alpha beta gamma delta epsilon", "s"), (101, "alpha beta gamma delta epsilon", "s")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    pairs = jaccard_pairs(df, threshold=0.1, max_df_frac=0.5).collect()
+    got = sorted((r.doc_a, r.doc_b) for r in pairs)
+    assert got == [(100, 101)]
+
+
+def test_df_cutoff_disabled_keeps_hot_pairs(spark):
+    stop = "call now to subscribe"
+    docs = [(i, f"{stop} unique{i}", "s") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    # without the cutoff every pair shares the hot shingles -> 6 pairs appear
+    pairs = jaccard_pairs(df, threshold=0.1, max_df_frac=1.0).collect()
+    assert len(pairs) == 6

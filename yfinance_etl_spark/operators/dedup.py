@@ -27,8 +27,16 @@ from pyspark.sql import functions as F
 
 from yfinance_etl_spark.operators.text import fingerprint, word_shingles
 
-N_HASHES = 8
-BAND_ROWS = 2  # → 4 bands of 2 rows
+N_HASHES = 16
+BAND_ROWS = 4  # → 4 bands of 4 rows: S-curve midpoint (1/4)^(1/4) ≈ 0.707,
+# matched to the 0.7 verify threshold (pairs well below it rarely candidate,
+# pairs above it almost always do)
+
+#: shingles present in more than this fraction of the corpus are dropped
+#: before any self-join — a stop-phrase shingle in 10⁶ docs would otherwise
+#: fan the inverted-index join out to 10¹² rows. Dropping it loses almost no
+#: signal (a shingle shared by half the corpus identifies nothing).
+MAX_DF_FRAC = 0.5
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
@@ -48,9 +56,34 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """All doc pairs with word-3gram Jaccard ≥ threshold, via inverted index."""
+def _df_filtered_shingles(docs: DataFrame, max_df_frac: float) -> DataFrame:
+    """Inverted index with hot (stop-phrase) shingles removed.
+
+    The document-frequency cutoff is THE guard that keeps the shingle
+    self-join linear-ish at scale: join fan-out per shingle is df², so one
+    shingle with df=10⁶ costs 10¹² rows. Sizes downstream are computed on
+    this same filtered universe so Jaccard stays internally consistent.
+    No collect(): the corpus size joins in as a broadcast 1-row aggregate.
+    """
     sh = doc_shingles(docs)
+    if max_df_frac >= 1.0:
+        return sh
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .join(F.broadcast(n))
+        .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+        .select("doc_id", "shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_df_frac: float = MAX_DF_FRAC
+) -> DataFrame:
+    """All doc pairs with word-3gram Jaccard ≥ threshold, via inverted index
+    (hot shingles df-filtered first — see _df_filtered_shingles)."""
+    sh = _df_filtered_shingles(docs, max_df_frac)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -617,10 +617,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = f"""
 WITH {_SHINGLE_CTES},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+-- document-frequency cutoff: stop-phrase shingles (df > 50% of corpus) are
+-- dropped before the self-join, mirroring dedup._df_filtered_shingles
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfreq USING (shingle) CROSS JOIN total
+  WHERE df <= 0.5 * n_docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -643,13 +652,13 @@ _MINHASH_SQL = f"""
 WITH {_SHINGLE_CTES},
 minh AS (
   SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
-  SELECT doc_id, seed // 2 AS band_id, string_agg(mh, '|' ORDER BY seed) AS band_val
+  SELECT doc_id, seed // 4 AS band_id, string_agg(mh, '|' ORDER BY seed) AS band_val
   FROM minh
-  GROUP BY doc_id, seed // 2
+  GROUP BY doc_id, seed // 4
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands

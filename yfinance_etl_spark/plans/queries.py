@@ -1192,6 +1192,59 @@ def q_datasource_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# S5+F11+A13+P10 fund-metadata map ops: per-region nation revenue weights
+# built as map<nation,double>, exploded over the full region×nation grid
+# with fillna(0) and the sum-of-weights guard (streamlit_app.py:303-310)
+# ---------------------------------------------------------------------------
+
+_SECTOR_WEIGHTS_SQL = f"""
+WITH rev AS (
+  SELECT r_name AS region_name, n_name AS nation_name,
+         {S.dsum('o_totalprice')} AS nrev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (
+  SELECT region_name, {S.dsum('nrev')} AS rrev FROM rev GROUP BY 1
+),
+shares AS (
+  SELECT rev.region_name, nation_name, ROUND(nrev / rrev, 6) AS w
+  FROM rev JOIN reg ON rev.region_name = reg.region_name
+),
+tot AS (
+  SELECT region_name,
+         ROUND({S.dsum('w', S.STAT_SCALE)}, 6) AS region_total
+  FROM shares GROUP BY 1
+),
+grid AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name
+  FROM region r CROSS JOIN nation n
+)
+SELECT g.region_name, g.nation_name,
+       COALESCE(s.w, 0.0) AS weight,
+       t.region_total
+FROM grid g
+LEFT JOIN shares s ON s.region_name = g.region_name AND s.nation_name = g.nation_name
+JOIN tot t ON t.region_name = g.region_name
+"""
+
+
+@_register("sector_weights", _SECTOR_WEIGHTS_SQL)
+def q_sector_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.maps import sector_weights
+
+    return sector_weights(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

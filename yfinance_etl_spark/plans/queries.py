@@ -1245,6 +1245,112 @@ def q_sector_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# RAG pipeline (L3+L5+L7+L8, then F13+L4): chunk → hashed-bag-of-words
+# embed → cosine top-3 per question → stuffed prompt → mocked completion.
+# The oracle recomputes the ENTIRE pipeline (chunking, embedding, cosine,
+# ranking, prompt text) in DuckDB list SQL — even retrieval ranks match.
+# ---------------------------------------------------------------------------
+
+_HEXDIG = "['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']"
+
+
+def _embed_sql(col: str) -> str:
+    return (
+        f"list_transform(range(0, 16), d -> CAST(len(list_filter("
+        f"list_transform(list_filter(string_split({col}, ' '), t -> t != ''),"
+        f" t -> list_position({_HEXDIG}, substr(md5(t), 1, 1)) - 1),"
+        f" x -> x = d)) AS DOUBLE))"
+    )
+
+
+def _rag_ranked_ctes() -> str:
+    from yfinance_etl_spark.operators.rag import QUESTIONS
+
+    qvalues = ", ".join(f"({qid}, '{q}')" for qid, q in QUESTIONS)
+    return f"""
+c AS (
+  SELECT doc_id, text,
+         greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS chunk_id, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+  FROM c, unnest(range(0, n_chunks)) AS t(i)
+),
+emb AS (
+  SELECT doc_id, chunk_id, chunk, {_embed_sql('chunk')} AS emb FROM ch
+),
+qe AS (
+  SELECT qid, question, {_embed_sql('question')} AS q_emb
+  FROM (VALUES {qvalues}) AS q(qid, question)
+),
+scored AS (
+  SELECT qid, question, doc_id, chunk_id, chunk,
+         ROUND(list_sum(list_transform(range(1, 17), i -> q_emb[i] * emb[i]))
+           / (SQRT(list_sum(list_transform(range(1, 17), i -> q_emb[i] * q_emb[i])))
+            * SQRT(list_sum(list_transform(range(1, 17), i -> emb[i] * emb[i])))), 6) AS cos_sim
+  FROM emb CROSS JOIN qe
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, doc_id, chunk_id) AS rag_rank
+  FROM scored
+)"""
+
+
+def _rag_retrieval_sql() -> str:
+    return f"""
+WITH {_rag_ranked_ctes()}
+SELECT qid, question, doc_id, chunk_id, cos_sim, rag_rank
+FROM ranked WHERE rag_rank <= 3
+"""
+
+
+@_register("rag_retrieval", _rag_retrieval_sql())
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.rag import (
+        chunk_embeddings,
+        questions_df,
+        retrieve_topk,
+    )
+
+    chunks = chunk_embeddings(_t(spark, sf_dir, "documents"))
+    top = retrieve_topk(chunks, questions_df(spark), k=3)
+    return top.select("qid", "question", "doc_id", "chunk_id", "cos_sim", "rag_rank")
+
+
+def _rag_answers_sql() -> str:
+    return f"""
+WITH {_rag_ranked_ctes()},
+prompts AS (
+  SELECT qid, question, COUNT(*) AS n_ctx,
+         'Context:\n' || string_agg(chunk, '\n---\n' ORDER BY rag_rank)
+           || '\nQuestion: ' || question || '\nAnswer:' AS prompt
+  FROM ranked WHERE rag_rank <= 3
+  GROUP BY qid, question
+)
+SELECT qid, question, n_ctx,
+       length(prompt) AS prompt_len,
+       '[mock] ' || substr(prompt, 1, 40) || ' #' || CAST(length(prompt) AS VARCHAR) AS answer
+FROM prompts
+"""
+
+
+@_register("rag_answers", _rag_answers_sql())
+def q_rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.rag import (
+        answer,
+        chunk_embeddings,
+        questions_df,
+        retrieve_topk,
+    )
+
+    chunks = chunk_embeddings(_t(spark, sf_dir, "documents"))
+    top = retrieve_topk(chunks, questions_df(spark), k=3)
+    return answer(top).withColumn("prompt_len", F.col("prompt_len").cast("long"))
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -1,0 +1,107 @@
+"""Multimodal binary columns — opaque payload + typed metadata, decoded in
+Arrow batches (north-star extension; the reference's only binary medium is
+the PDF byte stream it parses driver-side, pdf_rag_chatbot.py:150-160).
+
+Convention: an asset row is
+
+    (doc_id, content: binary, meta: struct<kind,width,height,mime>)
+
+* ``content`` is opaque bytes — Spark never interprets it; at 100 TB the
+  payloads ride through shuffles/scans untouched and only the decode stage
+  reads them.
+* decode / feature-extract runs in ``mapInPandas`` — Arrow batches of
+  bytes into Python, columnar features out, schema declared up front. This
+  is THE pattern for plugging imaging/audio libs into the engine: swap the
+  payload parser below for PIL/librosa and the Spark plumbing (schema,
+  batching, partitioning) is unchanged.
+
+STUB NOTICE: this container ships no imaging/audio libraries, so the
+payload format is a deterministic fake (``IMG|<w>|<h>|<body>``) and
+``_decode_payload`` raises ``NotImplementedError`` for anything else.
+The *fake decode is still a real columnar pipeline* — the query over it is
+oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: declared output schema of the image feature extractor
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, n_bytes bigint, checksum int"
+)
+
+MAGIC = b"IMG|"
+
+
+def synthesize_image_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic fake image assets from the documents table: payload
+    ``IMG|<w>|<h>|<text>``, dimensions derived from doc_id. Stands in for a
+    ``spark.read.format('binaryFile')`` scan of real images."""
+    w = (F.lit(64) + F.col("doc_id") % 64).cast("int")
+    h = (F.lit(48) + F.col("doc_id") % 48).cast("int")
+    payload = F.concat_ws("|", F.lit("IMG"), w.cast("string"), h.cast("string"), F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.encode(payload, "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            w.alias("width"),
+            h.alias("height"),
+            F.lit("image/x-fake").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
+    """STUB decoder: parses the deterministic fake format. A real deployment
+    replaces this one function with e.g. ``PIL.Image.open(io.BytesIO(b))``."""
+    if not b.startswith(MAGIC):
+        raise NotImplementedError(
+            "real image decode needs an imaging library (not in this container); "
+            "payloads must be the deterministic IMG|w|h|body fake format"
+        )
+    _, w, h, body = b.split(b"|", 3)
+    return int(w), int(h), body
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched binary in,
+    columnar features out)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                b = bytes(content)
+                w, h, body = _decode_payload(b)
+                rows.append(
+                    (doc_id, meta["kind"], w, h, len(b), sum(body) % 256)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "width", "height", "n_bytes", "checksum"]
+            )
+
+    return assets.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling shape for video-like payloads: body split on NUL
+    markers, every Nth frame kept. Same mapInPandas plumbing as decode."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _, _, body = _decode_payload(bytes(content))
+                frames = body.split(b"\x00")
+                for i, fr in enumerate(frames):
+                    if i % every_n == 0:
+                        rows.append((doc_id, i, len(fr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "frame_bytes"])
+
+    return assets.mapInPandas(sample, "doc_id bigint, frame_id int, frame_bytes int")

@@ -1351,6 +1351,33 @@ def q_rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return answer(top).withColumn("prompt_len", F.col("prompt_len").cast("long"))
 
 
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + typed metadata → mapInPandas decode/feature
+# pipeline (stub decoder over a deterministic fake format; the Spark
+# plumbing — binary column, Arrow batches, declared schema — is real and
+# the oracle recomputes every feature from the payload definition)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'image' AS kind,
+       CAST(64 + doc_id % 64 AS INT) AS width,
+       CAST(48 + doc_id % 48 AS INT) AS height,
+       octet_length(encode('IMG|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|'
+                    || CAST(48 + doc_id % 48 AS VARCHAR) || '|' || text)) AS n_bytes,
+       CAST(list_sum(list_transform(regexp_split_to_array(text, ''), c -> ascii(c))) % 256 AS INT) AS checksum
+FROM documents
+"""
+
+
+@_register("multimodal_features", _MULTIMODAL_SQL)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import image_features, synthesize_image_assets
+
+    assets = synthesize_image_assets(_t(spark, sf_dir, "documents"))
+    return image_features(assets)
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -47,3 +47,23 @@ def test_missing_options_raise():
         MarketReader({"path": SF})
     with pytest.raises(ValueError, match="path"):
         MarketReader({"tickers": "1"})
+
+
+def test_newsfeed_pagination_and_pushdown(spark):
+    from yfinance_etl_spark.sources.rest import NewsFeedDataSource, NewsFeedReader
+
+    spark.dataSource.register(NewsFeedDataSource)
+    df = (
+        spark.read.format("newsfeed")
+        .option("path", SF)
+        .option("query", "fast")
+        .option("page_size", "7")
+        .option("max_pages", "2")
+        .load()
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 14
+    assert all("fast" in r.text for r in rows)
+    assert df.rdd.getNumPartitions() == 2  # one partition per page
+    with pytest.raises(ValueError, match="query"):
+        NewsFeedReader({"path": SF})

@@ -1378,6 +1378,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(assets)
 
 
+# ---------------------------------------------------------------------------
+# S6/S7 + L1: news-feed REST connector (paginated, query-pushdown) feeding
+# the sentiment scorer — the reference's fetch_news → TextBlob → bucket
+# pipeline (streamlit_app.py:464-481) as one lazy plan over the source
+# ---------------------------------------------------------------------------
+
+
+def _newsfeed_oracle() -> str:
+    from yfinance_etl_spark.operators.sentiment import oracle_score_sql
+
+    return f"""
+WITH page AS (
+  SELECT doc_id, lang, source, text
+  FROM documents
+  WHERE contains(text, 'fast')
+  ORDER BY doc_id
+  LIMIT 300
+)
+SELECT doc_id, lang, source,
+       CASE WHEN {oracle_score_sql('text')} > 0.1 THEN 'positive'
+            WHEN {oracle_score_sql('text')} < -0.1 THEN 'negative'
+            ELSE 'neutral' END AS bucket
+FROM page
+"""
+
+
+@_register("newsfeed_sentiment", _newsfeed_oracle())
+def q_newsfeed_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import sentiment_bucket
+    from yfinance_etl_spark.operators.sentiment import sentiment_score
+    from yfinance_etl_spark.sources.rest import NewsFeedDataSource
+
+    try:
+        spark.dataSource.register(NewsFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    feed = (
+        spark.read.format("newsfeed")
+        .option("path", sf_dir)
+        .option("query", "fast")
+        .option("page_size", "100")
+        .option("max_pages", "3")
+        .load()
+    )
+    return feed.select(
+        "doc_id", "lang", "source", sentiment_bucket(sentiment_score("text")).alias("bucket")
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

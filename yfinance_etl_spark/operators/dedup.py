@@ -103,30 +103,43 @@ def jaccard_pairs(
     )
 
 
+#: smallest prime above 2³² — modulus of the affine MinHash permutations
+H_PRIME = 4294967311
+
+
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_val): banded MinHash signatures.
 
-    minhash_s(doc) = min over shingles of md5('<s>:' || shingle); a band is
-    the '|'-join of its BAND_ROWS consecutive minima.
+    One 32-bit base hash per shingle (first 8 md5 hex chars), then the i-th
+    MinHash is min over shingles of the affine permutation
+    ``((2i+1)·h + i) mod H_PRIME`` — N_HASHES plain MIN aggregates in a
+    single doc_id shuffle. (The previous shape exploded every shingle
+    N_HASHES× and re-ran md5 per seed: 16× the shuffle rows and 16× the
+    hashing for the same signatures. max |a·h| < 2⁵·2³² ≪ 2⁶³, no overflow.)
+    A band is the '|'-join of its BAND_ROWS consecutive minima.
     """
     sh = doc_shingles(docs)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-    seeded = sh.select("doc_id", seeds, "shingle").withColumn(
-        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * h + F.lit(i)) % F.lit(H_PRIME)).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
     )
-    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return (
-        minh.withColumn("band_id", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                "|",
-            ).alias("band_val")
-        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)],
+                ).alias("band_val"),
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    return minh.select("doc_id", F.explode(bands).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val")
     )
 
 

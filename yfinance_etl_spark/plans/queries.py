@@ -648,17 +648,30 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+_MINHASH_MINS = ",\n         ".join(
+    f"MIN(((2 * {i} + 1) * h + {i}) % 4294967311) AS mh{i}" for i in range(16)
+)
+_MINHASH_BAND_CASE = " ".join(
+    "WHEN {b} THEN ".format(b=b)
+    + " || '|' || ".join(f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4))
+    for b in range(4)
+)
+
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
 minh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-  GROUP BY doc_id, seed
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, seed // 4 AS band_id, string_agg(mh, '|' ORDER BY seed) AS band_val
-  FROM minh
-  GROUP BY doc_id, seed // 4
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands

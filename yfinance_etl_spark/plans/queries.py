@@ -1440,6 +1440,32 @@ def q_newsfeed_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# S8 PDF text source: real binaryFile scan over staged fake PDFs →
+# mapInPandas page extraction (100-char pages). Oracle recomputes the
+# pages as substr windows straight from documents.
+# ---------------------------------------------------------------------------
+
+_PDF_SQL = """
+WITH d AS (
+  SELECT doc_id, text, CAST(CEIL(length(text) / 100.0) AS INT) AS n_pages
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(p AS INT) AS page_no,
+       substr(text, CAST(p * 100 + 1 AS INT), 100) AS page_text
+FROM d, unnest(range(0, greatest(n_pages, 1))) AS t(p)
+"""
+
+
+@_register("pdf_page_text", _PDF_SQL)
+def q_pdf_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.sources.pdf import read_pdf_pages, stage_fake_pdfs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    pdf_dir = stage_fake_pdfs(docs, key=sf_dir)
+    return read_pdf_pages(spark, pdf_dir)
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -1466,6 +1466,51 @@ def q_pdf_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pdf_pages(spark, pdf_dir)
 
 
+# ---------------------------------------------------------------------------
+# J5 (full form): broadcast lookup join WITH default-coalesce — the
+# reference's static peer-group map with a fallback list
+# (fund_comp2.py:967-977: SPY→[IVV,VTI,...], unknown→default). A tiny
+# literal lookup frame broadcast-left-joins the fact side; misses coalesce
+# to the default label.
+# ---------------------------------------------------------------------------
+
+_PEER_GROUPS = [
+    ("BUILDING", "construction-peers"),
+    ("AUTOMOBILE", "mobility-peers"),
+    ("MACHINERY", "industrial-peers"),
+]
+_PEER_DEFAULT = "general-peers"
+
+_PEER_LOOKUP_SQL = f"""
+WITH lookup(segment, peer_group) AS (
+  VALUES {', '.join(f"('{k}', '{v}')" for k, v in _PEER_GROUPS)}
+)
+SELECT COALESCE(l.peer_group, '{_PEER_DEFAULT}') AS peer_group,
+       COUNT(*) AS n_customers,
+       ROUND({S.dsum('c_acctbal')}, 2) AS sum_acctbal
+FROM customer c
+LEFT JOIN lookup l ON c.c_mktsegment = l.segment
+GROUP BY 1
+"""
+
+
+@_register("peer_group_lookup", _PEER_LOOKUP_SQL)
+def q_peer_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import coalesce_default
+
+    lookup = F.broadcast(
+        spark.createDataFrame(_PEER_GROUPS, "segment string, peer_group string")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    joined = cust.join(lookup, cust["c_mktsegment"] == lookup["segment"], "left")
+    return joined.groupBy(
+        coalesce_default("peer_group", _PEER_DEFAULT).alias("peer_group")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(dsum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

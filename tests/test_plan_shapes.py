@@ -1,0 +1,66 @@
+"""Physical-plan shape assertions: the scale properties the engine claims
+(pushdown, pruning, broadcast, bounded shuffles) hold in the actual plans.
+
+These guard against regressions Catalyst won't error on — a dropped
+broadcast hint or a filter that stops reaching the scan silently turns a
+100 TB-safe plan into a cluster-killer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from yfinance_etl_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must not read columns the query never touches
+    assert "l_suppkey" not in plan.split("ReadSchema")[1]
+
+
+def test_revenue_by_region_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sector_weights_broadcasts_dims(spark):
+    plan = _plan(spark, "sector_weights")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_bucketed_is_equi_join_not_cartesian(spark):
+    plan = _plan(spark, "ann_bucketed_topk")
+    # the LSH bucket is a real join key: no all-pairs product anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_risk_single_shuffle_chain(spark):
+    plan = _plan(spark, "flagship_risk")
+    # bars groupBy + final agg share the suppkey partitioning: at most the
+    # two expected exchanges (bars build, final agg), not one per stage
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"unexpected extra shuffles:\n{plan}"
+
+
+def test_window_queries_partition_by_key(spark):
+    for name in ("sma_min_periods", "cumulative_return", "uptrend_flags"):
+        plan = _plan(spark, name)
+        assert "partitionBy" not in plan or "suppkey" in plan
+        # a window without PARTITION BY would collapse to a single task
+        assert "Window [" in plan and "suppkey" in plan.split("Window [")[1][:400]
+
+
+def test_scalar_profile_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "scalar_profile")
+    assert "PushedFilters: [In(event_type" in plan

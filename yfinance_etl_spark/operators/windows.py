@@ -38,6 +38,11 @@ def daily_bars(
     ).agg(
         (dsum(value) / F.count(F.lit(1))).alias("price"),
         dsum("l_quantity").alias("qty"),
+        # carried so market-wide aggregates (the benchmark series) can be
+        # derived FROM the bars — one lineitem scan for the whole suite,
+        # not one per consumer
+        dsum(value).alias("vsum"),
+        F.count(F.lit(1)).alias("n_items"),
     )
 
 

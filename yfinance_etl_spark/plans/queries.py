@@ -436,14 +436,20 @@ FROM mom
 
 
 def _bench_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-weight market benchmark: mean price across all suppliers per day,
-    then daily returns — the ^GSPC analog (streamlit_app.py:281,426), fetched
-    once and broadcast instead of the reference's duplicate downloads."""
+    """Market benchmark: mean lineitem price per day, then daily returns —
+    the ^GSPC analog (streamlit_app.py:281,426). Derived FROM daily_bars
+    (decimal re-sum of per-bar sums) rather than re-scanning lineitem, so
+    the whole OLS query touches the fact table once and hits the shared
+    bars cache. The global orderBy window is a single task by design: the
+    series is one row per date (~thousands), post-aggregation, broadcast
+    after — at 100× it is the upstream agg that grows, not this."""
     from pyspark.sql import Window as SW
 
-    li = _t(spark, sf_dir, "lineitem")
-    bench = li.groupBy(F.col("l_shipdate").cast("date").alias("ddate")).agg(
-        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("bprice")
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    bench = bars.groupBy("ddate").agg(
+        (F.sum(F.col("vsum").cast("decimal(38,12)")).cast("double") / F.sum("n_items")).alias(
+            "bprice"
+        )
     )
     wb = SW.orderBy("ddate")
     return bench.withColumn("b", F.col("bprice") / F.lag("bprice", 1).over(wb) - 1).select(

@@ -25,7 +25,9 @@ BARS = f"""bars AS (
   SELECT l_suppkey AS suppkey,
          CAST(l_shipdate AS DATE) AS ddate,
          {dsum('l_extendedprice')} / COUNT(*) AS price,
-         {dsum('l_quantity')} AS qty
+         {dsum('l_quantity')} AS qty,
+         {dsum('l_extendedprice')} AS vsum,
+         COUNT(*) AS n_items
   FROM lineitem
   GROUP BY 1, 2
 )"""
@@ -37,13 +39,15 @@ RETS = """rets AS (
   FROM bars
 )"""
 
-#: market benchmark series: equal-weight mean price across ALL suppliers per day
-BENCH = f"""bench AS (
-  SELECT CAST(l_shipdate AS DATE) AS ddate,
-         {dsum('l_extendedprice')} / COUNT(*) AS bprice
-  FROM lineitem
+#: market benchmark series: value-weighted mean price across ALL suppliers per
+#: day, DERIVED FROM the bars CTE (decimal re-sum of the per-bar sums, so it
+#: is order-insensitive and needs no second lineitem scan)
+BENCH = """bench AS (
+  SELECT ddate,
+         CAST(SUM(CAST(vsum AS DECIMAL(38,12))) AS DOUBLE) / SUM(n_items) AS bprice
+  FROM bars
   GROUP BY 1
-)""" + """,
+),
 bench_rets AS (
   SELECT ddate, bprice / LAG(bprice) OVER (ORDER BY ddate) - 1 AS b
   FROM bench

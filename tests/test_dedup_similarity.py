@@ -116,3 +116,22 @@ def test_df_cutoff_disabled_keeps_hot_pairs(spark):
     # without the cutoff every pair shares the hot shingles -> 6 pairs appear
     pairs = jaccard_pairs(df, threshold=0.1, max_df_frac=1.0).collect()
     assert len(pairs) == 6
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from yfinance_etl_spark.operators.dedup import simhash_neardup, simhash_signatures
+
+    docs = _docs(spark)
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert 0 <= sigs[0] < (1 << 16)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup(docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_cosine_neardup_finds_exact_dup(spark):
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["dedup_embedding_cosine"].fn(spark, "/root/testdata/sf0.001")
+    pairs = {(r.doc_a, r.doc_b): r.cos_sim for r in out.collect()}
+    assert all(c >= 0.95 for c in pairs.values())

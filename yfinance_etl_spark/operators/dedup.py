@@ -143,6 +143,77 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16
+SIM_BANDS = 2  # 2 bands of 8 bits: candidates share at least one half
+HAMMING_MAX = 3
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over the shingle set.
+
+    Per shingle one 32-bit base hash; bit b of the signature is the sign of
+    the vote Σ(2·bit_b(h) − 1) over shingles. Like MinHash this is
+    N_BITS plain SUM aggregates in one doc_id shuffle — no row expansion.
+    Near-dup docs differ in few shingles → few vote flips → small Hamming
+    distance between signatures.
+    """
+    sh = doc_shingles(docs)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)),
+        F.lit(0),
+    )
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-dedup: Hamming-LSH banding (two 8-bit halves as join
+    keys — any pair within Hamming ≤ 8 shares a half with good probability,
+    identical halves are certain candidates), then exact Hamming verify.
+    Same cheap-filter → exact-verify shape as the MinHash path; the band
+    join key is what keeps this linear-ish at corpus scale."""
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), (F.col("simhash") % 256).alias("band_val")),
+                F.struct(
+                    F.lit(1).alias("band_id"), F.shiftright(F.col("simhash"), 8).alias("band_val")
+                ),
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.band_id", "bd.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Full near-dedup pipeline: LSH candidate pairs → exact Jaccard verify.
 

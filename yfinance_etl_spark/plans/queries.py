@@ -1517,6 +1517,108 @@ def q_peer_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup tier 4: SimHash near-dup (Hamming-LSH banding + exact verify)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+)
+_SIMHASH_SIG = " + ".join(f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+_SIMHASH_SQL = f"""
+WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, simhash, b AS band_id,
+         CASE WHEN b = 0 THEN simhash % 256 ELSE simhash // 256 END AS band_val
+  FROM sig, unnest([0, 1]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@_register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import simhash_neardup
+
+    return simhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 5: embedding-cosine near-dup — hashed-BoW embeddings bucketed
+# by 4-plane SimHash LSH (bucket = join key, no all-pairs), exact cosine
+# verify at 0.95 inside buckets only
+# ---------------------------------------------------------------------------
+
+
+def _embed_neardup_sql(n_planes: int = 4, threshold: float = 0.95) -> str:
+    sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, 17), i -> vec[i] * ({sign(p)}))) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+WITH emb AS (SELECT doc_id, {_embed_sql('text')} AS vec FROM documents),
+proj AS (
+  SELECT doc_id, vec,
+         {projs}
+  FROM emb
+),
+bkt AS (SELECT doc_id, vec, {bucket} AS bucket FROM proj),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(
+           list_sum(list_transform(range(1, 17), i -> a.vec[i] * b.vec[i]))
+           / (SQRT(list_sum(list_transform(range(1, 17), i -> a.vec[i] * a.vec[i])))
+            * SQRT(list_sum(list_transform(range(1, 17), i -> b.vec[i] * b.vec[i])))),
+           6) AS cos_sim
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+@_register("dedup_embedding_cosine", _embed_neardup_sql())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.rag import hash_embed
+    from yfinance_etl_spark.operators.similarity import cosine, lsh_bucket
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_embed("text").alias("embedding")
+    )
+    b = lsh_bucket(docs, n_planes=4).select("doc_id", "embedding", "bucket")
+    a_, b_ = b.alias("a"), b.alias("b")
+    pairs = a_.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        r6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.95)
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

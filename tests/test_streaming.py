@@ -80,3 +80,31 @@ def test_dedup_within_watermark_first_wins(events_dir, spark):
     # first-seen row kept for user 2's duplicated key
     u2 = [r for r in out if r.user_id == 2][0]
     assert u2.event_id == 4 and u2.value == 40.0
+
+
+def test_ema_state_carries_across_microbatches(spark, tmp_path):
+    # two files + maxFilesPerTrigger=1 → two micro-batches; the GroupState
+    # must carry (ema, n) so the final emission equals the full-series fold
+    import os
+    import time
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    rows1 = [(1, _ts(0, 0), 1, "click", 10.0, "{}"), (2, _ts(0, 1), 1, "click", 20.0, "{}")]
+    rows2 = [(3, _ts(0, 2), 1, "click", 30.0, "{}")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d + "/f1")
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(d + "/f2")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d + "/f1").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    out = ST.run_to_memory(ST.ema_stream(stream), "update").collect()
+    final = max((r for r in out if r.user_id == 1), key=lambda r: r.n_events)
+    # fold: 10 → 0.1*20+0.9*10=11 → 0.1*30+0.9*11=12.9
+    assert final.n_events == 3
+    assert final.ema_value == pytest.approx(12.9, abs=1e-12)
+    assert len(out) >= 2  # one emission per micro-batch that saw data

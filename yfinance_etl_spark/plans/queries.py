@@ -1106,6 +1106,24 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_to_memory(ST.session_rollup(ev), "complete")
 
 
+_STREAM_EMA_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ema_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@_register("stream_ema_stateful", _STREAM_EMA_SQL)
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    out = ST.run_to_memory(ST.ema_stream(ev), "update")
+    return out.select("user_id", "n_events", r6(F.col("ema_value")).alias("ema_value"))
+
+
 _STREAM_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events

@@ -133,6 +133,43 @@ def session_rollup(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     )
 
 
+def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Custom stateful streaming operator (the W5 EMA as a stream): per-key
+    exponential moving average maintained in ``applyInPandasWithState``.
+
+    This is the engine's template for stateful logic Spark's built-ins
+    can't express: Arrow-batched groups in, explicit GroupState carrying
+    (ema, count) across micro-batches, update-mode emission. On bounded
+    input the final state equals the batch EMA — which is what the DuckDB
+    ``list_reduce`` oracle checks. Rows fold in (ts, event_id) order so
+    the recursion is deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        ema, n = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            # 0.9 literal (not 1-alpha) so the fold is bit-identical to the
+            # oracle's lambda
+            ema = float(v) if ema is None else alpha * float(v) + 0.9 * ema
+        n += len(rows)
+        state.update((ema, n))
+        # no Python round() here: banker's rounding differs from SQL ROUND
+        # at .5 boundaries — callers round with F.round (HALF_UP, oracle-equal)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema_value": [ema]})
+
+    assert alpha == 0.1, "oracle lambda is specialized to alpha=0.1"
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, ema_value double",
+        "ema double, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
     """St5: stateful streaming dedup — first occurrence per key wins; state
     for a key is dropped once the watermark passes it (bounded state, the

@@ -135,3 +135,22 @@ def test_embedding_cosine_neardup_finds_exact_dup(spark):
     out = REGISTRY["dedup_embedding_cosine"].fn(spark, "/root/testdata/sf0.001")
     pairs = {(r.doc_a, r.doc_b): r.cos_sim for r in out.collect()}
     assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_ivf_assign_and_probe(spark):
+    from yfinance_etl_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _emb(spark)
+    assigned, cents = ivf_assign(emb, k_centroids=2)
+    lists = {r.vec_id: r.list_id for r in assigned.collect()}
+    # centroids are vec_id {0, 1}; vec 5 = [0.8, 0.3, ...] is closer to
+    # centroid 1 = [0.9, 0.1, ...] than to centroid 0 = [1, 0, ...]
+    assert lists[0] == 0 and lists[1] == 1
+    assert lists[5] == 1
+    assert lists[8] == 1  # antipode of 0: cos -1 vs 0, -0.99 vs 1 → list 1
+    top = ivf_topk(emb, k=2, k_centroids=2, n_probe=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append((r.knn_rank, r.neighbor_id))
+    # with n_probe=2 (all lists) results equal exact brute force for q=0
+    assert sorted(by_q[0]) == [(1, 1), (2, 5)]

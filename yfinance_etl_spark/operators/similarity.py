@@ -128,3 +128,69 @@ def ann_bucketed_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> D
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
     )
+
+
+def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids (the k_centroids
+    lowest vec_ids — a fixed 'training sample' both engines can name), each
+    vector assigned to its highest-cosine centroid (ties → lowest centroid
+    id). Returns (assignments, centroids).
+
+    At 100 TB the inverted list id is the partition key: vectors cluster
+    into k lists, a query touches n_probe of them, and the broadcast
+    centroid table is tiny by construction.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < k_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "vec", "cent_id", F.round(cosine(F.col("vec"), F.col("cent_vec")), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("list_id"))
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, k_centroids: int = 8, n_probe: int = 2
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its n_probe closest
+    centroids and scores exact cosine only inside those inverted lists —
+    corpus scanned per query ≈ n_probe/k_centroids."""
+    assigned, cents = ivf_assign(embeddings, k_centroids)
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    probe_scored = q.crossJoin(cents).select(
+        "q_id", "q_vec", "cent_id", F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = F.broadcast(
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_vec", F.col("cent_id").alias("list_id"))
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
+    )

@@ -1637,6 +1637,60 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= 0.95)
 
 
+# ---------------------------------------------------------------------------
+# L6 scale path #2: IVF ANN — deterministic coarse centroids, inverted-list
+# assignment, n_probe-list probing, exact cosine inside probed lists only
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb WHERE vec_id < 8),
+cs AS (
+  SELECT e.vec_id, e.vec, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.vec', 'c.cent_vec')}, 6) DESC, c.cent_id) AS rn
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, vec, cent_id AS list_id FROM cs WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
+ps AS (
+  SELECT q.q_id, q.q_vec, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cent_vec')}, 6) DESC, c.cent_id) AS rn
+  FROM q CROSS JOIN cents c
+),
+probes AS (SELECT q_id, q_vec, cent_id AS list_id FROM ps WHERE rn <= 2),
+scored AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         ROUND({_cos_sql('p.q_vec', 'a.vec')}, 6) AS cos_sim
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id != p.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@_register("ann_ivf_topk", _IVF_SQL)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, k_centroids=8, n_probe=2)
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from yfinance_etl_spark.catalog import load_table
 from yfinance_etl_spark.operators.dedup import doc_shingles
-from yfinance_etl_spark.operators.rag import chunk_embeddings
+from yfinance_etl_spark.operators.rag import chunk_embeddings, doc_embeddings
 from yfinance_etl_spark.operators.windows import daily_bars
 
 
@@ -32,6 +32,9 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         doc_shingles(load_table(spark, sf_dir, "documents")),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),
+        # whole-doc embeddings: computed on BOTH branches of the
+        # embedding-cosine dedup self-join unless cached
+        doc_embeddings(load_table(spark, sf_dir, "documents")),
     ]
     for df in cached:
         df.cache().count()  # materialize eagerly so queries only ever read memory

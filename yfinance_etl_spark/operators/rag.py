@@ -90,6 +90,12 @@ def mock_completion_udf(prompts: pd.Series) -> pd.Series:
     return prompts.map(lambda p: None if p is None else f"[mock] {p[:40]} #{len(p)}")
 
 
+def doc_embeddings(docs: DataFrame) -> DataFrame:
+    """Whole-document embeddings (doc_id, embedding) — shared by the
+    embedding-cosine dedup path; cached once per suite (cache.py)."""
+    return docs.select("doc_id", hash_embed("text").alias("embedding"))
+
+
 def chunk_embeddings(docs: DataFrame, size: int = 200, overlap: int = 50) -> DataFrame:
     """L3+L5: explode documents into chunks and embed each chunk."""
     return docs.select(

@@ -1618,21 +1618,47 @@ SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 
 @_register("dedup_embedding_cosine", _embed_neardup_sql())
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yfinance_etl_spark.operators.rag import hash_embed
-    from yfinance_etl_spark.operators.similarity import cosine, lsh_bucket
+    from functools import reduce
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", hash_embed("text").alias("embedding")
+    from yfinance_etl_spark.operators.rag import EMBED_DIM, doc_embeddings
+    from yfinance_etl_spark.operators.similarity import lsh_bucket
+
+    # fixed-width dot: unrolled arithmetic instead of an aggregate-HOF
+    # lambda — whole-stage-codegen-able, and bit-identical to the HOF fold
+    # (same left-to-right sum starting at 0.0)
+    def dot16(a, b):
+        return reduce(lambda acc, i: acc + a[i] * b[i], range(EMBED_DIM), F.lit(0.0))
+
+    docs = doc_embeddings(_t(spark, sf_dir, "documents"))
+    # norm hoisted per doc BEFORE the pair join: the in-bucket pair count is
+    # quadratic in bucket size, so per-pair work must be one dot product,
+    # not three (same expression dot/(na*nb), so oracle values are unchanged)
+    b = lsh_bucket(docs, n_planes=4).select(
+        "doc_id",
+        "embedding",
+        "bucket",
+        F.sqrt(dot16(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    b = lsh_bucket(docs, n_planes=4).select("doc_id", "embedding", "bucket")
-    a_, b_ = b.alias("a"), b.alias("b")
+    # 16 buckets = 16 join keys = at most 16 tasks for ~quadratic pair work,
+    # with the biggest bucket dominating. Blocked self-join salt: split side
+    # a into S sub-blocks by doc_id, replicate side b to every block — each
+    # pair still appears exactly once, parallelism rises to buckets × S.
+    # This is the 100 TB skew treatment, not a local-mode hack.
+    S = 8
+    a_ = b.withColumn("salt", (F.col("doc_id") % S).cast("int")).alias("a")
+    b_ = b.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))).alias("b")
     pairs = a_.join(
         b_,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        r6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
+        r6(
+            dot16(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.95)
 

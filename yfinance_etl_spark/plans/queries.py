@@ -1717,6 +1717,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, k_centroids=8, n_probe=2)
 
 
+# ---------------------------------------------------------------------------
+# SQL-text API surface: the same engine driven through spark.sql over the
+# registered views (catalog.register_views) — proves the catalog + ANSI
+# surface, not just the DataFrame DSL. Top-3 orders per priority (W8/O2 in
+# pure SQL); the oracle is character-for-character the same statement.
+# ---------------------------------------------------------------------------
+
+_SQL_TOPN_TEXT = """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 2) AS total_price,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+@_register("sql_top_orders_per_priority", _SQL_TOPN_TEXT)
+def q_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOPN_TEXT)
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

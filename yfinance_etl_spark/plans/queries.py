@@ -1124,6 +1124,41 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", r6(F.col("ema_value")).alias("ema_value"))
 
 
+# St1+S10 integration: stream → parquet sink (real checkpoint, exactly-once
+# file manifest) → batch read-back. The oracle aggregates the source
+# directly, so any loss/duplication in the streaming write breaks the match.
+_STREAM_SINK_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND({S.dsum('value', S.STAT_SCALE)}, 6) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("stream_parquet_sink_roundtrip", _STREAM_SINK_SQL)
+def q_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from yfinance_etl_spark.streaming import streams as ST
+
+    base = os.path.join(
+        tempfile.gettempdir(), "yfinance_etl_stream_sink", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ev = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_parquet(
+        ev.select("event_type", "value"), f"{base}/out", f"{base}/ckpt"
+    )
+    back = spark.read.parquet(f"{base}/out")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(dsum("value", STAT_SCALE)).alias("sum_value"),
+    )
+
+
 _STREAM_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events

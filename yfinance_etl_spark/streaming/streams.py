@@ -170,6 +170,22 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     )
 
 
+def run_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Execute a streaming plan to completion into a PARQUET sink with a
+    real checkpoint — the production write path (exactly-once via the
+    checkpoint's write-ahead offsets + file-sink manifest), in contrast to
+    the driver-side memory sink used for fixtures."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
     """St5: stateful streaming dedup — first occurrence per key wins; state
     for a key is dropped once the watermark passes it (bounded state, the

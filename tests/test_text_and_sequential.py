@@ -78,3 +78,32 @@ def test_ema_matches_pandas_ewm_long_series(spark):
     expected = pd.Series(prices).ewm(span=20, adjust=False).mean().iloc[-1]
     assert row.n_days == n
     assert row.last_ema == pytest.approx(round_half_away(float(expected), 4), abs=1e-12)
+
+
+def test_regex_tokens_bpe_ish(spark):
+    from yfinance_etl_spark.operators.text import regex_tokens
+
+    df = spark.createDataFrame([("hello, world42! x",)], "t string")
+    got = df.select(regex_tokens("t").alias("v")).collect()[0].v
+    assert got == ["hello", ",", "world", "42", "!", "x"]
+
+
+def test_rolling_hash_shift_invariance(spark):
+    from yfinance_etl_spark.operators.text import rolling_hashes
+
+    # a one-char prefix edit changes only the first k window hashes; the
+    # tail hashes are identical (the property md5 fingerprints lack)
+    df = spark.createDataFrame(
+        [("abcdefghijklmnop",), ("Xbcdefghijklmnop",)], "t string"
+    )
+    h1, h2 = [r.v for r in df.select(rolling_hashes("t").alias("v")).collect()]
+    assert len(h1) == len(h2) == 9
+    assert h1[0] != h2[0]
+    assert h1[1:] == h2[1:]
+
+
+def test_rolling_hash_short_text_empty(spark):
+    from yfinance_etl_spark.operators.text import rolling_hashes
+
+    df = spark.createDataFrame([("short",)], "t string")
+    assert df.select(rolling_hashes("t").alias("v")).collect()[0].v == []

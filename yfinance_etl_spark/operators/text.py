@@ -96,3 +96,41 @@ def chunk_text(text: Column | str, size: int = 800, overlap: int = 100) -> Colum
             F.substring(text, (i * stride + 1).cast("int"), size).alias("chunk"),
         ),
     )
+
+
+def regex_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the GPT-2 pre-tokenizer shape,
+    minus unicode categories). Catalyst regexp_extract_all — JVM-side."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+#: rolling-hash parameters (Karp-Rabin): p fits every gram hash in int64
+RH_K = 8
+RH_BASE = 31
+RH_MOD = 1_000_000_007
+
+
+def rolling_hashes(text: Column | str, k: int = RH_K) -> Column:
+    """Karp-Rabin k-gram hash sequence: h_i = (Σ_j ascii(c_{i+j})·B^j) mod p
+    for every character window. The min over windows is a winnowing-style
+    document fingerprint robust to content shifts (unlike the whole-doc
+    md5, a one-char edit changes only k of the window hashes).
+
+    The inner sum is unrolled over the fixed k — plain codegen arithmetic,
+    no nested lambda. Exact int64: max Σ < 255·31⁷·8 ≪ 2⁶³.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    n_windows = F.length(text) - (k - 1)
+
+    def gram(i):
+        h = F.ascii(text.substr(i, F.lit(1))).cast("long")
+        for j in range(1, k):
+            h = h + F.ascii(text.substr(i + F.lit(j), F.lit(1))).cast("long") * (RH_BASE**j)
+        return h % RH_MOD
+
+    return F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(1), n_windows), lambda i: gram(i)),
+    ).otherwise(F.array().cast("array<long>"))

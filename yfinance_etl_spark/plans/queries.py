@@ -1781,6 +1781,86 @@ def q_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_TOPN_TEXT)
 
 
+# ---------------------------------------------------------------------------
+# Token counting (whitespace AND BPE-ish regex) + rolling-hash (Karp-Rabin)
+# document fingerprinting — training-data-pipeline text ops
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         x -> x != '')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+       ROUND({S.davg('ws_tokens', S.STAT_SCALE)}, 6) AS avg_ws_tokens,
+       ROUND({S.davg('re_tokens', S.STAT_SCALE)}, 6) AS avg_re_tokens
+FROM t GROUP BY lang
+"""
+
+
+@_register("token_stats", _TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import regex_tokens, tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("ws_tokens"),
+        F.size(regex_tokens("text")).alias("re_tokens"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("re_tokens").cast("long").alias("total_re_tokens"),
+        r6(davg("ws_tokens", STAT_SCALE)).alias("avg_ws_tokens"),
+        r6(davg("re_tokens", STAT_SCALE)).alias("avg_re_tokens"),
+    )
+
+
+_ROLLING_FP_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8 THEN
+           list_transform(range(1, length(text) - 6),
+             i -> (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                 + CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 31
+                 + CAST(ascii(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+                 + CAST(ascii(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 29791
+                 + CAST(ascii(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT) * 923521
+                 + CAST(ascii(substr(text, CAST(i + 5 AS INT), 1)) AS BIGINT) * 28629151
+                 + CAST(ascii(substr(text, CAST(i + 6 AS INT), 1)) AS BIGINT) * 887503681
+                 + CAST(ascii(substr(text, CAST(i + 7 AS INT), 1)) AS BIGINT) * 27512614111) % 1000000007)
+         ELSE [] END AS hashes
+  FROM documents
+)
+SELECT doc_id,
+       len(hashes) AS n_grams,
+       CAST(list_min(hashes) AS BIGINT) AS min_hash,
+       CAST(len(list_distinct(hashes)) AS BIGINT) AS n_distinct
+FROM h WHERE len(hashes) > 0
+"""
+
+
+@_register("rolling_fingerprint", _ROLLING_FP_SQL)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import rolling_hashes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hashes("text").alias("hashes")
+    )
+    return docs.filter(F.size("hashes") > 0).select(
+        "doc_id",
+        F.size("hashes").cast("long").alias("n_grams"),
+        F.array_min("hashes").alias("min_hash"),
+        F.size(F.array_distinct("hashes")).cast("long").alias("n_distinct"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

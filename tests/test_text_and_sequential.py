@@ -107,3 +107,15 @@ def test_rolling_hash_short_text_empty(spark):
 
     df = spark.createDataFrame([("short",)], "t string")
     assert df.select(rolling_hashes("t").alias("v")).collect()[0].v == []
+
+
+def test_rolling_hash_udf_matches_hof(spark):
+    from yfinance_etl_spark.operators.text import rolling_hashes, rolling_hashes_udf
+
+    texts = ["abcdefghijklmnop", "hello world this is a test", "short", "x" * 100]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        rolling_hashes("t").alias("hof"), rolling_hashes_udf("t").alias("udf")
+    ).collect()
+    for r in rows:
+        assert r.hof == r.udf

@@ -2,17 +2,20 @@
 the ops a large-scale training-data pipeline needs — quality scoring, token
 counting, language-ID heuristic, fingerprinting).
 
-All pure Catalyst expressions (split / higher-order functions / regexp) —
-JVM-side, no UDFs, so they run inside whole-stage codegen and scale linearly
-with a parquet scan. The RAG-chunking analog of the reference
-(pdf_rag_chatbot.py:218, 800-char chunks / 100 overlap) lives here too as a
-HOF explode, not a UDTF.
+Pure Catalyst expressions (split / higher-order functions / regexp) —
+JVM-side, codegen-friendly, scaling linearly with a parquet scan. The one
+exception is ``rolling_hashes_udf``, the Arrow-vectorized twin of the
+Catalyst ``rolling_hashes`` for the compute-dense fingerprint path. The
+RAG-chunking analog of the reference (pdf_rag_chatbot.py:218, 800-char
+chunks / 100 overlap) lives here too as a HOF explode, not a UDTF.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 #: tiny deterministic english marker list for the lang-ID heuristic
 EN_MARKERS = ("the", "a", "of", "and", "to", "is", "in")
@@ -134,3 +137,27 @@ def rolling_hashes(text: Column | str, k: int = RH_K) -> Column:
         n_windows >= 1,
         F.transform(F.sequence(F.lit(1), n_windows), lambda i: gram(i)),
     ).otherwise(F.array().cast("array<long>"))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def rolling_hashes_udf(texts: pd.Series) -> pd.Series:
+    """Arrow pandas-UDF twin of ``rolling_hashes`` (unit-tested equal):
+    the k-gram hash sequence as one vectorized ``np.correlate`` per doc.
+    The Catalyst version defines the semantics; this is the throughput
+    path — per-window interpreted-lambda evaluation costs ~10µs/window,
+    the correlation costs nanoseconds."""
+    import numpy as np
+
+    kernel = np.array([RH_BASE**j for j in range(RH_K)], dtype=np.int64)
+
+    def hashes(t):
+        if t is None:
+            return None
+        codes = np.array([ord(c) for c in t], dtype=np.int64)
+        if len(codes) < RH_K:
+            return []
+        # correlate (unlike convolve) does NOT flip the kernel:
+        # out[i] = Σ_j codes[i+j]·kernel[j], exactly h_i in window order
+        return (np.correlate(codes, kernel, "valid") % RH_MOD).tolist()
+
+    return texts.map(hashes)

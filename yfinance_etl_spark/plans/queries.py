@@ -1848,10 +1848,10 @@ FROM h WHERE len(hashes) > 0
 
 @_register("rolling_fingerprint", _ROLLING_FP_SQL)
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yfinance_etl_spark.operators.text import rolling_hashes
+    from yfinance_etl_spark.operators.text import rolling_hashes_udf
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", rolling_hashes("text").alias("hashes")
+        "doc_id", rolling_hashes_udf("text").alias("hashes")
     )
     return docs.filter(F.size("hashes") > 0).select(
         "doc_id",

@@ -154,3 +154,18 @@ def test_ivf_assign_and_probe(spark):
         by_q.setdefault(r.q_id, []).append((r.knn_rank, r.neighbor_id))
     # with n_probe=2 (all lists) results equal exact brute force for q=0
     assert sorted(by_q[0]) == [(1, 1), (2, 5)]
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    from yfinance_etl_spark.operators.similarity import (
+        ann_bucketed_topk,
+        ann_multiprobe_topk,
+        knn_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()}
+    single = {(r.q_id, r.neighbor_id) for r in ann_bucketed_topk(emb, k=5).collect()}
+    multi = {(r.q_id, r.neighbor_id) for r in ann_multiprobe_topk(emb, k=5).collect()}
+    # probing strictly more buckets can only improve recall vs brute force
+    assert len(multi & exact) >= len(single & exact)

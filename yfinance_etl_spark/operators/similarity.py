@@ -194,3 +194,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
     )
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame, k: int = 5, n_planes: int = 6
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query scores its own bucket PLUS every
+    bucket at Hamming distance 1 (one plane's sign flipped) — n_planes+1
+    probes. Near neighbors that landed just across one hyperplane (the
+    dominant LSH miss mode) are recovered at (n_planes+1)/2^n_planes of
+    the corpus per query instead of a full rescan. A corpus vector matches
+    at most one probe, so no dedup is needed before ranking."""
+    b = lsh_bucket(embeddings, n_planes).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.explode(probes).alias("probe_bucket"),
+        )
+    )
+    scored = (
+        b.join(q, F.col("bucket") == F.col("probe_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
+    )

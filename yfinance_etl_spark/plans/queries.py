@@ -1745,6 +1745,49 @@ SELECT q_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 5
 """
 
 
+def _multiprobe_oracle(n_planes: int = 6) -> str:
+    sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+    probe_list = "[bucket, " + ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes)) + "]"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+proj AS (
+  SELECT vec_id, vec,
+         {projs}
+  FROM emb
+),
+bkt AS (SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS bucket FROM proj),
+q AS (
+  SELECT vec_id AS q_id, vec AS q_vec, pb AS probe_bucket
+  FROM bkt, unnest({probe_list}) AS t(pb)
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, b.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.q_vec', 'b.vec')}, 6) AS cos_sim
+  FROM bkt b JOIN q ON b.bucket = q.probe_bucket
+  WHERE b.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@_register("ann_multiprobe_topk", _multiprobe_oracle())
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import ann_multiprobe_topk
+
+    return ann_multiprobe_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
+
+
 @_register("ann_ivf_topk", _IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.similarity import ivf_topk

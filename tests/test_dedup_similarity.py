@@ -124,7 +124,7 @@ def test_simhash_identical_docs_hamming_zero(spark):
     docs = _docs(spark)
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]  # identical text -> identical signature
-    assert 0 <= sigs[0] < (1 << 16)
+    assert 0 <= sigs[0] < (1 << 32)
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup(docs).collect()}
     assert pairs[(0, 1)] == 0
 

@@ -30,15 +30,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ns_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
+    """TIMESTAMP(NANOS) read as long (legacy.parquet.nanosAsLong) → µs
+    timestamp. Integer div, not /: ns-since-epoch (~1.7e18) overflows
+    double's 53-bit mantissa. Truncation matches DuckDB's ns→µs read.
+    The ONE conversion rule — batch (load_table) and streaming
+    (streams.read_events_stream) must share it or they silently diverge.
+    """
+    if isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) read as long (legacy.parquet.nanosAsLong) → µs
-        # timestamp. Integer div, not /: ns-since-epoch (~1.7e18) overflows
-        # double's 53-bit mantissa. Truncation matches DuckDB's ns→µs read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = ns_ts_to_micros(df)
     return df
 
 

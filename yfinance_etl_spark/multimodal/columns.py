@@ -44,7 +44,10 @@ def synthesize_image_assets(docs: DataFrame) -> DataFrame:
     ``spark.read.format('binaryFile')`` scan of real images."""
     w = (F.lit(64) + F.col("doc_id") % 64).cast("int")
     h = (F.lit(48) + F.col("doc_id") % 48).cast("int")
-    payload = F.concat_ws("|", F.lit("IMG"), w.cast("string"), h.cast("string"), F.col("text"))
+    # coalesce: concat_ws silently DROPS null args, which would emit a
+    # 3-field payload and break the 4-field decode contract
+    body = F.coalesce(F.col("text"), F.lit(""))
+    payload = F.concat_ws("|", F.lit("IMG"), w.cast("string"), h.cast("string"), body)
     return docs.select(
         "doc_id",
         F.encode(payload, "UTF-8").alias("content"),
@@ -79,9 +82,10 @@ def image_features(assets: DataFrame) -> DataFrame:
             for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
                 b = bytes(content)
                 w, h, body = _decode_payload(b)
-                rows.append(
-                    (doc_id, meta["kind"], w, h, len(b), sum(body) % 256)
-                )
+                # checksum over CODEPOINTS (not UTF-8 bytes): matches the
+                # oracle's per-character ascii() on non-ASCII text too
+                csum = sum(ord(c) for c in body.decode("utf-8")) % 256
+                rows.append((doc_id, meta["kind"], w, h, len(b), csum))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "kind", "width", "height", "n_bytes", "checksum"]
             )

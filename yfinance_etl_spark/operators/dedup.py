@@ -143,8 +143,8 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 16
-SIM_BANDS = 2  # 2 bands of 8 bits: candidates share at least one half
+SIMHASH_BITS = 32
+SIM_BANDS = 4  # 4 bands of 8 bits — see simhash_neardup's pigeonhole note
 HAMMING_MAX = 3
 
 
@@ -173,21 +173,28 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_neardup(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """SimHash near-dedup: Hamming-LSH banding (two 8-bit halves as join
-    keys — any pair within Hamming ≤ 8 shares a half with good probability,
-    identical halves are certain candidates), then exact Hamming verify.
-    Same cheap-filter → exact-verify shape as the MinHash path; the band
-    join key is what keeps this linear-ish at corpus scale."""
+    """SimHash near-dedup: Hamming-LSH banding into FOUR 8-bit bands of the
+    32-bit signature, then exact Hamming verify on candidates. Pigeonhole
+    guarantee: a pair within Hamming ≤ 3 has its differing bits in at most
+    3 of the 4 bands, so at least one band matches exactly — recall at the
+    hamming_max=3 threshold is 1.0 by construction, not probabilistic.
+    (Fewer, wider bands would deterministically miss pairs whose differing
+    bits span every band.) Same cheap-filter → exact-verify shape as the
+    MinHash path; the band join key is what keeps this linear-ish at
+    corpus scale."""
     sig = simhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band_id"), (F.col("simhash") % 256).alias("band_val")),
-                F.struct(
-                    F.lit(1).alias("band_id"), F.shiftright(F.col("simhash"), 8).alias("band_val")
-                ),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
             )
         ).alias("bd"),
     ).select("doc_id", "simhash", "bd.band_id", "bd.band_val")

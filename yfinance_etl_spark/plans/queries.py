@@ -832,29 +832,46 @@ def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ann_oracle(n_planes: int = 6) -> str:
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the ONE cosine
+    text every vector oracle uses (mirrors similarity.cosine)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+def _lsh_ctes(n_planes: int, source: str, id_col: str = "vec_id") -> str:
+    """Shared CTE text for the deterministic-hyperplane bucketing every
+    LSH oracle uses (mirrors similarity.lsh_bucket: plane p reads bit p of
+    the dimension index). One builder, so the sign convention cannot drift
+    between the bucketed-ANN, multi-probe, and embedding-dedup oracles."""
     sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
     projs = ",\n         ".join(
         f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"
         for p in range(n_planes)
     )
     bucket = " + ".join(f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
-    return f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    return f"""emb AS ({source}),
 proj AS (
-  SELECT vec_id, vec,
+  SELECT {id_col}, vec,
          {projs}
   FROM emb
 ),
-bkt AS (SELECT vec_id, vec, {bucket} AS bucket FROM proj),
+bkt AS (SELECT {id_col}, vec, CAST({bucket} AS BIGINT) AS bucket FROM proj)"""
+
+
+_EMB_SOURCE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings"
+
+
+def _ann_oracle(n_planes: int = 6) -> str:
+    return f"""
+WITH {_lsh_ctes(n_planes, _EMB_SOURCE)},
 q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket FROM bkt WHERE vec_id < 5),
 scored AS (
   SELECT q.q_id, b.vec_id AS neighbor_id,
-         ROUND(
-           list_sum(list_transform(range(1, len(b.vec) + 1), i -> q.q_vec[i] * b.vec[i]))
-           / (SQRT(list_sum(list_transform(range(1, len(q.q_vec) + 1), i -> q.q_vec[i] * q.q_vec[i])))
-            * SQRT(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))),
-           6) AS cos_sim
+         ROUND({_cos_sql('q.q_vec', 'b.vec')}, 6) AS cos_sim
   FROM bkt b JOIN q ON b.bucket = q.q_bucket
   WHERE b.vec_id != q.q_id
 ),
@@ -1121,7 +1138,15 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = ST.read_events_stream(spark, sf_dir)
     out = ST.run_to_memory(ST.ema_stream(ev), "update")
-    return out.select("user_id", "n_events", r6(F.col("ema_value")).alias("ema_value"))
+    # update mode emits one row per (key, micro-batch); keep only the FINAL
+    # state per key (n_events strictly increases, so max-by-struct picks it)
+    # — without this, any multi-batch execution would duplicate keys
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ema_value")).alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n_events").alias("n_events"), r6(F.col("s.ema_value")).alias("ema_value")
+    )
 
 
 # St1+S10 integration: stream → parquet sink (real checkpoint, exactly-once
@@ -1137,17 +1162,10 @@ GROUP BY event_type
 
 @_register("stream_parquet_sink_roundtrip", _STREAM_SINK_SQL)
 def q_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    from yfinance_etl_spark.scratch import scratch_dir
     from yfinance_etl_spark.streaming import streams as ST
 
-    base = os.path.join(
-        tempfile.gettempdir(), "yfinance_etl_stream_sink", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("yfinance_etl_stream_sink", sf_dir, fresh=True)
     ev = ST.read_events_stream(spark, sf_dir)
     ST.run_to_parquet(
         ev.select("event_type", "value"), f"{base}/out", f"{base}/ckpt"
@@ -1174,9 +1192,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ST.run_to_memory(
         ST.dedup_within_watermark(ev, ["user_id", "event_type"]), "append"
     )
-    # dedup emits one arbitrary first-seen row per key; aggregate to the
-    # order-insensitive invariant (distinct users per type) for the oracle
-    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    # dedup emits one arbitrary first-seen row per key — and, in a
+    # multi-batch run, MAY re-emit a key whose state the watermark already
+    # evicted. countDistinct (not count) keeps the oracle comparison
+    # correct under both executions.
+    return deduped.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1199,18 +1221,12 @@ GROUP BY o_orderpriority, month
 
 @_register("sink_roundtrip", _SINK_SQL)
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import tempfile
 
+    from yfinance_etl_spark.scratch import scratch_dir
     from yfinance_etl_spark.sources.sink import read_back, write_partitioned
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "yfinance_etl_sink",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-        "orders",
-    )
+    out = os.path.join(scratch_dir("yfinance_etl_sink", sf_dir), "orders")
     write_partitioned(_t(spark, sf_dir, "orders"), out, partition_by=("o_orderpriority",))
     back = read_back(spark, out).filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")  # partition-pruned scan
@@ -1437,7 +1453,7 @@ SELECT doc_id,
        CAST(48 + doc_id % 48 AS INT) AS height,
        octet_length(encode('IMG|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|'
                     || CAST(48 + doc_id % 48 AS VARCHAR) || '|' || text)) AS n_bytes,
-       CAST(list_sum(list_transform(regexp_split_to_array(text, ''), c -> ascii(c))) % 256 AS INT) AS checksum
+       CAST(COALESCE(list_sum(list_transform(regexp_split_to_array(text, ''), c -> ascii(c))), 0) % 256 AS INT) AS checksum
 FROM documents
 """
 
@@ -1575,9 +1591,9 @@ def q_peer_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIMHASH_VOTES = ",\n         ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
 )
-_SIMHASH_SIG = " + ".join(f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+_SIMHASH_SIG = " + ".join(f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
 
 _SIMHASH_SQL = f"""
 WITH {_SHINGLE_CTES},
@@ -1591,9 +1607,8 @@ votes AS (
 ),
 sig AS (SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes),
 bands AS (
-  SELECT doc_id, simhash, b AS band_id,
-         CASE WHEN b = 0 THEN simhash % 256 ELSE simhash // 256 END AS band_val
-  FROM sig, unnest([0, 1]) AS t(b)
+  SELECT doc_id, simhash, b AS band_id, (simhash >> (8 * b)) & 255 AS band_val
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1622,29 +1637,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_neardup_sql(n_planes: int = 4, threshold: float = 0.95) -> str:
-    sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
-    projs = ",\n         ".join(
-        f"list_sum(list_transform(range(1, 17), i -> vec[i] * ({sign(p)}))) AS proj{p}"
-        for p in range(n_planes)
-    )
-    bucket = " + ".join(
-        f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
-    )
+    doc_source = f"SELECT doc_id, {_embed_sql('text')} AS vec FROM documents"
     return f"""
-WITH emb AS (SELECT doc_id, {_embed_sql('text')} AS vec FROM documents),
-proj AS (
-  SELECT doc_id, vec,
-         {projs}
-  FROM emb
-),
-bkt AS (SELECT doc_id, vec, {bucket} AS bucket FROM proj),
+WITH {_lsh_ctes(n_planes, doc_source, id_col='doc_id')},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(
-           list_sum(list_transform(range(1, 17), i -> a.vec[i] * b.vec[i]))
-           / (SQRT(list_sum(list_transform(range(1, 17), i -> a.vec[i] * a.vec[i])))
-            * SQRT(list_sum(list_transform(range(1, 17), i -> b.vec[i] * b.vec[i])))),
-           6) AS cos_sim
+         ROUND({_cos_sql('a.vec', 'b.vec')}, 6) AS cos_sim
   FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
@@ -1704,16 +1702,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
-        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
-        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
-    )
-
-
 _IVF_SQL = f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+WITH emb AS ({_EMB_SOURCE}),
 cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb WHERE vec_id < 8),
 cs AS (
   SELECT e.vec_id, e.vec, c.cent_id,
@@ -1746,21 +1736,9 @@ SELECT q_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 5
 
 
 def _multiprobe_oracle(n_planes: int = 6) -> str:
-    sign = lambda p: f"CASE WHEN ((i - 1) >> {p}) & 1 = 0 THEN 1.0 ELSE -1.0 END"  # noqa: E731
-    projs = ",\n         ".join(
-        f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"
-        for p in range(n_planes)
-    )
-    bucket = " + ".join(f"(CASE WHEN proj{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
     probe_list = "[bucket, " + ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes)) + "]"
     return f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-proj AS (
-  SELECT vec_id, vec,
-         {projs}
-  FROM emb
-),
-bkt AS (SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS bucket FROM proj),
+WITH {_lsh_ctes(n_planes, _EMB_SOURCE)},
 q AS (
   SELECT vec_id AS q_id, vec AS q_vec, pb AS probe_bucket
   FROM bkt, unnest({probe_list}) AS t(pb)

@@ -15,13 +15,13 @@ Arrow-batched extraction plumbing are production-real.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from yfinance_etl_spark.scratch import is_staged, mark_staged, scratch_dir
 
 MAGIC = b"PDF|"
 PAGE_CHARS = 100
@@ -34,15 +34,13 @@ def stage_fake_pdfs(docs, key: str) -> str:
     binaryFile source has something to scan (production storage already has
     the files; this stands in for it). Driver-side by design — it is test
     fixture synthesis, not a query path."""
-    d = os.path.join(
-        tempfile.gettempdir(), "yfinance_etl_pdf", hashlib.md5(key.encode()).hexdigest()[:12]
-    )
-    if os.path.isdir(d) and os.listdir(d):
+    d = scratch_dir("yfinance_etl_pdf", key)
+    if is_staged(d):  # completeness marker — a partial/crashed staging is redone
         return d
-    os.makedirs(d, exist_ok=True)
     for row in docs.select("doc_id", "text").toLocalIterator():
         with open(os.path.join(d, f"doc_{row.doc_id}.pdf"), "wb") as f:
             f.write(MAGIC + str(row.doc_id).encode() + b"|" + row.text.encode())
+    mark_staged(d)
     return d
 
 

@@ -44,7 +44,14 @@ SCHEMA = StructType(
 
 def _fetch_page(path: str, query: str, page: int, page_size: int):
     """Worker-side page fetch (the ``requests.get(..., page=N)`` analog),
-    pushed down to a DuckDB scan with LIMIT/OFFSET."""
+    pushed down to a DuckDB scan with LIMIT/OFFSET.
+
+    Scale note: OFFSET pagination re-evaluates the filtered scan per page —
+    O(pages × corpus) in this OFFLINE emulation, where this source IS the
+    server. In the real deployment the HTTP endpoint bears that cost and
+    each partition only downloads its page; if the backing store is local
+    at scale, switch to keyset pagination (WHERE doc_id > :last) or range
+    partitioning instead."""
     import duckdb
 
     q = f"""

@@ -26,16 +26,15 @@ Scale notes (1000-executor reality, not local[32]):
 
 from __future__ import annotations
 
-import hashlib
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
+from yfinance_etl_spark.catalog import ns_ts_to_micros
 from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
+from yfinance_etl_spark.scratch import scratch_dir
 
 _uid = itertools.count()
 
@@ -44,10 +43,7 @@ def _stage_dir(path: str) -> str:
     """The file-stream source monitors a DIRECTORY; the fixture table is a
     bare parquet file. Stage it behind a symlink in a scratch dir (a real
     deployment points the source at the landing directory itself)."""
-    d = os.path.join(
-        tempfile.gettempdir(), "yfinance_etl_stream", hashlib.md5(path.encode()).hexdigest()[:12]
-    )
-    os.makedirs(d, exist_ok=True)
+    d = scratch_dir("yfinance_etl_stream", path)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.exists(link):
         os.symlink(path, link)
@@ -65,10 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     src = path if os.path.isdir(path) else _stage_dir(path)
-    stream = spark.readStream.schema(schema).parquet(src)
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return ns_ts_to_micros(spark.readStream.schema(schema).parquet(src))
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:

@@ -64,3 +64,12 @@ def test_window_queries_partition_by_key(spark):
 def test_scalar_profile_filter_pushed_to_scan(spark):
     plan = _plan(spark, "scalar_profile")
     assert "PushedFilters: [In(event_type" in plan
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    plan = _plan(spark, "bucketed_join_revenue")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # the ONLY hash exchange is the final mktsegment aggregation — the join
+    # itself rides the write-time bucketing, no shuffle on either input
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1882,6 +1882,60 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: orders and customer bucketed by custkey at
+# write time join WITHOUT a shuffle (no Exchange above either scan — see
+# tests/test_plan_shapes.py). The 100 TB repeat-join amortization pattern.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders/customer as custkey-bucketed tables (idempotent
+    per sf_dir within a session; the write is the ingest-time cost the
+    shuffle-free join amortizes)."""
+    import hashlib
+    import os
+    import shutil
+
+    from yfinance_etl_spark.sources.sink import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for table, src, key in ((t_orders, "orders", "o_custkey"), (t_cust, "customer", "c_custkey")):
+        if not spark.catalog.tableExists(table):
+            # a previous SESSION's directory may survive while the
+            # in-memory catalog forgot the table — clear it or the managed
+            # CREATE refuses the location
+            shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+            write_bucketed(_t(spark, sf_dir, src), table, key, 16)
+    return t_orders, t_cust
+
+
+@_register("bucketed_join_revenue", _BUCKETED_JOIN_SQL)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_cust = bucketed_tables(spark, sf_dir)
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust)
+    # merge hint: at fixture scale Catalyst would broadcast the small side,
+    # which hides what this query demonstrates — at 100 TB NEITHER side
+    # broadcasts, and the bucketed sort-merge join runs with no exchange
+    # on either input (asserted in test_plan_shapes)
+    joined = orders.hint("merge").join(cust, orders["o_custkey"] == cust["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -15,6 +15,7 @@ chosen for the 1000-executor / 100 TB posture:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,12 @@ def get_spark(app_name: str = "yfinance-etl-spark", shuffle_partitions: int | No
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert in catalog.load_table (µs truncation = DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table warehouse (sources/sink.py write_bucketed) lives in
+        # scratch space, never the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "yfinance_etl_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

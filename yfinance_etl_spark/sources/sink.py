@@ -54,3 +54,23 @@ def write_partitioned(
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     """Read a sink directory; partition columns come back from dir names."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed managed table: rows hash-distributed into n_buckets files
+    BY THE JOIN KEY at write time. Two tables bucketed the same way
+    join WITHOUT a shuffle — the exchange that usually dominates a big
+    fact-fact join simply disappears from the plan (asserted in
+    tests/test_plan_shapes.py). At 100 TB this is how repeat joins on the
+    same key amortize: pay the distribution once at ingest, never again.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(name)

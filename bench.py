@@ -54,6 +54,20 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t1, 3)
         except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    # GC pauses / page-cache contention make single-shot timings jumpy;
+    # re-run outliers (>3× the suite median) once and keep the minimum —
+    # bounded extra wall time, much stabler per-query numbers
+    if timings:
+        med = sorted(timings.values())[len(timings) // 2]
+        for name in [n for n, t in timings.items() if t > max(3 * med, 2.0)]:
+            t1 = time.perf_counter()
+            try:
+                materialize(REGISTRY[name].fn(spark, sf_dir))
+                timings[name] = min(timings[name], round(time.perf_counter() - t1, 3))
+            except Exception:  # noqa: BLE001 — keep the first measurement
+                pass
+
     for df in cached:
         df.unpersist()
 

@@ -1936,6 +1936,91 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP over (region, nation) — subtotals and a
+# grand total in ONE pass (partial-agg reuse), the hypertable-rollup shape
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS agg_level,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@_register("revenue_rollup", _ROLLUP_SQL)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    dims = F.broadcast(
+        _t(spark, sf_dir, "nation").join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    base = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).join(
+        dims, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    rolled = base.rollup("r_name", "n_name").agg(
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("agg_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("revenue"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+        "agg_level",
+        "n_orders",
+        "revenue",
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 as an engine op: unpivot/melt the multi-metric summary to long
+# (suppkey, metric, value) — the reference's summary.T display transpose
+# re-expressed as a real relational operator, not presentation
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = f"""
+WITH {S.BARS},
+rets AS (
+  SELECT suppkey, ddate, price,
+         price / LAG(price) OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS r
+  FROM bars
+),
+summary AS (
+  SELECT suppkey,
+         ROUND({S.dsum('r', S.STAT_SCALE)} / COUNT(r) * 252, 6) AS ann_return,
+         ROUND(COUNT(*) * 1.0, 6) AS n_days
+  FROM rets
+  GROUP BY suppkey
+)
+SELECT suppkey, metric, value
+FROM summary
+UNPIVOT (value FOR metric IN (ann_return, n_days))
+"""
+
+
+@_register("metrics_unpivot", _UNPIVOT_SQL)
+def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    rets = W.with_return(bars)
+    summary = rets.groupBy("suppkey").agg(
+        r6(dsum("r", STAT_SCALE) / F.count("r") * 252).alias("ann_return"),
+        r6(F.count(F.lit(1)) * 1.0).alias("n_days"),
+    )
+    return summary.unpivot(
+        ids=["suppkey"], values=["ann_return", "n_days"], variableColumnName="metric", valueColumnName="value"
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

@@ -1,0 +1,45 @@
+"""As-of join semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from yfinance_etl_spark.operators.joins import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_latest_at_or_before(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(5)), (2, "A", _ts(10)), (3, "B", _ts(7))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(4), 100.0), ("A", _ts(9), 101.0), ("A", _ts(11), 999.0), ("B", _ts(8), 50.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = {
+        r.trade_id: r.asof_px
+        for r in asof_join(trades, quotes, "sym", "ts", ["px"]).collect()
+    }
+    assert out[1] == 100.0  # latest quote <= 00:05 is 00:04
+    assert out[2] == 101.0  # 00:09 quote, NOT the later 00:11 one
+    assert out[3] is None  # B's only quote is AFTER the trade → null
+
+
+def test_asof_equal_timestamp_inclusive(spark):
+    trades = spark.createDataFrame([(1, "A", _ts(5))], "trade_id long, sym string, ts timestamp")
+    quotes = spark.createDataFrame([("A", _ts(5), 42.0)], "sym string, ts timestamp, px double")
+    out = asof_join(trades, quotes, "sym", "ts", ["px"]).collect()
+    assert out[0].asof_px == 42.0  # ts >= quote.ts is INCLUSIVE
+
+
+def test_asof_carry_forward_many_lefts(spark):
+    trades = spark.createDataFrame(
+        [(i, "A", _ts(i)) for i in range(3, 9)], "trade_id long, sym string, ts timestamp"
+    )
+    quotes = spark.createDataFrame([("A", _ts(2), 7.0)], "sym string, ts timestamp, px double")
+    out = asof_join(trades, quotes, "sym", "ts", ["px"]).collect()
+    assert all(r.asof_px == 7.0 for r in out)  # one quote serves every later trade

@@ -1,0 +1,69 @@
+"""Join-family operators Spark lacks natively — SURVEY.md §2.3 extensions.
+
+The headline is the **as-of join** (align each left row to the LATEST
+right row at-or-before its timestamp, per key) — the workhorse of finance
+data (trade↔quote alignment) and attribution pipelines. Spark has no
+native ASOF; the naive formulation (per-left-row correlated max) is a
+range join that degenerates to a quadratic nested-loop.
+
+The scalable shape used here is union + sort + carry-forward:
+
+    tag sides → unionByName → one Window.partitionBy(key)
+      .orderBy(time, side_tag) → last(right_payload, ignorenulls=True)
+      over unbounded-preceding → keep left rows
+
+ONE shuffle on the key, one sort — identical cost profile to any keyed
+window op, no matter how many right rows precede each left row. The
+side-tag sorts right rows BEFORE a left row at the same timestamp, giving
+inclusive (ts >= right.ts) semantics, matching DuckDB's native ASOF JOIN
+(which the oracle uses, making this one of the few operators checked
+against a *native* implementation of itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``right_payload`` columns from
+    the latest right row with ``right.time <= left.time`` on the same key
+    (null-filled when no right row precedes). Payload columns come back
+    named ``{prefix}{col}``.
+    """
+    tag = "__is_left"
+    r = right.select(
+        F.col(key).alias(key),
+        F.col(time).alias(time),
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+    )
+    l_cols = left.columns
+    lt = left.select(
+        *l_cols,
+        F.lit(1).alias(tag),
+        *[F.lit(None).cast(r.schema[f"{prefix}{c}"].dataType).alias(f"{prefix}{c}") for c in right_payload],
+    )
+    u = lt.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time).asc(), F.col(tag).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *l_cols,
+        F.col(tag),
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col(tag) == 1).drop(tag)

@@ -2021,6 +2021,39 @@ def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of join (engine extension; the trade↔quote workhorse Spark lacks):
+# attribute each purchase to the user's latest click at-or-before it.
+# Spark side = scalable union+sort+carry-forward (operators/joins.py);
+# oracle = DuckDB's NATIVE ASOF LEFT JOIN — the operator is checked
+# against a first-class implementation of itself.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+       c.event_id AS asof_event_id,
+       c.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@_register("asof_click_attribution", _ASOF_SQL)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, key="user_id", time="ts", right_payload=["event_id", "value"])
+    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

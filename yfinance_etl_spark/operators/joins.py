@@ -67,3 +67,24 @@ def asof_join(
         ],
     )
     return carried.filter(F.col(tag) == 1).drop(tag)
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Range (band) join: each fact row matched to the band whose
+    [lo, hi) interval contains its value.
+
+    With a small band table (the overwhelmingly common case) the right
+    side broadcasts and the BETWEEN predicate evaluates map-side — no
+    shuffle at all. For a LARGE interval table the scale path is interval
+    bucketing: explode each interval into the fixed-width buckets it
+    covers, bucket the fact value, equi-join on bucket, re-filter the
+    exact bounds — turning the nested-loop range join into a hash join.
+    """
+    cond = (facts[value] >= bands[lo]) & (facts[value] < bands[hi])
+    return facts.join(F.broadcast(bands), cond, "left")

@@ -2054,6 +2054,41 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "asof_event_id", "asof_value")
 
 
+# ---------------------------------------------------------------------------
+# Range (band) join: orders classified into price bands via a broadcast
+# interval join (map-side BETWEEN, zero shuffle before the final agg)
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 1e9),
+]
+
+_RANGE_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {', '.join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}
+)
+SELECT band,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS revenue
+FROM orders LEFT JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@_register("price_band_join", _RANGE_JOIN_SQL)
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.joins import range_band_join
+
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_band_join(_t(spark, sf_dir, "orders"), bands, "o_totalprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 _LANG_PROFILE_SQL = f"""
 WITH toks AS (
   SELECT lang, n_chars,

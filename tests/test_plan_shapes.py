@@ -73,3 +73,25 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     # the ONLY hash exchange is the final mktsegment aggregation — the join
     # itself rides the write-time bucketing, no shuffle on either input
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cache_substitution_hits_memory(spark):
+    # S12: after cache_shared_stages, any query rebuilding the identical
+    # daily-bars subplan must read the InMemoryRelation, not rescan lineitem
+    from yfinance_etl_spark.cache import cache_shared_stages, uncache_all
+
+    cached = cache_shared_stages(spark, SF)
+    try:
+        plan = _plan(spark, "flagship_risk")
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        uncache_all(cached)
+
+
+def test_non_empty_guard(spark):
+    # P5: empty frame -> None, non-empty frame passes through unchanged
+    from yfinance_etl_spark.catalog import load_table, non_empty
+
+    orders = load_table(spark, SF, "orders")
+    assert non_empty(orders) is orders
+    assert non_empty(orders.where("o_orderkey < 0")) is None

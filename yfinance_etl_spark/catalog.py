@@ -59,3 +59,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` plans work too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def non_empty(df: DataFrame) -> DataFrame | None:
+    """P5 empty-result guard (reference ``if df.empty: return None``,
+    yfinance_client.py:24-26, etl.py:10-12).
+
+    ``df.isEmpty()`` runs a LocalLimit(1)-style job — it stops after the
+    first row found, never counts the table — so the guard costs one
+    near-instant job even on a 100 TB input."""
+    return None if df.isEmpty() else df

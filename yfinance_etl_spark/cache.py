@@ -37,7 +37,14 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         doc_embeddings(load_table(spark, sf_dir, "documents")),
     ]
     for df in cached:
-        df.cache().count()  # materialize eagerly so queries only ever read memory
+        df.cache()
+    # materialize eagerly so queries only ever read memory; submit the four
+    # jobs concurrently — they contend on different inputs (lineitem vs
+    # documents) and local[32] has idle cores during each one's tail stages
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(cached)) as pool:
+        list(pool.map(lambda df: df.count(), cached))
     return cached
 
 

@@ -53,7 +53,12 @@ def explode_filled(
 ) -> DataFrame:
     """Explode the maps and left-join onto the full fund×key grid so missing
     keys appear with ``default`` (the reference's fillna(0) across funds)."""
-    exploded = maps.select(fund, F.explode("weights").alias(key, "w"))
+    # broadcast the EXPLODED side: for a left outer join Spark can only
+    # build the right side, so a hint on the preserved grid side would be
+    # silently dropped (HintErrorLogger) and the join would shuffle both
+    # sides. The exploded frame is post-aggregation map entries — bounded
+    # by grid cardinality, always broadcastable.
+    exploded = F.broadcast(maps.select(fund, F.explode("weights").alias(key, "w")))
     return grid.join(exploded, [fund, key], "left").withColumn(
         "w", F.coalesce(F.col("w"), F.lit(default))
     )
@@ -88,10 +93,11 @@ def sector_weights(
     )
     maps = weights_map(shares, "region_name", "nation_name", "w")
     totals = maps.select("region_name", r6(map_total("weights")).alias("region_total"))
-    grid = F.broadcast(
-        region.select(F.col("r_name").alias("region_name")).crossJoin(
-            nation.select(F.col("n_name").alias("nation_name"))
-        )
+    # no broadcast hint here: grid is the PRESERVED side of explode_filled's
+    # left join, which Spark cannot use as the broadcast build side — the
+    # exploded side carries the hint instead (see explode_filled)
+    grid = region.select(F.col("r_name").alias("region_name")).crossJoin(
+        nation.select(F.col("n_name").alias("nation_name"))
     )
     filled = explode_filled(maps, grid, "region_name", "nation_name")
     return filled.join(totals, "region_name").select(

@@ -2116,3 +2116,40 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(davg("n_chars")).alias("avg_chars"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: the reference's wide price matrix (date × ticker of Close,
+# streamlit_app.py:279-290 — SURVEY §1.1 "wide price matrix"). The engine
+# keeps long format everywhere; this operator IS the on-demand pivot SURVEY
+# prescribes for presentation/columnwise arithmetic (J4). Pivot values are
+# an explicit list, so the plan is a single groupBy with one conditional
+# aggregate per ticker — no second pass to discover the columns, which at
+# 100 TB is the difference between one shuffle and two full scans.
+# ---------------------------------------------------------------------------
+
+_PIVOT_KEYS = [1, 2, 3, 4, 5]
+
+_PIVOT_SQL = f"""
+WITH {S.BARS}
+SELECT ddate,
+       {', '.join(f'ROUND(MAX(CASE WHEN suppkey = {k} THEN price END), 6) AS close_{k}' for k in _PIVOT_KEYS)}
+FROM bars
+WHERE suppkey IN ({', '.join(str(k) for k in _PIVOT_KEYS)})
+GROUP BY ddate
+"""
+
+
+@_register("price_pivot_wide", _PIVOT_SQL)
+def q_price_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("suppkey").isin(_PIVOT_KEYS)
+    )
+    wide = (
+        bars.groupBy("ddate")
+        .pivot("suppkey", _PIVOT_KEYS)
+        .agg(F.first("price"))
+    )
+    return wide.select(
+        "ddate", *[r6(F.col(str(k))).alias(f"close_{k}") for k in _PIVOT_KEYS]
+    )

@@ -67,3 +67,30 @@ def test_newsfeed_pagination_and_pushdown(spark):
     assert df.rdd.getNumPartitions() == 2  # one partition per page
     with pytest.raises(ValueError, match="query"):
         NewsFeedReader({"path": SF})
+
+
+def test_interval_pushdown_monthly(spark):
+    # S1 interval option: monthly bars are aggregated INSIDE the reader —
+    # fewer rows come back, every ddate is a month start, and the monthly
+    # price is the mean over the month's lineitems (not a mean of daily bars)
+    from yfinance_etl_spark.sources.datasource import MarketDataSource, MarketReader
+
+    spark.dataSource.register(MarketDataSource)
+
+    def read(interval):
+        return (
+            spark.read.format("marketdata")
+            .option("path", SF)
+            .option("tickers", "1")
+            .option("interval", interval)
+            .load()
+            .collect()
+        )
+
+    daily, monthly = read("1d"), read("1mo")
+    assert 0 < len(monthly) < len(daily)
+    assert all(r.ddate.day == 1 for r in monthly)
+    # conservation: total qty is interval-invariant
+    assert abs(sum(r.qty for r in daily) - sum(r.qty for r in monthly)) < 1e-6
+    with pytest.raises(ValueError, match="interval"):
+        MarketReader({"path": SF, "tickers": "1", "interval": "7h"})

@@ -2153,3 +2153,45 @@ def q_price_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "ddate", *[r6(F.col(str(k))).alias(f"close_{k}") for k in _PIVOT_KEYS]
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 interval pushdown: monthly bars through the same DataSource — the
+# reference's interval='1d' knob (yfinance_client.py:19) generalized. The
+# coarsening happens INSIDE the partition reader (connector-side aggregate
+# pushdown), so a monthly request ships ~21x fewer rows than daily.
+# ---------------------------------------------------------------------------
+
+_DATASOURCE_MONTHLY_SQL = f"""
+SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS ddate,
+       ROUND({S.dsum('l_extendedprice')} / COUNT(*), 6) AS price,
+       ROUND({S.dsum('l_quantity')}, 2) AS qty
+FROM lineitem
+WHERE l_suppkey IN (1, 2, 3)
+  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+GROUP BY ticker, ddate
+"""
+
+
+@_register("datasource_monthly_bars", _DATASOURCE_MONTHLY_SQL)
+def q_datasource_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.sources.datasource import MarketDataSource
+
+    try:
+        spark.dataSource.register(MarketDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("marketdata")
+        .option("path", sf_dir)
+        .option("tickers", "1, 2, 3")
+        .option("start", "1994-01-01")
+        .option("end", "1995-12-31")
+        .option("interval", "1mo")
+        .load()
+    )
+    return df.select(
+        "ticker", "ddate", r6(F.col("price")).alias("price"), F.round("qty", 2).alias("qty")
+    )

@@ -73,3 +73,26 @@ def test_sortino_asymmetry_mean_all_std_negative(spark):
     assert row.sortino == pytest.approx(
         round(excess.mean() / np.std(neg) * np.sqrt(252), 6), abs=1e-6
     )
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    # sketch_profile's guarantees vs the exact baseline: HLL++ rsd=0.02
+    # (assert within 5 sigma) and GK percentile accuracy=10000 (rank error
+    # <= n/10000, assert value within 1% here)
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["order_value_quantiles"].fn(spark, sf).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["sketch_profile"].fn(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        e, a = exact[k], approx[k]
+        assert abs(a["approx_customers"] - e["n_customers"]) <= 0.10 * e["n_customers"]
+        assert abs(a["approx_p50"] - e["p50"]) <= 0.01 * e["p50"]
+        assert abs(a["approx_p99"] - e["p99"]) <= 0.01 * e["p99"]

@@ -95,3 +95,23 @@ def test_non_empty_guard(spark):
     orders = load_table(spark, SF, "orders")
     assert non_empty(orders) is orders
     assert non_empty(orders.where("o_orderkey < 0")) is None
+
+
+def test_pivot_no_discovery_job_two_exchanges(spark):
+    # explicit pivot values: one conditional agg per ticker, exactly the
+    # bars shuffle + the pivot re-key — and never a distinct-values scan
+    plan = _plan(spark, "price_pivot_wide")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_cube_single_shuffle_with_expand(spark):
+    # CUBE = Expand over ONE exchange (partial agg merges the 2^k sets)
+    plan = _plan(spark, "orders_cube")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sketch_profile_single_shuffle(spark):
+    # sketches are partition-mergeable: partial HLL/GK map-side, one exchange
+    plan = _plan(spark, "sketch_profile")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -2123,9 +2123,11 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streamlit_app.py:279-290 — SURVEY §1.1 "wide price matrix"). The engine
 # keeps long format everywhere; this operator IS the on-demand pivot SURVEY
 # prescribes for presentation/columnwise arithmetic (J4). Pivot values are
-# an explicit list, so the plan is a single groupBy with one conditional
-# aggregate per ticker — no second pass to discover the columns, which at
-# 100 TB is the difference between one shuffle and two full scans.
+# an explicit list, so the pivot compiles to one conditional aggregate per
+# ticker over a single shuffle above the bars — no extra distinct-values
+# discovery job, which at 100 TB would mean a second full scan. Plan: two
+# hash exchanges total (bars keyed by (suppkey,ddate), pivot re-keyed by
+# ddate), both post-filter on the 5 requested tickers.
 # ---------------------------------------------------------------------------
 
 _PIVOT_KEYS = [1, 2, 3, 4, 5]

@@ -96,3 +96,22 @@ def test_sketch_accuracy_vs_exact(spark):
         assert abs(a["approx_customers"] - e["n_customers"]) <= 0.10 * e["n_customers"]
         assert abs(a["approx_p50"] - e["p50"]) <= 0.01 * e["p50"]
         assert abs(a["approx_p99"] - e["p99"]) <= 0.01 * e["p99"]
+
+
+def test_pairwise_correlation_matches_pandas(spark):
+    # Pearson corr of two fixed return series == pandas .corr() to 1e-9
+    from yfinance_etl_spark.operators.metrics import pairwise_correlation
+
+    xs = [0.01, -0.02, 0.015, 0.03, -0.01, 0.005, -0.025, 0.02]
+    ys = [0.02, -0.01, 0.005, 0.025, -0.02, 0.01, -0.015, 0.01]
+    rows = [
+        (t, d, r)
+        for d, (x, y) in enumerate(zip(xs, ys))
+        for t, r in ((1, x), (2, y))
+    ]
+    rets = spark.createDataFrame(rows, "suppkey int, ddate int, r double")
+    out = pairwise_correlation(rets).collect()
+    assert len(out) == 1 and out[0]["t1"] == 1 and out[0]["t2"] == 2
+    expected = pd.Series(xs).corr(pd.Series(ys))
+    assert abs(out[0]["corr"] - round(expected, 6)) < 1e-9
+    assert out[0]["n_days"] == 8

@@ -111,3 +111,32 @@ def sortino_metrics(rets: DataFrame, key: str = "suppkey") -> DataFrame:
         r6(downside_std, 8).alias("downside_dev"),
         r6(mean_excess / downside_std * F.sqrt(F.lit(float(TRADING_DAYS)))).alias("sortino"),
     )
+
+
+def pairwise_correlation(rets: DataFrame, key: str = "suppkey") -> DataFrame:
+    """Pairwise return-correlation matrix (upper triangle) — the portfolio
+    view behind the reference's columnwise return arithmetic (J4,
+    streamlit_app.py:366): every ticker pair's Pearson correlation as one
+    closed-form aggregate over a date-aligned self-join.
+
+    Scale shape: the self-join keys on ddate only, so each date's k tickers
+    fan out to k(k-1)/2 pair rows — quadratic in the WATCHED ticker count,
+    linear in days. That is the right trade for portfolio-sized k (tens);
+    for all-pairs over thousands of keys, route through the dedup/ANN
+    family instead (embedding-cosine, operators/similarity.py).
+    """
+    a = rets.select(
+        F.col(key).alias("t1"), "ddate", F.col("r").alias("x")
+    ).where(F.col("x").isNotNull())
+    b = rets.select(
+        F.col(key).alias("t2"), "ddate", F.col("r").alias("y")
+    ).where(F.col("y").isNotNull())
+    pairs = a.join(b, "ddate").where(F.col("t1") < F.col("t2"))
+    xs1, xs2, n = _moments(F.col("x"))
+    ys1, ys2, _ = _moments(F.col("y"))
+    sxy = dsum(F.col("x") * F.col("y"), STAT_SCALE)
+    cov = sxy - xs1 * ys1 / n
+    corr = cov / F.sqrt((xs2 - xs1 * xs1 / n) * (ys2 - ys1 * ys1 / n))
+    return pairs.groupBy("t1", "t2").agg(
+        n.alias("n_days"), r6(corr).alias("corr")
+    )

@@ -2303,3 +2303,53 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (J4 at pair scale): date-aligned self-join of
+# the watched tickers' returns → closed-form Pearson corr from exact
+# decimal moments (bit-stable across engines AND partitionings, like the
+# OLS trio). Quadratic in watched tickers (fine for portfolio k), linear
+# in days; all-pairs-at-corpus-scale goes through the ANN family instead.
+# ---------------------------------------------------------------------------
+
+_CORR_KEYS = "(1, 2, 3, 4, 5)"
+
+_CORR_SQL = f"""
+WITH {S.BARS},
+rets AS (
+  SELECT suppkey, ddate,
+         price / LAG(price) OVER (PARTITION BY suppkey ORDER BY ddate) - 1 AS r
+  FROM bars
+  WHERE suppkey IN {_CORR_KEYS}
+),
+pairs AS (
+  SELECT a.suppkey AS t1, b.suppkey AS t2, a.r AS x, b.r AS y
+  FROM rets a JOIN rets b ON a.ddate = b.ddate AND a.suppkey < b.suppkey
+  WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+),
+mom AS (
+  SELECT t1, t2, COUNT(*) AS n_days,
+         {S.dsum('x', S.STAT_SCALE)} AS xs1,
+         {S.dsum('x * x', S.STAT_SCALE)} AS xs2,
+         {S.dsum('y', S.STAT_SCALE)} AS ys1,
+         {S.dsum('y * y', S.STAT_SCALE)} AS ys2,
+         {S.dsum('x * y', S.STAT_SCALE)} AS sxy,
+         COUNT(x) AS n
+  FROM pairs
+  GROUP BY t1, t2
+)
+SELECT t1, t2, n_days,
+       ROUND((sxy - xs1 * ys1 / n)
+             / SQRT((xs2 - xs1 * xs1 / n) * (ys2 - ys1 * ys1 / n)), 6) AS corr
+FROM mom
+"""
+
+
+@_register("ticker_correlation_matrix", _CORR_SQL)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("suppkey").isin(1, 2, 3, 4, 5)
+    )
+    rets = W.with_return(bars)
+    return M.pairwise_correlation(rets)

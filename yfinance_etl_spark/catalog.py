@@ -42,9 +42,20 @@ def ns_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """The events fixture stores TIMESTAMP(NANOS) which vanilla Spark 4
+    rejects (PARQUET_TYPE_ILLEGAL). ``nanosAsLong`` is a runtime-settable
+    SQL conf, so set it here — at read time — rather than relying on
+    whoever built the session (the driver's own SparkSession doesn't go
+    through our session.py builder)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = ns_ts_to_micros(df)

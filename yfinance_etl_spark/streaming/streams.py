@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from yfinance_etl_spark.catalog import ns_ts_to_micros
+from yfinance_etl_spark.catalog import _enable_nanos_as_long, ns_ts_to_micros
 from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
 from yfinance_etl_spark.scratch import scratch_dir
 
@@ -59,6 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion so event time is a proper TimestampType.
     """
     path = f"{sf_dir}/events.parquet"
+    _enable_nanos_as_long(spark)
     schema = spark.read.parquet(path).schema
     src = path if os.path.isdir(path) else _stage_dir(path)
     return ns_ts_to_micros(spark.readStream.schema(schema).parquet(src))

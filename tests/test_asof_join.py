@@ -36,6 +36,18 @@ def test_asof_equal_timestamp_inclusive(spark):
     assert out[0].asof_px == 42.0  # ts >= quote.ts is INCLUSIVE
 
 
+def test_asof_null_payload_comes_from_matched_row(spark):
+    # The matched (latest) quote has px=NULL but sz=9 — native ASOF returns
+    # BOTH from that row: px must be NULL, not stitched from the earlier quote.
+    trades = spark.createDataFrame([(1, "A", _ts(10))], "trade_id long, sym string, ts timestamp")
+    quotes = spark.createDataFrame(
+        [("A", _ts(4), 100.0, 5.0), ("A", _ts(9), None, 9.0)],
+        "sym string, ts timestamp, px double, sz double",
+    )
+    out = asof_join(trades, quotes, "sym", "ts", ["px", "sz"]).collect()
+    assert out[0].asof_px is None and out[0].asof_sz == 9.0
+
+
 def test_asof_carry_forward_many_lefts(spark):
     trades = spark.createDataFrame(
         [(i, "A", _ts(i)) for i in range(3, 9)], "trade_id long, sym string, ts timestamp"

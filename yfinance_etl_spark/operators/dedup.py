@@ -149,7 +149,7 @@ HAMMING_MAX = 3
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over the shingle set.
+    """(doc_id, simhash): 32-bit SimHash over the shingle set.
 
     Per shingle one 32-bit base hash; bit b of the signature is the sign of
     the vote Σ(2·bit_b(h) − 1) over shingles. Like MinHash this is

@@ -38,19 +38,28 @@ def asof_join(
     the latest right row with ``right.time <= left.time`` on the same key
     (null-filled when no right row precedes). Payload columns come back
     named ``{prefix}{col}``.
+
+    The payload travels as ONE struct column under a single
+    ``last(ignorenulls=True)`` — carrying each column independently would
+    stitch values from *different* right rows whenever the matched row has
+    a NULL in one payload column, diverging from native ASOF semantics
+    (the matched row's NULL must win). A right row whose payload fields
+    are all NULL still forms a non-null struct, so it matches and carries
+    its NULLs, exactly like DuckDB's ASOF JOIN.
     """
     tag = "__is_left"
+    pay = "__asof_payload"
     r = right.select(
         F.col(key).alias(key),
         F.col(time).alias(time),
         F.lit(0).alias(tag),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias(pay),
     )
     l_cols = left.columns
     lt = left.select(
         *l_cols,
         F.lit(1).alias(tag),
-        *[F.lit(None).cast(r.schema[f"{prefix}{c}"].dataType).alias(f"{prefix}{c}") for c in right_payload],
+        F.lit(None).cast(r.schema[pay].dataType).alias(pay),
     )
     u = lt.unionByName(r, allowMissingColumns=True)
     w = (
@@ -61,12 +70,15 @@ def asof_join(
     carried = u.select(
         *l_cols,
         F.col(tag),
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_payload
-        ],
+        F.last(pay, ignorenulls=True).over(w).alias(pay),
     )
-    return carried.filter(F.col(tag) == 1).drop(tag)
+    return (
+        carried.filter(F.col(tag) == 1)
+        .select(
+            *l_cols,
+            *[F.col(f"{pay}.{c}").alias(f"{prefix}{c}") for c in right_payload],
+        )
+    )
 
 
 def range_band_join(

@@ -1254,7 +1254,7 @@ SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
 FROM lineitem
 WHERE l_suppkey IN (1, 2, 3, 4, 5)
   AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY ticker, ddate
 """
 
@@ -1272,7 +1272,7 @@ def q_datasource_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", sf_dir)
         .option("tickers", "1, 2, 3, 4, 5")
         .option("start", "1994-01-01")
-        .option("end", "1995-12-31")
+        .option("end", "1996-01-01")  # exclusive, like yf.download
         .load()
     )
     return df.select(
@@ -2172,7 +2172,7 @@ SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
 FROM lineitem
 WHERE l_suppkey IN (1, 2, 3)
   AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY ticker, ddate
 """
 
@@ -2190,7 +2190,7 @@ def q_datasource_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", sf_dir)
         .option("tickers", "1, 2, 3")
         .option("start", "1994-01-01")
-        .option("end", "1995-12-31")
+        .option("end", "1996-01-01")  # exclusive, like yf.download
         .option("interval", "1mo")
         .load()
     )

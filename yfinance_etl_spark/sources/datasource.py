@@ -66,7 +66,13 @@ def _fetch_bars(
 
     ``interval`` coarsens the bars inside the reader — a monthly request
     aggregates at the source and ships ~21× fewer rows, the connector
-    analog of aggregate pushdown."""
+    analog of aggregate pushdown.
+
+    Date-range contract matches yfinance's ``download(start, end)``:
+    ``start`` inclusive, ``end`` EXCLUSIVE (midnight of ``end`` is not
+    returned). Option values are bound as prepared-statement parameters,
+    never interpolated into the SQL text; the only interpolated pieces
+    are the whitelisted trunc unit and the validated-int ticker."""
     import duckdb
 
     trunc = INTERVALS[interval]
@@ -75,23 +81,25 @@ def _fetch_bars(
         if trunc is None
         else f"CAST(date_trunc('{trunc}', l_shipdate) AS DATE)"
     )
-    preds = [f"l_suppkey = {int(ticker)}"]
+    preds, params = [f"l_suppkey = {int(ticker)}"], [f"{path}/lineitem.parquet"]
     if start:
-        preds.append(f"l_shipdate >= TIMESTAMP '{start} 00:00:00'")
+        preds.append("l_shipdate >= CAST(? AS TIMESTAMP)")
+        params.append(f"{start} 00:00:00")
     if end:
-        preds.append(f"l_shipdate <= TIMESTAMP '{end} 23:59:59'")
+        preds.append("l_shipdate < CAST(? AS TIMESTAMP)")  # exclusive, like yf.download
+        params.append(f"{end} 00:00:00")
     q = f"""
         SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
                {date_expr} AS ddate,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS qty
-        FROM '{path}/lineitem.parquet'
+        FROM read_parquet(?)
         WHERE {' AND '.join(preds)}
         GROUP BY 1, 2
     """
     con = duckdb.connect()
     try:
-        reader = con.execute(q).fetch_record_batch()
+        reader = con.execute(q, params).fetch_record_batch()
         yield from reader
     finally:
         con.close()

@@ -1,0 +1,112 @@
+"""Connected-components clustering, hash-split sampling, TF-IDF, and the
+salted skew join — round-3 training-pipeline/scale operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from yfinance_etl_spark.operators.graph import connected_components, dedup_clusters
+from yfinance_etl_spark.operators.joins import salted_join
+from yfinance_etl_spark.operators.sampling import hash_bucket, with_split
+from yfinance_etl_spark.operators.text import tfidf_top_terms
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    # {1,2,3} as a chain (diameter 2, needs >1 iteration) and {10,11}
+    out = {
+        r.node: r.component
+        for r in connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)])).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # path 0-1-2-...-7: worst diameter shape for label propagation
+    out = {
+        r.node: r.component
+        for r in connected_components(
+            _edges(spark, [(i, i + 1) for i in range(7)])
+        ).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == 8
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: (r.component, r.cluster_size) for r in dedup_clusters(pairs).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[7] == (7, 2) and out[9] == (7, 2)
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in with_split(df, "doc_id").collect()}
+    # repartitioning must not change any assignment (the whole point vs rand)
+    b = {r.doc_id: r.split for r in with_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 300 < n_train < 480  # ~80% of 500, loose band
+
+
+def test_hash_bucket_range(spark):
+    rows = (
+        spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+        .select(hash_bucket("k").alias("b"))
+        .collect()
+    )
+    assert all(0 <= r.b < 100 for r in rows)
+
+
+def test_tfidf_scores_match_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
+        "doc_id bigint, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf_top_terms(docs, k=2).collect()}
+    # 'apple' appears in 1 doc → idf = ln(3/1); tf=2
+    assert out[(1, "apple")] == (2, round(2 * math.log(3.0), 6))
+    # 'banana' in 2 docs → idf = ln(3/2)
+    assert out[(1, "banana")] == (1, round(math.log(1.5), 6))
+    # every doc returns at most k terms
+    docs_terms = {}
+    for (d, _t), _ in out.items():
+        docs_terms[d] = docs_terms.get(d, 0) + 1
+    assert all(v <= 2 for v in docs_terms.values())
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed facts: key 1 is hot
+    facts = spark.createDataFrame(
+        [(1, float(i)) for i in range(50)] + [(2, 5.0), (3, 7.0)], "k bigint, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unmatched")], "k bigint, lbl string")
+    plain = facts.join(dim, "k").groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 3).alias("s")
+    )
+    salted = salted_join(facts, dim, "k", n_salt=4).groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 3).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    facts = spark.createDataFrame([(1, float(i)) for i in range(40)], "k bigint, v double")
+    dim = spark.createDataFrame([(1, "hot")], "k bigint, lbl string")
+    salted = "__salt"
+    row_fp = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in facts.columns]))
+    n_salts = (
+        facts.withColumn(salted, F.pmod(row_fp, F.lit(4)))
+        .select(salted)
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1  # the hot key's rows really do take multiple sub-keys

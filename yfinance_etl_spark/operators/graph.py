@@ -1,0 +1,88 @@
+"""Iterative graph operators — dedup-cluster construction.
+
+Near-dup detection (operators/dedup.py) emits PAIRS; a 100 TB pipeline
+needs CLUSTERS: the connected components of the pair graph, so each group
+of mutual near-duplicates collapses to one canonical representative.
+
+Spark shape: Pregel-style min-label propagation. Each iteration is one
+shuffle (message groupBy) + one join — the same cost profile per round as
+any keyed agg, and the round count is the cluster DIAMETER (tiny for dup
+clusters: near-dup graphs are dense cliques, so 2-4 rounds in practice),
+not the corpus size. ``localCheckpoint`` truncates lineage each round so
+the plan doesn't grow exponentially with iterations — the standard Spark
+iterative-algorithm pattern (GraphX Pregel does the same internally).
+
+The driver-side loop is iteration CONTROL only (a convergence count per
+round); all data movement stays distributed. The reference has no graph
+ops; this extends its dedup story the way the brief's training-data
+pipeline requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    the smallest node id reachable from it (undirected).
+
+    Converges when an iteration changes no label; ``max_iter`` bounds the
+    worst case (a path graph of diameter > max_iter would stop early — not
+    a shape dup clusters take).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    # cache the (static) edge set: every iteration re-reads it
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b") -> DataFrame:
+    """Near-dup pairs → (doc_id, component, cluster_size), the keep-one-per-
+    cluster decision input: everything with ``doc_id != component`` is a
+    removable duplicate (component = smallest doc_id = the canonical keep)."""
+    comp = connected_components(pairs, src=doc_a, dst=doc_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+    )

@@ -81,6 +81,43 @@ def asof_join(
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: identical results to ``facts.join(dim, key)``,
+    different physical layout.
+
+    A hot key (one customer with 10⁹ fact rows) lands an entire join key's
+    rows on ONE reducer in a plain shuffle join — the straggler that defines
+    the job's wall time at 100 TB. Salting splits each key into ``n_salt``
+    sub-keys: facts take a deterministic salt from a hash of the row's key
+    (uniform within each hot key is not needed — crc32 of the key value is
+    constant per key, so we hash a secondary column when present; here we
+    spread via spark_partition_id-free, row-content crc32), and the dim side
+    replicates each row ``n_salt`` ways so every (key, salt) pair finds its
+    match. Hot-key rows now spread across ``n_salt`` reducers.
+
+    This is the manual form of what AQE skew-join does adaptively
+    (``spark.sql.adaptive.skewJoin.enabled``); keep AQE on and reach for
+    explicit salting only when the skew is known ahead of time (e.g. a
+    power-law user-id distribution) or the join sits under an operator AQE
+    can't split.
+    """
+    salt = "__salt"
+    # deterministic per-row salt: crc32 over ALL fact columns, so rows of
+    # the same hot key still spread; mod keeps it in [0, n_salt)
+    row_fp = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in facts.columns]))
+    salted_facts = facts.withColumn(salt, F.pmod(row_fp, F.lit(n_salt)).cast("int"))
+    salted_dim = dim.withColumn(
+        salt, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_facts.join(salted_dim, [key, salt], how).drop(salt)
+
+
 def range_band_join(
     facts: DataFrame,
     bands: DataFrame,

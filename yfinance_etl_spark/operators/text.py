@@ -109,6 +109,46 @@ def regex_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, tfidf).
+
+    Pure Catalyst: explode → two hash aggs (tf, then document frequency) →
+    one broadcast of the 1-row corpus count → windowed top-k. The df agg
+    output is vocabulary-sized (≪ corpus), so its join back to tf is the
+    classic broadcast-able dimension; idf = ln(n_docs/df) is plain IEEE
+    double math, bit-equal across engines, which is what lets the DuckDB
+    oracle hash-match. Ties break by term for cross-engine determinism.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
 #: rolling-hash parameters (Karp-Rabin): p fits every gram hash in int64
 RH_K = 8
 RH_BASE = 31

@@ -2353,3 +2353,155 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rets = W.with_return(bars)
     return M.pairwise_correlation(rets)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup PAIRS → connected-component CLUSTERS (the
+# keep-one-per-cluster decision input). Spark side is iterative min-label
+# propagation (operators/graph.py); the oracle computes the same components
+# with a DuckDB recursive CTE — an independent algorithm, which makes this
+# one of the strongest cross-checks in the suite.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfreq USING (shingle) CROSS JOIN total
+  WHERE df <= 0.5 * n_docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+csz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT doc_id, component, cluster_size
+FROM comp JOIN csz USING (component)
+"""
+
+
+@_register("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+    from yfinance_etl_spark.operators.graph import dedup_clusters
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (training-data text analysis): explode → tf agg → df agg
+# → broadcast corpus count → windowed top-k. idf = ln(n/df) is plain IEEE
+# double math, bit-equal in DuckDB, so the oracle hash-matches.
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+@_register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-split sampling: train/val/test assignment from
+# md5(doc_id) mod 100 — reproducible across runs, engines, and partition
+# layouts (what rand(seed) is NOT). Zero-shuffle per-row expression.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b
+GROUP BY source, split
+"""
+
+
+@_register("train_split_counts", _SPLIT_SQL)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import with_split
+
+    docs = with_split(_t(spark, sf_dir, "documents"), key="doc_id")
+    return docs.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join: same RESULT as the plain orders⋈customer join (which is
+# exactly what the oracle asserts), different physical layout — each order
+# key spreads over 8 salted sub-keys so a hot customer can't pin one
+# reducer. The manual form of AQE skew-join for known-ahead-of-time skew.
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@_register("salted_revenue_by_segment", _SALTED_SQL)
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.joins import salted_join
+
+    facts = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(facts, dim, "o_custkey", n_salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -169,3 +169,32 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     multi = {(r.q_id, r.neighbor_id) for r in ann_multiprobe_topk(emb, k=5).collect()}
     # probing strictly more buckets can only improve recall vs brute force
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_signature_udf_twins_equal_catalyst(spark):
+    from yfinance_etl_spark.operators.dedup import (
+        doc_hashes,
+        minhash_sigs_catalyst,
+        minhash_sigs_udf,
+        simhash_sig_catalyst,
+        simhash_sig_udf,
+    )
+    from pyspark.sql import functions as F
+
+    hashed = doc_hashes(_docs(spark))
+    mh_ref = {r.doc_id: r.mh for r in minhash_sigs_catalyst(hashed).collect()}
+    mh_fast = {
+        r.doc_id: r.mh
+        for r in hashed.filter(F.size("hs") > 0)
+        .select("doc_id", minhash_sigs_udf("hs").alias("mh"))
+        .collect()
+    }
+    assert mh_ref == mh_fast and len(mh_ref) == 4  # doc 4 has no shingles
+    sh_ref = {r.doc_id: r.simhash for r in simhash_sig_catalyst(hashed).collect()}
+    sh_fast = {
+        r.doc_id: r.simhash
+        for r in hashed.filter(F.size("hs") > 0)
+        .select("doc_id", simhash_sig_udf("hs").alias("simhash"))
+        .collect()
+    }
+    assert sh_ref == sh_fast

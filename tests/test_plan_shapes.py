@@ -115,3 +115,33 @@ def test_sketch_profile_single_shuffle(spark):
     # sketches are partition-mergeable: partial HLL/GK map-side, one exchange
     plan = _plan(spark, "sketch_profile")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    # the 1-row corpus count must broadcast, never shuffle-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_train_split_zero_shuffle_before_agg(spark):
+    plan = _plan(spark, "train_split_counts")
+    # split assignment is per-row; the ONLY exchange is the final groupBy
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_salted_join_joins_on_salt(spark):
+    plan = _plan(spark, "salted_revenue_by_segment")
+    # the salt must be a real join key (that's what spreads a hot key)
+    assert "__salt" in plan
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    from yfinance_etl_spark.catalog import load_table
+    from yfinance_etl_spark.operators.dedup import minhash_bands, simhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    for df in (minhash_bands(docs), simhash_signatures(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # per-row HOF signatures: a map-only stage, zero exchanges
+        assert "Exchange" not in plan, f"signature stage shuffled:\n{plan}"

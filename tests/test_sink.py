@@ -35,3 +35,20 @@ def test_salted_split_for_big_partitions(spark, tmp_path):
     files = glob.glob(f"{out}/grp=hot/*.parquet")
     assert 1 < len(files) <= 4
     assert read_back(spark, out).count() == 1000
+
+
+def test_incremental_overwrites_only_delta_partitions(spark, tmp_path):
+    from yfinance_etl_spark.sources.sink import write_incremental
+
+    out = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-02", 999.0), (3, "2024-02", 999.0)],
+        "id long, m string, v double",
+    )
+    write_partitioned(base, out, partition_by=("m",))
+    # refresh ONLY 2024-02 with the corrected rows (one fewer than stale)
+    delta = spark.createDataFrame([(2, "2024-02", 20.0)], "id long, m string, v double")
+    write_incremental(delta, out, partition_by=("m",))
+    got = sorted((r.id, r.m, r.v) for r in read_back(spark, out).collect())
+    # 2024-01 untouched; 2024-02 REPLACED (not appended: id 3 gone)
+    assert got == [(1, "2024-01", 10.0), (2, "2024-02", 20.0)]

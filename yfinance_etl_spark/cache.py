@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from yfinance_etl_spark.catalog import load_table
-from yfinance_etl_spark.operators.dedup import doc_shingles
+from yfinance_etl_spark.operators.dedup import doc_hashes, doc_shingles, jaccard_pairs
 from yfinance_etl_spark.operators.rag import chunk_embeddings, doc_embeddings
 from yfinance_etl_spark.operators.windows import daily_bars
 
@@ -30,6 +30,11 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     cached = [
         daily_bars(load_table(spark, sf_dir, "lineitem")),
         doc_shingles(load_table(spark, sf_dir, "documents")),
+        # map-only but md5-dense: shared by the MinHash and SimHash queries
+        doc_hashes(load_table(spark, sf_dir, "documents")),
+        # the inverted-index self-join both the pair query AND the
+        # clustering query build on — one materialization serves both
+        jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),
         # whole-doc embeddings: computed on BOTH branches of the

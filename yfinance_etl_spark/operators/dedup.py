@@ -22,8 +22,10 @@ bookkeeping only.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from yfinance_etl_spark.operators.text import fingerprint, word_shingles
 
@@ -54,6 +56,66 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(word_shingles("text")).alias("shingle")
     ).distinct()
+
+
+def doc_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): the doc's DISTINCT 32-bit shingle hashes as an array.
+
+    Per-row HOF — md5 each distinct shingle once, in place. This is the
+    zero-shuffle base for MinHash and SimHash signatures: a signature is a
+    function of one document, so computing it through an explode +
+    groupBy(doc_id) round-trip (the previous shape) paid a full shuffle of
+    every (doc, shingle) pair for nothing. At 100 TB that shuffle is the
+    difference between a map-only signature stage and terabytes of
+    exchange. Docs with no shingles (< n tokens) keep an empty array and
+    are filtered by the signature ops, matching the exploded form where
+    they simply had no rows.
+    """
+    hs = F.transform(
+        F.array_distinct(word_shingles("text")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    return docs.select("doc_id", hs.alias("hs"))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sigs_udf(hs: pd.Series) -> pd.Series:
+    """Arrow twin of ``minhash_sigs_catalyst`` (unit-tested equal): all
+    N_HASHES affine-permutation minima in one numpy broadcast per doc.
+    Signature computation is a compute-dense integer kernel — interpreted
+    HOF evaluation costs ~µs/element × hashes, the numpy matrix ~ns — so
+    this is the same "semantics in Catalyst, throughput in Arrow" split as
+    text.rolling_hashes_udf. Exact int64: |a·h| < 2⁵·2³² ≪ 2⁶³."""
+    import numpy as np
+
+    a = np.arange(1, 2 * N_HASHES, 2, dtype=np.int64)[:, None]
+    b = np.arange(N_HASHES, dtype=np.int64)[:, None]
+
+    def sig(h):
+        if h is None or len(h) == 0:
+            return None
+        hv = np.asarray(h, dtype=np.int64)[None, :]
+        return ((a * hv + b) % H_PRIME).min(axis=1).tolist()
+
+    return hs.map(sig)
+
+
+def minhash_sigs_catalyst(hashed: DataFrame) -> DataFrame:
+    """Pure-Catalyst MinHash signatures over a ``doc_hashes`` frame — the
+    semantic reference for ``minhash_sigs_udf`` (kept for the equality
+    test and for deployments that must stay UDF-free)."""
+
+    # seed closures via a factory: HOF lambdas dispatch on ARITY (a 2-arg
+    # lambda would receive (element, index) and clobber a default arg)
+    def _perm(i):
+        return lambda h: (F.lit(2 * i + 1) * h + F.lit(i)) % F.lit(H_PRIME)
+
+    return hashed.filter(F.size("hs") > 0).select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform(F.col("hs"), _perm(i))) for i in range(N_HASHES)]
+        ).alias("mh"),
+    )
 
 
 def _df_filtered_shingles(docs: DataFrame, max_df_frac: float) -> DataFrame:
@@ -112,19 +174,17 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
 
     One 32-bit base hash per shingle (first 8 md5 hex chars), then the i-th
     MinHash is min over shingles of the affine permutation
-    ``((2i+1)·h + i) mod H_PRIME`` — N_HASHES plain MIN aggregates in a
-    single doc_id shuffle. (The previous shape exploded every shingle
-    N_HASHES× and re-ran md5 per seed: 16× the shuffle rows and 16× the
-    hashing for the same signatures. max |a·h| < 2⁵·2³² ≪ 2⁶³, no overflow.)
-    A band is the '|'-join of its BAND_ROWS consecutive minima.
+    ``((2i+1)·h + i) mod H_PRIME`` — N_HASHES ``array_min`` HOFs over the
+    per-row hash array, NO shuffle at all (a signature depends on one doc;
+    the earlier explode→groupBy shape shuffled every (doc, shingle) pair
+    to recombine what was never apart. max |a·h| < 2⁵·2³² ≪ 2⁶³, no
+    overflow.) A band is the '|'-join of its BAND_ROWS consecutive minima.
     """
-    sh = doc_shingles(docs)
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(2 * i + 1) * h + F.lit(i)) % F.lit(H_PRIME)).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
+    minh = doc_hashes(docs).filter(F.size("hs") > 0).select(
+        "doc_id", minhash_sigs_udf("hs").alias("mh")
+    ).select(
+        "doc_id",
+        *[F.element_at("mh", i + 1).alias(f"mh{i}") for i in range(N_HASHES)],
     )
     bands = F.array(
         *[
@@ -152,18 +212,49 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over the shingle set.
 
     Per shingle one 32-bit base hash; bit b of the signature is the sign of
-    the vote Σ(2·bit_b(h) − 1) over shingles. Like MinHash this is
-    N_BITS plain SUM aggregates in one doc_id shuffle — no row expansion.
-    Near-dup docs differ in few shingles → few vote flips → small Hamming
-    distance between signatures.
+    the vote Σ(2·bit_b(h) − 1) over shingles. Zero shuffle — a per-row map
+    over the doc's hash array (was: explode + doc_id groupBy). The vote
+    matrix runs in the Arrow/numpy twin (``simhash_sig_udf``); the
+    Catalyst reference form lives in ``simhash_sig_catalyst``.
     """
-    sh = doc_shingles(docs)
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    votes = sh.groupBy("doc_id").agg(
+    return (
+        doc_hashes(docs)
+        .filter(F.size("hs") > 0)
+        .select("doc_id", simhash_sig_udf("hs").alias("simhash"))
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash_sig_udf(hs: pd.Series) -> pd.Series:
+    """Arrow twin of ``simhash_sig_catalyst`` (unit-tested equal): the
+    32-bit vote matrix as one numpy broadcast per doc."""
+    import numpy as np
+
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def sig(h):
+        if h is None or len(h) == 0:
+            return None
+        hv = np.asarray(h, dtype=np.int64)[:, None]
+        votes = (2 * ((hv >> bits) & 1) - 1).sum(axis=0)
+        return int(((votes >= 0).astype(np.int64) << bits).sum())
+
+    return hs.map(sig)
+
+
+def simhash_sig_catalyst(hashed: DataFrame) -> DataFrame:
+    """Pure-Catalyst SimHash over a ``doc_hashes`` frame — semantic
+    reference for ``simhash_sig_udf``."""
+
+    def _vote(b):
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    votes = hashed.filter(F.size("hs") > 0).select(
+        "doc_id",
         *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            F.aggregate(F.col("hs"), F.lit(0).cast("long"), _vote(b)).alias(f"v{b}")
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig = sum(
         (F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)),
@@ -226,6 +317,12 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
 
     Only same-bucket docs are joined (the LSH point); exact Jaccard then runs
     on the tiny candidate set. Returns (doc_a, doc_b, n_shared_bands, jaccard).
+
+    The verify step is candidate-local: shingles are semi-filtered to docs
+    that appear in some candidate pair, collected to per-doc sets, and the
+    pair's Jaccard computed with ``array_intersect`` after two doc_id equi-
+    joins. Cost scales with the CANDIDATE set (LSH keeps it tiny), not the
+    corpus — the full inverted-index re-join the earlier shape paid is gone.
     """
     bands = minhash_bands(docs)
     a = bands.alias("a")
@@ -239,24 +336,27 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        # the candidate set feeds THREE plan branches (result join + the two
+        # semi-filter sides); materialize it once — it is tiny by LSH design
+        .localCheckpoint(eager=True)
     )
-    sh = doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    ib = sh.select(F.col("doc_id").alias("cand_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(ia, "doc_a")
-        .join(ib, (F.col("doc_b") == F.col("cand_b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    sets = (
+        doc_shingles(docs)
+        .join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.size("set_a") + F.size("set_b") - inter)
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_shared_bands", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

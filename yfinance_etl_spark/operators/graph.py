@@ -37,16 +37,19 @@ def connected_components(
     worst case (a path graph of diameter > max_iter would stop early — not
     a shape dup clusters take).
     """
+    # materialize the (static) edge set FIRST, then derive labels from the
+    # checkpointed frame — deriving them from the raw plan would re-execute
+    # the full upstream pair computation inside the first iteration (twice:
+    # once for the labels join, once for the convergence count)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    # cache the (static) edge set: every iteration re-reads it
-    sym = sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         msgs = (

@@ -2505,3 +2505,58 @@ def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(dsum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (S10+S12 extension): the sink
+# holds a STALE version of the recent months (totalprice doubled), then the
+# delta is re-written with DYNAMIC partition overwrite — only those month
+# partitions are replaced, older ones survive untouched. The oracle is the
+# full recompute from source: it matches only if the overwrite replaced
+# (not appended) the stale partitions AND dropped nothing else — i.e. the
+# incremental refresh converged to the full-recompute answer.
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1998-01"
+
+_INCR_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS revenue
+FROM orders
+GROUP BY omonth
+"""
+
+
+@_register("incremental_rollup", _INCR_SQL)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.sources.sink import (
+        read_back,
+        write_incremental,
+        write_partitioned,
+    )
+
+    out = os.path.join(scratch_dir("yfinance_etl_incr", sf_dir), "orders_mv")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "omonth", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    # 1. full load, but the months >= cutoff are STALE (price doubled)
+    stale = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("omonth") >= _INCR_CUTOFF, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    write_partitioned(stale, out, partition_by=("omonth",))
+    # 2. incremental refresh: rewrite ONLY the cutoff-and-later partitions
+    delta = orders.filter(F.col("omonth") >= _INCR_CUTOFF)
+    write_incremental(delta, out, partition_by=("omonth",))
+    # 3. the maintained view must now equal the full recompute
+    back = read_back(spark, out)
+    return back.groupBy("omonth").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -56,6 +56,34 @@ def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_incremental(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+    compression: str = "zstd",
+) -> None:
+    """Incremental maintenance of a partitioned sink: DYNAMIC partition
+    overwrite — only the partitions present in ``df`` are replaced; all
+    others are untouched.
+
+    This is the engine's incremental-ETL primitive (the reference's
+    "incremental" mode re-runs the whole ETL, src/etl.py:16-40; a 100 TB
+    table can't). A daily refresh recomputes yesterday's partition(s) and
+    overwrites just those directories — cost tracks the DELTA, not the
+    table. Static overwrite mode (the default) would silently DROP every
+    partition not in the delta, i.e. truncate the table; the conf below is
+    the entire difference between "upsert" and "data loss".
+    """
+    out = df.repartition(*partition_by)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

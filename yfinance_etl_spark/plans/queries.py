@@ -2560,3 +2560,228 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(dsum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition quality filters (training-data pipeline): pure
+# HOF per-document signals — dup-word fraction, top word/bigram fraction,
+# mean word length — plus the composite keep verdict. Map-only: the filter
+# runs at parquet-scan speed, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_QUALITY_GOPHER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         ROUND(1 - len(list_distinct(t)) / len(t), 6) AS dup_word_fraction,
+         ROUND(list_max(list_transform(list_distinct(t),
+                 x -> len(list_filter(t, y -> y = x)))) / len(t), 6) AS top_word_fraction,
+         ROUND(list_max(list_transform(
+                 list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                              i -> t[i] || ' ' || t[i + 1])),
+                 x -> len(list_filter(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                                     i -> t[i] || ' ' || t[i + 1]),
+                                      y -> y = x))))
+               / greatest(len(t) - 1, 1), 6) AS top_bigram_fraction,
+         ROUND(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS mean_word_len
+  FROM toks
+)
+SELECT doc_id, n_words, dup_word_fraction, top_word_fraction, top_bigram_fraction,
+       mean_word_len,
+       (dup_word_fraction <= 0.80 AND top_word_fraction <= 0.10
+        AND top_bigram_fraction <= 0.05
+        AND mean_word_len BETWEEN 3.0 AND 10.0) AS keep
+FROM feats
+"""
+
+
+@_register("doc_quality_gopher", _QUALITY_GOPHER_SQL)
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import with_repetition_features
+
+    docs = with_repetition_features(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "n_words",
+        "dup_word_fraction",
+        "top_word_fraction",
+        "top_bigram_fraction",
+        "mean_word_len",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing): the fixture corpus carries no
+# natural PII, so the query manufactures deterministic contact strings FROM
+# customer columns and scrubs them — what the oracle then verifies is the
+# cross-engine semantics of the redaction regexes themselves (Spark's Java
+# regex vs DuckDB's RE2 over identical RE2-safe patterns). Map-only pass.
+# ---------------------------------------------------------------------------
+
+_PII_PROFILE = (
+    "'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||"
+    " '@example.com> or call +1-555-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql() -> str:
+    from yfinance_etl_spark.operators.privacy import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH p AS (SELECT c_custkey, {_PII_PROFILE} AS profile FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(profile, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(profile, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(profile, '{PHONE_RE}')) AS n_phones
+FROM p
+"""
+
+
+@_register("pii_redaction", _pii_sql())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.privacy import pii_counts, redact_pii
+
+    cust = _t(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> or call +1-555-"),
+        F.lpad(F.col("c_custkey").cast("string"), 4, "0"),
+    )
+    n_emails, n_phones = pii_counts(profile)
+    return cust.select(
+        "c_custkey",
+        redact_pii(profile).alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain aggregation: extract every URL domain mentioned per document
+# (regexp_extract_all group capture), explode, and count references per
+# domain — the domain-frequency/blocklist pass of a web-corpus pipeline.
+# URLs are manufactured from fixture columns (corpus text has none); the
+# verified behavior is the capture-group extraction + explode + agg.
+# ---------------------------------------------------------------------------
+
+_URL_BLOB = (
+    "'see https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||"
+    " ' and mirror http://' || lang || '.mirror.org/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_sql() -> str:
+    from yfinance_etl_spark.operators.privacy import DOMAIN_RE
+
+    return f"""
+WITH blobs AS (SELECT doc_id, {_URL_BLOB} AS blob FROM documents),
+doms AS (
+  SELECT doc_id, unnest(regexp_extract_all(blob, '{DOMAIN_RE}', 1)) AS domain
+  FROM blobs
+)
+SELECT domain, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs
+FROM doms
+GROUP BY domain
+"""
+
+
+@_register("url_domain_stats", _url_sql())
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.privacy import extract_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.concat(
+        F.lit("see https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and mirror http://"),
+        F.col("lang"),
+        F.lit(".mirror.org/"),
+        F.col("doc_id").cast("string"),
+    )
+    doms = docs.select("doc_id", F.explode(extract_domains(blob)).alias("domain"))
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (fixed-iteration Lloyd) over embeddings — the batch
+# iterative-algorithm template (operators/clustering.py). Deterministic
+# end-to-end (min-id init, 9-decimal coordinate grid, cent_id tiebreak), so
+# the DuckDB oracle replays the SAME three rounds as chained CTEs and the
+# per-cluster profile must hash-match.
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    def assign_cte(i: int, cents: str) -> str:
+        return f"""
+s{i} AS (
+  SELECT v.vec_id, v.vec, c.cent_id,
+         ROUND(list_sum(list_transform(range(1, {dim + 1}),
+               j -> (v.vec[j] - c.cent[j]) * (v.vec[j] - c.cent[j]))), 9) AS d2
+  FROM vecs v CROSS JOIN {cents} c
+),
+a{i} AS (
+  SELECT vec_id, vec, cent_id, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s{i}
+  ) WHERE rn = 1
+)"""
+
+    def recompute_cte(i: int) -> str:
+        return f"""
+m{i} AS (
+  SELECT cent_id, t.j AS pos,
+         ROUND(CAST(SUM(CAST(vec[t.j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS cval
+  FROM a{i}, range(1, {dim + 1}) AS t(j)
+  GROUP BY cent_id, t.j
+),
+c{i} AS (SELECT cent_id, list(cval ORDER BY pos) AS cent FROM m{i} GROUP BY cent_id)"""
+
+    parts = [
+        "WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS vec FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cent_id, vec AS cent FROM vecs WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append("," + assign_cte(i, f"c{i - 1}"))
+        parts.append("," + recompute_cte(i))
+    parts.append("," + assign_cte(iters + 1, f"c{iters}"))
+    parts.append(f""",
+sizes AS (
+  SELECT cent_id, COUNT(*) AS n_vecs,
+         ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS avg_sq_dist
+  FROM a{iters + 1} GROUP BY cent_id
+),
+norms AS (
+  SELECT cent_id, ROUND(SQRT(list_sum(list_transform(cent, x -> x * x))), 6) AS centroid_norm
+  FROM c{iters}
+)
+SELECT s.cent_id AS cluster_id, s.n_vecs, s.avg_sq_dist, n.centroid_norm
+FROM sizes s JOIN norms n USING (cent_id)""")
+    return "\n".join(parts)
+
+
+@_register("kmeans_clusters", _kmeans_sql())
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.clustering import cluster_profile, kmeans
+
+    assigned, centroids = kmeans(
+        _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )
+    return cluster_profile(assigned, centroids)

@@ -180,6 +180,55 @@ def run_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     q.awaitTermination()
 
 
+def stream_static_join(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    a BATCH dimension table — the streaming analog of J5's broadcast
+    lookup. Stateless (no join state is kept: the dim side is re-resolved
+    per micro-batch, so a slowly-changing dimension is picked up on the
+    next trigger). The broadcast hint keeps it a map-side hash join — at
+    1000 executors the dim ships once per executor, the stream never
+    shuffles."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    left_wm: str = "1 hour",
+    right_wm: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: match right-side rows that occur on the
+    same key within [left.ts, left.ts + within].
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions — that is what lets Spark evict join state: a
+    buffered left row can be dropped once the right watermark passes
+    ts + within, and vice versa. Without the time bound the state store
+    grows forever; with it, state is O(rate × window) regardless of total
+    stream length — the 100 TB/day-safe shape.
+    """
+    l = left.withWatermark("ts", left_wm).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", right_wm).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
     """St5: stateful streaming dedup — first occurrence per key wins; state
     for a key is dropped once the watermark passes it (bounded state, the

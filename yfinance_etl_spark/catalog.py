@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -39,6 +39,24 @@ def ns_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     if isinstance(df.schema[col].dataType, LongType):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Make ``col`` a watermark-legal TIMESTAMP for event-time operators.
+
+    The driver's regenerated events fixture stores TIMESTAMP(MICROS) with
+    isAdjustedToUTC=0, which Spark 4 reads as TIMESTAMP_NTZ — fine for batch
+    (DuckDB's oracle is naive-timestamp too, so hashes match), but
+    ``withWatermark`` requires TIMESTAMP proper. The cast interprets the
+    naive value in the session time zone (UTC for our sessions), so the
+    wall-clock value — and therefore every window boundary and the
+    collected result — is preserved. Batch loaders deliberately do NOT
+    apply this: changing the batch ``ts`` type would perturb schema_match
+    for the green event queries.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

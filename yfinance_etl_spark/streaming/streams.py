@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from yfinance_etl_spark.catalog import _enable_nanos_as_long, ns_ts_to_micros
+from yfinance_etl_spark.catalog import _enable_nanos_as_long, event_time, ns_ts_to_micros
 from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
 from yfinance_etl_spark.scratch import scratch_dir
 
@@ -56,13 +56,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     File-source streams require an explicit schema (no inference at start);
     we take it from a metadata-only batch read of the same path, which also
     inherits the nanosAsLong handling, then apply the catalog's ns→µs
-    conversion so event time is a proper TimestampType.
+    conversion (legacy nanos-as-long fixtures) and the NTZ→TIMESTAMP cast
+    (current micros/NTZ fixtures) so event time is watermark-legal.
     """
     path = f"{sf_dir}/events.parquet"
     _enable_nanos_as_long(spark)
     schema = spark.read.parquet(path).schema
     src = path if os.path.isdir(path) else _stage_dir(path)
-    return ns_ts_to_micros(spark.readStream.schema(schema).parquet(src))
+    return event_time(ns_ts_to_micros(spark.readStream.schema(schema).parquet(src)))
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Gopher/C4 repetition-quality operators — the Arrow counting kernel must be
+row-for-row identical to the pure-Catalyst HOF reference, including the edge
+cases (empty string, single token, all-repeated tokens, null text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yfinance_etl_spark.operators.quality import (
+    with_repetition_features,
+    with_repetition_features_hof,
+)
+
+FEATURES = [
+    "n_words",
+    "dup_word_fraction",
+    "top_word_fraction",
+    "top_bigram_fraction",
+    "mean_word_len",
+    "keep",
+]
+
+EDGE_TEXTS = [
+    "",  # one empty token (split('', ' ') semantics)
+    "word",  # single token → no bigrams → null top_bigram_fraction
+    "spam spam spam spam",  # fully repeated
+    "the quick brown fox jumps over the lazy dog",
+    "  leading   and \t trailing  ",  # whitespace collapse
+    "a b a b a b a b",  # repeated bigram
+    None,  # null text → all-null features
+    "one two three four five six seven eight nine ten",
+]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_arrow_kernel_matches_hof_reference(spark):
+    docs = _docs(spark, EDGE_TEXTS)
+    fast = with_repetition_features(docs).orderBy("doc_id").collect()
+    ref = with_repetition_features_hof(docs).orderBy("doc_id").collect()
+    assert len(fast) == len(ref) == len(EDGE_TEXTS)
+    for f, r in zip(fast, ref):
+        for c in FEATURES:
+            assert f[c] == r[c], (f.doc_id, c, f[c], r[c])
+
+
+def test_repetition_features_values(spark):
+    rows = {
+        r.doc_id: r
+        for r in with_repetition_features(_docs(spark, EDGE_TEXTS)).collect()
+    }
+    spammy = rows[2]
+    assert spammy.n_words == 4
+    assert spammy.dup_word_fraction == 0.75
+    assert spammy.top_word_fraction == 1.0
+    assert spammy.top_bigram_fraction == 1.0
+    assert spammy.keep is False
+    single = rows[1]
+    assert single.n_words == 1
+    assert single.top_bigram_fraction is None
+    nullrow = rows[6]
+    assert nullrow.n_words is None and nullrow.keep is None
+
+
+def test_repetition_features_on_fixture_corpus(spark):
+    # real corpus smoke: every non-null feature in-range, keep is boolean
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = with_repetition_features(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("top_word_fraction").alias("lo"),
+        F.max("top_word_fraction").alias("hi"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+    ).collect()[0]
+    assert out.n > 0
+    assert 0.0 < out.lo <= out.hi <= 1.0
+    assert 0 <= out.n_keep <= out.n

@@ -98,6 +98,42 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    # chain 1-2-3 needs 2 propagation rounds; max_iter=1 must raise, not
+    # return half-propagated labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, [(1, 2), (2, 3)]), max_iter=1)
+
+
+def test_kmeans_seeds_from_sparse_offset_ids(spark):
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    # ids 100,200,...,600: filter(vec_id < k) would seed ZERO centroids;
+    # the order-by-limit seed must yield exactly k
+    rows = [(100 * (i + 1), [float(i), float(i % 3)]) for i in range(6)]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = kmeans(embs, k=2, iters=1)
+    assert centroids.count() == 2
+    assert assigned.count() == 6
+    assert {r.cent_id for r in centroids.select("cent_id").collect()} <= {100, 200}
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    facts = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, lbl string")
+    for how in ("right", "full", "outer", "full_outer", "rightouter", "cross"):
+        with pytest.raises(ValueError, match="not fact-preserving"):
+            salted_join(facts, dim, "k", n_salt=4, how=how)
+    # left outer keeps working (fact-preserving): unmatched FACT rows survive once
+    facts2 = spark.createDataFrame([(1, 1.0), (9, 2.0)], "k bigint, v double")
+    out = salted_join(facts2, dim, "k", n_salt=4, how="left").collect()
+    assert len(out) == 2
+
+
 def test_salted_join_spreads_hot_key(spark):
     facts = spark.createDataFrame([(1, float(i)) for i in range(40)], "k bigint, v double")
     dim = spark.createDataFrame([(1, "hot")], "k bigint, lbl string")

@@ -112,7 +112,10 @@ def kmeans(
     centroids:   (cent_id, cent) after the final recompute.
     """
     vecs = _as_double_vec(embs, vec_col)
-    centroids = vecs.filter(F.col("vec_id") < k).select(
+    # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
+    # driver-side plan, still deterministic) — NOT filter(vec_id < k), which
+    # silently yields < k centroids when ids are sparse or offset
+    centroids = vecs.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent")
     )
     assigned = None

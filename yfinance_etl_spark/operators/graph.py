@@ -34,8 +34,10 @@ def connected_components(
     the smallest node id reachable from it (undirected).
 
     Converges when an iteration changes no label; ``max_iter`` bounds the
-    worst case (a path graph of diameter > max_iter would stop early — not
-    a shape dup clusters take).
+    worst case. If the label set is still changing when the bound is hit
+    (a path graph of diameter > max_iter — not a shape dup clusters take),
+    the result would be silently WRONG (some nodes not yet carrying their
+    component's min id), so that raises instead of returning.
     """
     # materialize the (static) edge set FIRST, then derive labels from the
     # checkpointed frame — deriving them from the raw plan would re-execute
@@ -51,6 +53,7 @@ def connected_components(
         "component", F.col("node")
     )
 
+    changed = None
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -76,6 +79,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"iterations ({changed} labels still changing) — the graph's "
+            "diameter exceeds the bound; raise max_iter"
+        )
     return labels
 
 

@@ -106,7 +106,20 @@ def salted_join(
     explicit salting only when the skew is known ahead of time (e.g. a
     power-law user-id distribution) or the join sits under an operator AQE
     can't split.
+
+    Only fact-preserving join types are legal: the dim side is REPLICATED
+    ``n_salt`` ways, so any ``how`` that emits unmatched dim rows
+    (``right``/``full`` outer) would return each of them ``n_salt`` times —
+    silently wrong multiplicity. Those raise instead.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — the replicated "
+            f"dim side would return unmatched dim rows {n_salt}×; use one of "
+            "inner/left/left_semi/left_anti (or an unsalted join)"
+        )
     salt = "__salt"
     # deterministic per-row salt: crc32 over ALL fact columns, so rows of
     # the same hot key still spread; mod keeps it in [0, n_salt)

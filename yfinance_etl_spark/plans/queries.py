@@ -2756,7 +2756,8 @@ c{i} AS (SELECT cent_id, list(cval ORDER BY pos) AS cent FROM m{i} GROUP BY cent
     parts = [
         "WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
         " AS vec FROM embeddings),",
-        f"c0 AS (SELECT vec_id AS cent_id, vec AS cent FROM vecs WHERE vec_id < {k})",
+        # k SMALLEST vec_ids, mirroring clustering.kmeans's sparse-id-safe seed
+        f"c0 AS (SELECT vec_id AS cent_id, vec AS cent FROM vecs ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(1, iters + 1):
         parts.append("," + assign_cte(i, f"c{i - 1}"))

@@ -69,6 +69,47 @@ def test_newsfeed_pagination_and_pushdown(spark):
         NewsFeedReader({"path": SF})
 
 
+def test_retry_recovers_after_transient_failures():
+    # streamlit_app.py:300-309 parity: retries = TOTAL attempts, so a
+    # twice-failing fetch succeeds with retries=3 and exhausts retries=2
+    from yfinance_etl_spark.sources.retry import call_with_retries
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert call_with_retries(flaky, retries=3, delay=0.0) == "ok"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    with pytest.raises(ConnectionError):
+        call_with_retries(flaky, retries=2, delay=0.0)
+    assert calls["n"] == 2
+
+    with pytest.raises(ValueError, match="retries"):
+        call_with_retries(lambda: 1, retries=0)
+
+
+def test_symbol_search_contract(spark):
+    from yfinance_etl_spark.sources.rest import symbol_search
+
+    symbols = spark.createDataFrame(
+        [("AAPL", "Apple Inc"), ("MSFT", "Microsoft"), ("APP", "AppLovin")],
+        "symbol string, description string",
+    )
+    # case-insensitive match on symbol OR description, reference label format
+    rows = {r.symbol: r.label for r in symbol_search(symbols, "app").collect()}
+    assert rows == {"AAPL": "AAPL - Apple Inc", "APP": "APP - AppLovin"}
+    # reference guard: empty query → empty result, schema intact
+    empty = symbol_search(symbols, "")
+    assert empty.count() == 0
+    assert empty.columns == ["symbol", "description", "label"]
+
+
 def test_interval_pushdown_monthly(spark):
     # S1 interval option: monthly bars are aggregated INSIDE the reader —
     # fewer rows come back, every ddate is a month start, and the monthly

@@ -2786,3 +2786,69 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
     )
     return cluster_profile(assigned, centroids)
+
+
+# ---------------------------------------------------------------------------
+# S7 symbol search (reference search_stocks(query) -> /search?q=,
+# streamlit_app.py:484-497): case-insensitive substring match over a small
+# symbols dimension built from the part table, each hit formatted as the
+# reference's "SYMBOL - description" display string. Pure map-side filter.
+# ---------------------------------------------------------------------------
+
+_SYMBOL_SEARCH_TERM = "blue"
+
+_SYMBOL_SEARCH_SQL = f"""
+WITH symbols AS (
+  SELECT 'P' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS symbol,
+         p_name AS description
+  FROM part
+)
+SELECT symbol, description, symbol || ' - ' || description AS label
+FROM symbols
+WHERE contains(lower(symbol), '{_SYMBOL_SEARCH_TERM}')
+   OR contains(lower(description), '{_SYMBOL_SEARCH_TERM}')
+"""
+
+
+@_register("symbol_search", _SYMBOL_SEARCH_SQL)
+def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.sources.rest import symbol_search
+
+    symbols = _t(spark, sf_dir, "part").select(
+        F.concat(
+            F.lit("P"), F.lpad(F.col("p_partkey").cast("string"), 6, "0")
+        ).alias("symbol"),
+        F.col("p_name").alias("description"),
+    )
+    return symbol_search(symbols, _SYMBOL_SEARCH_TERM)
+
+
+# ---------------------------------------------------------------------------
+# S5 completeness: expense-ratio-style SCALAR metadata lookup (reference
+# fund.info.get("expenseRatio", 0) * 100, streamlit_app.py:406-409) — the
+# scalar sibling of the map-typed sector_weights path: a fund_info frame
+# with a sometimes-missing ratio, defaulted via coalesce then scaled to %.
+# ---------------------------------------------------------------------------
+
+_EXPENSE_RATIO_SQL = """
+WITH fund_info AS (
+  SELECT s_suppkey AS fund_id, s_name AS fund_name,
+         CASE WHEN s_acctbal > 0 THEN s_acctbal / 100000.0 END AS expense_ratio
+  FROM supplier
+  WHERE s_suppkey <= 20
+)
+SELECT fund_id, fund_name,
+       ROUND(COALESCE(expense_ratio, 0) * 100, 6) AS expense_ratio_pct
+FROM fund_info
+"""
+
+
+@_register("fund_expense_ratio", _EXPENSE_RATIO_SQL)
+def q_fund_expense_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20)
+    ratio = F.when(F.col("s_acctbal") > 0, F.col("s_acctbal") / 100000.0)
+    return sup.select(
+        F.col("s_suppkey").alias("fund_id"),
+        F.col("s_name").alias("fund_name"),
+        F.round(F.coalesce(ratio, F.lit(0)) * 100, 6).alias("expense_ratio_pct"),
+    )

@@ -97,9 +97,14 @@ def _fetch_bars(
         WHERE {' AND '.join(preds)}
         GROUP BY 1, 2
     """
+    from yfinance_etl_spark.sources.retry import call_with_retries
+
     con = duckdb.connect()
     try:
-        reader = con.execute(q, params).fetch_record_batch()
+        # retry the request itself (reference streamlit_app.py:300-309);
+        # once the batch stream is open, failures fall through to Spark's
+        # task retry (the right layer for a partially-consumed partition)
+        reader = call_with_retries(lambda: con.execute(q, params).fetch_record_batch())
         yield from reader
     finally:
         con.close()

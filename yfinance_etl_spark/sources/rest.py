@@ -61,9 +61,12 @@ def _fetch_page(path: str, query: str, page: int, page_size: int):
         ORDER BY doc_id
         LIMIT {int(page_size)} OFFSET {int(page) * int(page_size)}
     """
+    from yfinance_etl_spark.sources.retry import call_with_retries
+
     con = duckdb.connect()
     try:
-        yield from con.execute(q, [query]).fetch_record_batch()
+        # bounded retry on the page request (streamlit_app.py:300-309 parity)
+        yield from call_with_retries(lambda: con.execute(q, [query]).fetch_record_batch())
     finally:
         con.close()
 
@@ -89,6 +92,42 @@ class NewsFeedReader(DataSourceReader):
 
     def read(self, partition: _PagePartition):
         yield from _fetch_page(self.path, self.query, partition.page, self.page_size)
+
+
+def symbol_search(symbols, query: str):
+    """S7: symbol-search scan (reference ``search_stocks(query)`` →
+    ``/search?q=``, streamlit_app.py:484-497) over a symbols DataFrame
+    with ``symbol`` and ``description`` columns.
+
+    Same contract as the Finnhub endpoint the reference wraps: empty /
+    missing query → empty result (``len(query) < 1`` guard); otherwise a
+    case-insensitive substring match on EITHER the symbol or the
+    description, each hit formatted as ``"SYMBOL - description"``
+    (the reference's display string) alongside the raw columns.
+
+    Scale: a pure Catalyst filter + projection — predicate evaluates
+    map-side in whole-stage codegen, no shuffle; on a partitioned symbols
+    table the contains() filter still prunes columns at the scan.
+    """
+    from pyspark.sql import functions as F
+
+    if not query:
+        return symbols.select(
+            "symbol", "description",
+            F.concat_ws(" - ", "symbol", "description").alias("label"),
+        ).limit(0)
+    q = F.lit(query.lower())
+    return (
+        symbols.filter(
+            F.lower(F.col("symbol")).contains(q)
+            | F.lower(F.col("description")).contains(q)
+        )
+        .select(
+            "symbol",
+            "description",
+            F.concat_ws(" - ", "symbol", "description").alias("label"),
+        )
+    )
 
 
 class NewsFeedDataSource(DataSource):

@@ -82,6 +82,60 @@ def test_dedup_within_watermark_first_wins(events_dir, spark):
     assert u2.event_id == 4 and u2.value == 40.0
 
 
+def test_stream_static_join_enriches_each_row(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = ST.run_to_memory(
+        ST.stream_static_join(ev, dim, "user_id"), "append"
+    ).collect()
+    assert len(out) == 5  # every event matched exactly once
+    tiers = {r.event_id: r.tier for r in out}
+    assert tiers[1] == "gold" and tiers[4] == "silver"
+
+
+def test_stream_static_join_left_keeps_unmatched(events_dir, spark):
+    ev = ST.read_events_stream(spark, events_dir)
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    out = ST.run_to_memory(
+        ST.stream_static_join(ev, dim, "user_id", "left"), "append"
+    ).collect()
+    assert len(out) == 5
+    assert {r.tier for r in out if r.user_id == 2} == {None}
+
+
+def test_stream_stream_join_interval_bounds(events_dir, spark):
+    # self-join: right rows within [l_ts, l_ts + 1h] on the same user.
+    # user 1: (00:00, 00:10) pair + both self-pairs; 07:30 only self.
+    # user 2: (01:59, 02:01) pair + self-pairs.
+    l = ST.read_events_stream(spark, events_dir)
+    r = ST.read_events_stream(spark, events_dir)
+    out = ST.run_to_memory(
+        ST.stream_stream_join(l, r, "user_id", within="1 hour"), "append"
+    ).collect()
+    pairs = sorted((r.l_event_id, r.r_event_id) for r in out)
+    assert pairs == [(1, 1), (1, 2), (2, 2), (3, 3), (4, 4), (4, 5), (5, 5)]
+    # payload columns carry the configured names
+    assert {c for c in out[0].asDict()} == {
+        "l_key", "l_ts", "l_event_id", "r_key", "r_ts", "r_event_id", "r_value"
+    }
+
+
+def test_stream_stream_join_custom_payload(events_dir, spark):
+    l = ST.read_events_stream(spark, events_dir)
+    r = ST.read_events_stream(spark, events_dir)
+    out = ST.run_to_memory(
+        ST.stream_stream_join(
+            l, r, "user_id",
+            left_payload=("event_type",), right_payload=("props",),
+        ),
+        "append",
+    )
+    assert set(out.columns) == {"l_key", "l_ts", "l_event_type", "r_key", "r_ts", "r_props"}
+    assert out.count() == 7
+
+
 def test_ema_state_carries_across_microbatches(spark, tmp_path):
     # two files + maxFilesPerTrigger=1 → two micro-batches; the GroupState
     # must carry (ema, n) so the final emission equals the full-series fold

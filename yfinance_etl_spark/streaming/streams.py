@@ -199,9 +199,13 @@ def stream_stream_join(
     within: str = "1 hour",
     left_wm: str = "1 hour",
     right_wm: str = "1 hour",
+    time: str = "ts",
+    left_payload: tuple[str, ...] = ("event_id",),
+    right_payload: tuple[str, ...] = ("event_id", "value"),
 ) -> DataFrame:
     """Stream-stream interval join: match right-side rows that occur on the
-    same key within [left.ts, left.ts + within].
+    same key within [left.ts, left.ts + within]. Payload columns come back
+    prefixed ``l_`` / ``r_`` (defaults match the events-table shape).
 
     Both sides carry a watermark and the join condition bounds event time
     in BOTH directions — that is what lets Spark evict join state: a
@@ -210,16 +214,15 @@ def stream_stream_join(
     grows forever; with it, state is O(rate × window) regardless of total
     stream length — the 100 TB/day-safe shape.
     """
-    l = left.withWatermark("ts", left_wm).select(
+    l = left.withWatermark(time, left_wm).select(
         F.col(key).alias("l_key"),
-        F.col("ts").alias("l_ts"),
-        F.col("event_id").alias("l_event_id"),
+        F.col(time).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left_payload],
     )
-    r = right.withWatermark("ts", right_wm).select(
+    r = right.withWatermark(time, right_wm).select(
         F.col(key).alias("r_key"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("value").alias("r_value"),
+        F.col(time).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_payload],
     )
     return l.join(
         r,

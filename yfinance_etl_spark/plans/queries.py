@@ -2852,3 +2852,122 @@ def q_fund_expense_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("fund_name"),
         F.round(F.coalesce(ratio, F.lit(0)) * 100, 6).alias("expense_ratio_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F3 per-column timezone normalization (reference tz_localize(None),
+# streamlit_app.py:392-393): the events fixture's naive (NTZ) event time
+# re-interpreted across zones with to_utc/from_utc_timestamp — the
+# column-level normalization the session-level UTC setting doesn't cover.
+# DST correctness rides on the IANA tzdb in both engines (the January and
+# July fixture months sit on both sides of the US DST switch).
+# ---------------------------------------------------------------------------
+
+_TZ_NORMALIZE_SQL = """
+SELECT event_id,
+       ts AS ts_local,
+       timezone('UTC', timezone('America/New_York', ts)) AS utc_from_ny,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_from_utc,
+       strftime(timezone('America/New_York', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M') AS ny_minute
+FROM events
+WHERE event_id < 500
+"""
+
+
+@_register("tz_normalize", _TZ_NORMALIZE_SQL)
+def q_tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ny_wall = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.select(
+        "event_id",
+        F.col("ts").alias("ts_local"),
+        F.to_utc_timestamp("ts", "America/New_York").alias("utc_from_ny"),
+        ny_wall.alias("ny_from_utc"),
+        F.date_format(ny_wall, "yyyy-MM-dd HH:mm").alias("ny_minute"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming joins as first-class gated queries (previously helper-only):
+# stream-static broadcast enrichment feeding a windowed agg, and the
+# watermark-evictable stream-stream interval join. Same bounded-input
+# stream/batch-equivalence claim as the other §2.10 queries.
+# ---------------------------------------------------------------------------
+
+_STREAM_ENRICHED_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+              ELSE 'other' END AS category
+  FROM events
+)
+SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS window_start,
+       d.category,
+       COUNT(*) AS n_events,
+       ROUND({S.dsum('e.value', S.STAT_SCALE)}, 6) AS sum_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY window_start, d.category
+"""
+
+
+@_register("stream_static_enriched", _STREAM_ENRICHED_SQL)
+def q_stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    # the static dim re-resolves per micro-batch; broadcast keeps the
+    # stream side shuffle-free (see streams.stream_static_join)
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("click", "view"), "engagement")
+            .otherwise("other"),
+        )
+    )
+    joined = ST.stream_static_join(ev, dim, "event_type")
+    windowed = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(dsum("value", STAT_SCALE)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "category", "n_events", "sum_value"
+        )
+    )
+    return ST.run_to_memory(windowed, "complete")
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT l.user_id AS user_id,
+       l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       r.value AS r_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.user_id < 20 AND r.user_id < 20
+"""
+
+
+@_register("stream_interval_join", _STREAM_INTERVAL_JOIN_SQL)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.streaming import streams as ST
+
+    bounded = ST.read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    joined = ST.stream_stream_join(
+        bounded, bounded, "user_id", within="30 minutes"
+    )
+    out = ST.run_to_memory(joined, "append")
+    return out.select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "r_value",
+    )

@@ -136,6 +136,21 @@ def test_salted_join_joins_on_salt(spark):
     assert "__salt" in plan
 
 
+def test_gopher_quality_is_map_only(spark):
+    # the repetition-count kernel is per-row Arrow compute: the whole
+    # feature projection must stay a single map stage — zero exchanges
+    # (this is exactly what the quadratic-HOF replacement bought; a future
+    # explode+groupBy rewrite would reintroduce two shuffles and fail here)
+    plan = _plan(spark, "doc_quality_gopher")
+    assert "Exchange" not in plan, f"quality features shuffled:\n{plan}"
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_symbol_search_filter_is_map_side(spark):
+    plan = _plan(spark, "symbol_search")
+    assert "Exchange" not in plan  # pure filter + projection
+
+
 def test_minhash_signatures_have_no_shuffle(spark):
     from yfinance_etl_spark.catalog import load_table
     from yfinance_etl_spark.operators.dedup import minhash_bands, simhash_signatures

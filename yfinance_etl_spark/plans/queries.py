@@ -2971,3 +2971,35 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         "r_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# P11 ticker-list parse as a gated query (previously unit-test-only): build
+# messy comma-joined watchlist strings per nation (stray spaces + empties,
+# the reference's text-input shape, streamlit_app.py:781-782), parse them
+# back through the F.transform/F.filter HOF chain, explode to rows. The
+# oracle states the semantic result directly (upper'd supplier tickers).
+# ---------------------------------------------------------------------------
+
+_WATCHLIST_SQL = """
+SELECT s_nationkey AS nationkey, upper('sup' || s_suppkey) AS ticker
+FROM supplier
+"""
+
+
+@_register("watchlist_parse", _WATCHLIST_SQL)
+def q_watchlist_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.functions.scalar import parse_ticker_list
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.concat(F.lit(" sup"), F.col("s_suppkey").cast("string"), F.lit(" ")).alias("tok"),
+    )
+    # one messy string per nation, with trailing empties the parser must drop
+    wl = sup.groupBy("s_nationkey").agg(
+        F.concat(F.concat_ws(",", F.collect_list("tok")), F.lit(",,")).alias("wl_str")
+    )
+    return wl.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.explode(parse_ticker_list("wl_str")).alias("ticker"),
+    )

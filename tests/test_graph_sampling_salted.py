@@ -66,6 +66,45 @@ def test_hash_bucket_range(spark):
     assert all(0 <= r.b < 100 for r in rows)
 
 
+def test_stratified_sample_respects_fractions_and_salt(spark):
+    from yfinance_etl_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, stratum string")
+    out = stratified_sample(df, "stratum", {"a": 0.5}, "doc_id", default_fraction=0.1)
+    got = out.groupBy("stratum").count().collect()
+    by = {r.stratum: r["count"] for r in got}
+    assert 400 < by.get("a", 0) < 600  # ~50% of 1000
+    assert 50 < by.get("b", 0) < 160  # ~10% of 1000
+    # repartition-stable (the determinism contract)
+    again = stratified_sample(
+        df.repartition(13), "stratum", {"a": 0.5}, "doc_id", default_fraction=0.1
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # a different salt draws a different sample (split-independence knob)
+    other = stratified_sample(
+        df, "stratum", {"a": 0.5}, "doc_id", default_fraction=0.1, salt="other"
+    )
+    assert {r.doc_id for r in other.collect()} != {r.doc_id for r in out.collect()}
+
+
+def test_pack_shards_matches_sequential_prefix_sum(spark):
+    from yfinance_etl_spark.operators.sampling import pack_shards
+
+    weights = [(i, 10 + (i * 7) % 50) for i in range(500)]
+    df = spark.createDataFrame(weights, "k bigint, w bigint")
+    out = {r.k: r.shard_id for r in pack_shards(df, "w", "k", budget=300, num_ranges=8).collect()}
+    run, expect = 0, {}
+    for k, w in weights:  # already in key order
+        expect[k] = run // 300
+        run += w
+    assert out == expect
+    # shard ids are contiguous from 0
+    assert set(out.values()) == set(range(max(out.values()) + 1))
+
+
 def test_tfidf_scores_match_hand_computation(spark):
     docs = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],

@@ -44,3 +44,96 @@ def with_split(
     for name, (lo, hi) in reversed(list(splits.items())):
         expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its salted hash
+    bucket falls under its stratum's fraction (e.g. up-sample rare, high-
+    quality sources and down-sample boilerplate-heavy ones — the standard
+    pretraining data-mixing move).
+
+    Same hash-mod contract as ``with_split`` — reproducible, repartition-
+    stable, zero shuffle — but SALTED, so the sample is independent of the
+    train/val/test assignment (the unsalted bucket would make 'sampled'
+    correlate with 'train'). Per-row Catalyst only; any engine re-derives
+    membership from (salt, key) alone.
+    """
+    b = hash_bucket(
+        F.concat(F.lit(f"{salt}:"), F.col(key).cast("string")), n_buckets
+    )
+    thresh = F.lit(int(round(default_fraction * n_buckets)))
+    for name, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == name, F.lit(int(round(frac * n_buckets)))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def pack_shards(
+    items: DataFrame,
+    weight_col: str,
+    key: str,
+    budget: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Greedy shard packing: items in ``key`` order are packed into shards
+    of ~``budget`` total weight — shard_id = floor(running_weight_before /
+    budget). The training-data use: pack documents into fixed-token-budget
+    output shards so every shard feeds a trainer the same work.
+
+    A global running sum is ORDER-dependent, which a naive single window
+    (no PARTITION BY) computes in ONE task — a non-starter at scale. This
+    is the distributed prefix-sum shape instead:
+
+    1. ``repartitionByRange(key)`` — ranges ascend with partition id;
+    2. per-partition running sums via a window keyed on the partition id
+       (parallel across ranges);
+    3. per-partition TOTALS — ``num_ranges`` numbers, not data — come to
+       the driver, where the exclusive prefix offsets are computed and
+       broadcast back (the one legitimate driver round-trip: k scalars,
+       the same trick every distributed scan/sort uses for bounds);
+    4. global running = partition offset + local running.
+
+    Cost at any scale: one range shuffle + one pid-window shuffle + a
+    broadcast of ``num_ranges`` rows. Output is identical for ANY range
+    boundaries, so the range sampler's choices never affect results.
+    """
+    pid, lcum, off = "__pid", "__lcum", "__off"
+    from pyspark.sql import Window
+
+    ranged = items.repartitionByRange(num_ranges, F.col(key)).withColumn(
+        pid, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(lcum, F.sum(weight_col).over(w))
+    totals = sorted(
+        local.groupBy(pid).agg(F.max(lcum).alias("t")).collect(),
+        key=lambda r: r[pid],
+    )
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r[pid], running))
+        running += r["t"]
+    off_df = F.broadcast(
+        items.sparkSession.createDataFrame(offsets, f"{pid} int, {off} long")
+    )
+    return (
+        local.join(off_df, pid)
+        .withColumn(
+            "shard_id",
+            F.floor((F.col(off) + F.col(lcum) - F.col(weight_col)) / F.lit(float(budget))).cast("long"),
+        )
+        .drop(pid, lcum, off)
+    )

@@ -3003,3 +3003,77 @@ def q_watchlist_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
         F.explode(parse_ticker_list("wl_str")).alias("ticker"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining data-mixing: deterministic per-stratum sampling (up-weight
+# some sources, down-weight the rest) — salted hash-mod membership, so the
+# sample is independent of the train/val/test assignment and reproducible
+# from (salt, doc_id) alone in any engine. Zero shuffle.
+# ---------------------------------------------------------------------------
+
+_STRAT_FRACTIONS = {"src0": 0.6, "src1": 0.3}
+_STRAT_DEFAULT = 0.1
+
+_STRATIFIED_SQL = f"""
+WITH bucketed AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+)
+SELECT doc_id, source
+FROM bucketed
+WHERE b < CASE source WHEN 'src0' THEN {int(_STRAT_FRACTIONS['src0'] * 10000)}
+                      WHEN 'src1' THEN {int(_STRAT_FRACTIONS['src1'] * 10000)}
+                      ELSE {int(_STRAT_DEFAULT * 10000)} END
+"""
+
+
+@_register("stratified_sample", _STRATIFIED_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, "source", _STRAT_FRACTIONS, "doc_id", default_fraction=_STRAT_DEFAULT
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (training-data sharding): documents in doc_id
+# order packed into ~2000-token shards via the DISTRIBUTED prefix-sum
+# (range partition → per-range window → k-scalar offset broadcast) — never
+# the single-task global window. Oracle replays the same running sum.
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2000
+
+_SHARD_PACKING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((c - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+FROM cum
+"""
+
+
+@_register("shard_packing", _SHARD_PACKING_SQL)
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import pack_shards
+    from yfinance_etl_spark.operators.text import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_shards(toks, "n_tokens", "doc_id", _SHARD_BUDGET).select(
+        "doc_id", "n_tokens", "shard_id"
+    )

@@ -37,6 +37,36 @@ def test_salted_split_for_big_partitions(spark, tmp_path):
     assert read_back(spark, out).count() == 1000
 
 
+def test_compact_merges_small_files_and_preserves_values(spark, tmp_path):
+    from yfinance_etl_spark.sources.sink import compact
+
+    out = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i, float(i)) for i in range(5000)], "id long, v double")
+    df.repartition(16).write.parquet(out)
+    assert len(glob.glob(f"{out}/*.parquet")) == 16
+    n = compact(spark, out)  # tiny table → one ~512MB-target task
+    assert n == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    back = read_back(spark, out)
+    assert back.count() == 5000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(range(5000))
+    # no leftover staging/backup directories from the atomic swap
+    assert glob.glob(str(tmp_path / "frag__*")) == []
+
+
+def test_compact_keeps_hive_partitions(spark, tmp_path):
+    from yfinance_etl_spark.sources.sink import compact
+
+    out = str(tmp_path / "part")
+    df = spark.createDataFrame([(i, f"g{i % 2}") for i in range(400)], "id long, grp string")
+    df.repartition(8).write.partitionBy("grp").parquet(out)
+    assert len(glob.glob(f"{out}/grp=g0/*.parquet")) > 1
+    compact(spark, out, partition_by=("grp",))
+    for g in ("g0", "g1"):
+        assert len(glob.glob(f"{out}/grp={g}/*.parquet")) == 1
+    assert read_back(spark, out).filter("grp = 'g1'").count() == 200
+
+
 def test_incremental_overwrites_only_delta_partitions(spark, tmp_path):
     from yfinance_etl_spark.sources.sink import write_incremental
 

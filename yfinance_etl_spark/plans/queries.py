@@ -3077,3 +3077,35 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(toks, "n_tokens", "doc_id", _SHARD_BUDGET).select(
         "doc_id", "n_tokens", "shard_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 operational path: small-file compaction. A fragmented sink (here: a
+# deliberate 32-task write) is compacted to ~target-size files with an
+# atomic directory swap; the read-back aggregate must equal the oracle on
+# the source table — compaction may never change values, only layout.
+# ---------------------------------------------------------------------------
+
+_COMPACT_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND({S.dsum('o_totalprice')}, 2) AS sum_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("compacted_sink_roundtrip", _COMPACT_SQL)
+def q_compacted_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.sources.sink import compact, read_back
+
+    out = os.path.join(scratch_dir("yfinance_etl_compact", sf_dir, fresh=True), "orders")
+    _t(spark, sf_dir, "orders").repartition(32).write.parquet(out)
+    compact(spark, out)
+    return read_back(spark, out).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 2).alias("sum_total"),
+    )

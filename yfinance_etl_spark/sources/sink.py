@@ -84,6 +84,51 @@ def write_incremental(
     )
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory so each output
+    file is ~``target_file_bytes``. Returns the output task count.
+
+    The operational reality behind it: streaming micro-batches, incremental
+    partition overwrites, and high-task-count shuffles all accrete files
+    far below the ~128 MB-1 GB sweet spot, and at 100 TB the resulting
+    listing/open overhead (plus one scheduler task per tiny file) dominates
+    scan time. Compaction = read → repartition to ceil(bytes/target) tasks
+    → rewrite → atomic directory swap. The byte size comes from the file
+    system listing (driver-side metadata, not data); the swap via rename
+    keeps readers from ever seeing a half-written directory.
+
+    With ``partition_by`` the rewrite keys tasks by the partition columns
+    (one file per key, same contract as ``write_partitioned``); without it
+    rows round-robin across the computed task count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    out = df.repartition(*partition_by) if partition_by else df.repartition(n)
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

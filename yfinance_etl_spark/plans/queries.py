@@ -3109,3 +3109,79 @@ def q_compacted_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(dsum("o_totalprice"), 2).alias("sum_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics staples over the events table — the queries every
+# large-scale event pipeline runs daily, composed from existing engine
+# primitives (the as-of join, keyed aggs), nothing bespoke:
+#  * funnel_conversions — click→purchase attribution within 1h, via
+#    operators/joins.asof_join; the DuckDB oracle uses its NATIVE ASOF
+#    LEFT JOIN, so the engine's union+sort+carry-forward shape is checked
+#    against a first-party implementation of the semantics.
+#  * cohort_retention — first-activity-week cohorts × active weeks. Two
+#    user-keyed aggs sharing one shuffle key, then a co-partitioned join
+#    and a tiny (weeks²) final agg — the 100 TB-safe shape.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       COUNT(*) AS n_purchases,
+       SUM(CASE WHEN c.ts IS NOT NULL AND c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END) AS n_converted
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY p.user_id
+"""
+
+
+@_register("funnel_conversions", _FUNNEL_SQL)
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    # latest click at-or-before each purchase; converted iff within the hour
+    attributed = asof_join(purchases, clicks, key="user_id", time="ts", right_payload=["ts"])
+    converted = F.when(
+        F.col("asof_ts").isNotNull()
+        & (F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        1,
+    ).otherwise(0)
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(converted).alias("n_converted"),
+    )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week, a.active_week, COUNT(*) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, a.active_week
+"""
+
+
+@_register("cohort_retention", _COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return activity.join(firsts, "user_id").groupBy(
+        "cohort_week", "active_week"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -48,6 +48,51 @@ def test_dsum_matches_exact_decimal_arithmetic(spark, xs):
     assert got == float(exact)
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_pack_shards_invariant_under_partitioning(spark, rows, n_parts):
+    # shard assignment must depend on KEY ORDER alone — never on how rows
+    # arrive (the distributed prefix-sum's correctness claim)
+    from yfinance_etl_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    a = {
+        r.k: r.shard_id
+        for r in pack_shards(df, "w", "k", budget=700, num_ranges=n_parts).collect()
+    }
+    run, expect = 0, {}
+    for k, w in sorted(rows):
+        expect[k] = run // 700
+        run += w
+    assert a == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=2, max_value=9))
+def test_stratified_sample_membership_is_partition_free(spark, n_parts):
+    from yfinance_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)], "doc_id bigint, stratum string"
+    )
+    base = {r.doc_id for r in stratified_sample(df, "stratum", {"s0": 0.5}, "doc_id", 0.2).collect()}
+    re = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(n_parts), "stratum", {"s0": 0.5}, "doc_id", 0.2
+        ).collect()
+    }
+    assert base == re
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=10))
 def test_sentiment_hof_udf_agree_on_arbitrary_text(spark, texts):

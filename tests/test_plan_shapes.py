@@ -151,6 +151,19 @@ def test_symbol_search_filter_is_map_side(spark):
     assert "Exchange" not in plan  # pure filter + projection
 
 
+def test_funnel_single_shuffle(spark):
+    # as-of window + per-user agg share the user_id partitioning: one exchange
+    plan = _plan(spark, "funnel_conversions")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cohort_two_exchanges(spark):
+    # one fact shuffle (user agg carrying min + week set) + the weeks² final
+    # agg; the naive distinct⋈firsts shape costs three
+    plan = _plan(spark, "cohort_retention")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_minhash_signatures_have_no_shuffle(spark):
     from yfinance_etl_spark.catalog import load_table
     from yfinance_etl_spark.operators.dedup import minhash_bands, simhash_signatures

@@ -3175,13 +3175,19 @@ GROUP BY f.cohort_week, a.active_week
 
 @_register("cohort_retention", _COHORT_SQL)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the naive shape (per-user min ⋈ distinct(user, week)) pays a THIRD
+    # exchange: the distinct partitions by (user, week), which the join on
+    # user alone can't reuse. One user-keyed agg carrying BOTH the min and
+    # the week set (bounded by #weeks, not #events) needs exactly one fact
+    # shuffle + the tiny weeks² final agg.
     ev = _t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.collect_set(week).alias("weeks"),
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
-    ).distinct()
-    return activity.join(firsts, "user_id").groupBy(
-        "cohort_week", "active_week"
-    ).agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        per_user.select("cohort_week", F.explode("weeks").alias("active_week"))
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -78,3 +78,40 @@ def test_dsum_is_partitioning_insensitive(spark):
 def test_davg(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
     assert df.agg(davg("x").alias("v")).collect()[0].v == 1.5
+
+
+def test_tz_conversion_dst_edges(spark):
+    """F3: Spark and the DuckDB oracle agree on every unambiguous local
+    time INCLUDING the nonexistent spring-forward hour; the ambiguous
+    fall-back hour is the ONE documented divergence (Spark → earlier/DST
+    offset, DuckDB → later/standard offset), pinned here so a tzdb or
+    engine upgrade that shifts it is caught."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    locals_ = [
+        "2024-01-15 12:00:00",  # winter (EST)
+        "2024-07-15 12:00:00",  # summer (EDT)
+        "2024-03-10 02:30:00",  # nonexistent (spring forward)
+        "2024-11-03 01:30:00",  # ambiguous (fall back)
+    ]
+    df = spark.createDataFrame([(t,) for t in locals_], "t string")
+    got = {
+        r.t: r.u
+        for r in df.select(
+            "t",
+            F.to_utc_timestamp(F.col("t").cast("timestamp_ntz"), "America/New_York").alias("u"),
+        ).collect()
+    }
+    duck = {
+        t: duckdb.sql(
+            f"SELECT timezone('UTC', timezone('America/New_York', TIMESTAMP '{t}'))"
+        ).fetchone()[0]
+        for t in locals_
+    }
+    for t in locals_[:3]:
+        assert got[t] == duck[t], t
+    # the ambiguous hour: engines differ by exactly the DST offset
+    amb = locals_[3]
+    assert got[amb].hour == 5 and duck[amb].hour == 6

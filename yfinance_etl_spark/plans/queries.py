@@ -2789,7 +2789,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S7 symbol search (reference search_stocks(query) -> /search?q=,
+# S7 symbol search (reference search_stocks(query) → /search?q=,
 # streamlit_app.py:484-497): case-insensitive substring match over a small
 # symbols dimension built from the part table, each hit formatted as the
 # reference's "SYMBOL - description" display string. Pure map-side filter.
@@ -2859,8 +2859,11 @@ def q_fund_expense_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streamlit_app.py:392-393): the events fixture's naive (NTZ) event time
 # re-interpreted across zones with to_utc/from_utc_timestamp — the
 # column-level normalization the session-level UTC setting doesn't cover.
-# DST correctness rides on the IANA tzdb in both engines (the January and
-# July fixture months sit on both sides of the US DST switch).
+# Both engines ride the IANA tzdb and agree on every unambiguous instant
+# INCLUDING the nonexistent spring-forward hour; they diverge only on the
+# ambiguous fall-back hour (Spark resolves to the earlier/DST offset,
+# DuckDB to the later/standard one — pinned in tests/test_scalar.py). The
+# January fixture contains no ambiguous instants, so the oracle is exact.
 # ---------------------------------------------------------------------------
 
 _TZ_NORMALIZE_SQL = """

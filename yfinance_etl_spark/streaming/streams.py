@@ -66,19 +66,37 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time(ns_ts_to_micros(spark.readStream.schema(schema).parquet(src)))
 
 
-def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 8) -> DataFrame:
     """Execute a streaming plan to completion (AvailableNow) into a memory
-    sink and return the result as a batch DataFrame."""
+    sink and return the result as a batch DataFrame.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around the
+    run (restored after): a stateful query materializes one state store
+    PER shuffle partition PER stateful operator, and on the bounded fixture
+    streams that per-store setup overhead dominates — 8 stores run the
+    tumbling fixture 3× faster than 32. The right number tracks key
+    cardinality × event rate, NOT the batch shuffle default: a production
+    deployment at real rate passes None (keep the session value) or sizes
+    it to executor-cores × a small factor. Results are identical for any
+    value — partitioning is physical only.
+    """
+    spark = df.sparkSession
     name = f"stream_result_{next(_uid)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

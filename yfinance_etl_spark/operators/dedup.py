@@ -361,3 +361,29 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared_bands", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def contamination_overlap(
+    candidates: DataFrame, benchmark: DataFrame, min_overlap: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_overlap) for every candidate
+    document sharing ≥ ``min_overlap`` distinct word shingles with ANY
+    benchmark document — the cross-set sibling of the self-join dedup
+    family (a pretraining pipeline drops training docs that leak eval
+    data, it does not merely dedup them against each other).
+
+    Scale shape: benchmark suites are tiny relative to the corpus, so the
+    benchmark's DISTINCT shingle set broadcasts and the candidate side
+    never shuffles — a map-side hash semi-join + one doc-keyed count, no
+    matter how large the corpus. (A benchmark too big to broadcast falls
+    back to the shingle-keyed equi-join, the inverted-index shape of
+    ``jaccard_pairs``.)
+    """
+    bench = F.broadcast(doc_shingles(benchmark).select("shingle").distinct())
+    cand = doc_shingles(candidates)
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

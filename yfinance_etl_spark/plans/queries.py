@@ -3194,3 +3194,30 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data pipeline): candidate docs
+# sharing >= 3 distinct shingles with a (deterministic) benchmark subset.
+# The benchmark shingle set broadcasts; the corpus side never shuffles
+# before the doc-keyed count — the cross-set sibling of dedup_ngram_jaccard.
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_SQL = f"""
+WITH {_SHINGLE_CTES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 3),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 3)
+SELECT c.doc_id, COUNT(*) AS n_overlap
+FROM cand c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+@_register("contamination_check", _CONTAMINATION_SQL)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 3
+    return contamination_overlap(docs.filter(~is_bench), docs.filter(is_bench))

@@ -93,6 +93,40 @@ def image_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize shape for image payloads: scale each asset so its longest
+    side is ≤ ``max_dim`` (never upscale), emitting NEW binary assets with
+    updated metadata — the standard normalize-before-train step. Same
+    mapInPandas plumbing as decode; a real deployment swaps the arithmetic
+    for ``PIL.Image.resize`` and the Spark surface is unchanged.
+
+    Deterministic fake semantics (what the oracle can replay): new_w/new_h
+    floor-scale by ``max_dim / max(w, h)``; the body byte count scales by
+    the area ratio (floor), standing in for the pixel buffer shrinking.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                w, h, body = _decode_payload(bytes(content))
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = int(w * scale), int(h * scale)
+                nbody = body[: (len(body) * nw * nh) // (w * h)]
+                payload = b"IMG|%d|%d|%b" % (nw, nh, nbody)
+                new_meta = {"kind": meta["kind"], "width": nw, "height": nh, "mime": meta["mime"]}
+                rows.append((doc_id, payload, new_meta))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    # output keeps the (doc_id, content, meta) asset contract, so decode/
+    # feature ops compose over resized assets unchanged
+    return assets.mapInPandas(
+        resize,
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+
+
 def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling shape for video-like payloads: body split on NUL
     markers, every Nth frame kept. Same mapInPandas plumbing as decode."""

@@ -3221,3 +3221,47 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 97 == 3
     return contamination_overlap(docs.filter(~is_bench), docs.filter(is_bench))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize: assets normalized so the longest side is <= 64 (never
+# upscaled), then re-decoded through the SAME feature extractor — the
+# composability claim (resize output keeps the asset contract) is what the
+# oracle checks, replaying the deterministic scale arithmetic in SQL.
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, text, 64 + doc_id % 64 AS w, 48 + doc_id % 48 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, text, w, h,
+         CAST(FLOOR(w * LEAST(1.0, 64.0 / GREATEST(w, h))) AS INT) AS width,
+         CAST(FLOOR(h * LEAST(1.0, 64.0 / GREATEST(w, h))) AS INT) AS height
+  FROM dims
+),
+resized AS (
+  SELECT doc_id, width, height,
+         substr(text, 1, CAST((strlen(text) * width * height) // (w * h) AS INT)) AS body
+  FROM scaled
+)
+SELECT doc_id, 'image' AS kind, width, height,
+       octet_length(encode('IMG|' || CAST(width AS VARCHAR) || '|'
+                    || CAST(height AS VARCHAR) || '|' || body)) AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(regexp_split_to_array(body, ''), c -> ascii(c))), 0)
+            % 256 AS INT) AS checksum
+FROM resized
+"""
+
+
+@_register("multimodal_resize", _MULTIMODAL_RESIZE_SQL)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import (
+        image_features,
+        resize_images,
+        synthesize_image_assets,
+    )
+
+    assets = synthesize_image_assets(_t(spark, sf_dir, "documents"))
+    return image_features(resize_images(assets, max_dim=64))

@@ -45,3 +45,29 @@ def test_sample_frames_stride(spark):
     assets = synthesize_image_assets(df)
     got = sorted((r.frame_id, r.frame_bytes) for r in sample_frames(assets, every_n=2).collect())
     assert [f for f, _ in got] == [0, 2, 4]
+
+
+def test_resize_caps_longest_side_and_composes(spark):
+    from yfinance_etl_spark.multimodal.columns import (
+        image_features,
+        resize_images,
+        synthesize_image_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (63, "y" * 100), (47, "z" * 100)], "doc_id bigint, text string"
+    )
+    # doc 0: 64x48 (already within cap → untouched); doc 63: 127x63;
+    # doc 47: 111x95
+    out = {
+        r.doc_id: r
+        for r in image_features(resize_images(synthesize_image_assets(docs), 64)).collect()
+    }
+    assert (out[0].width, out[0].height) == (64, 48)  # no upscale, no change
+    assert out[0].n_bytes == len("IMG|64|48|" + "x" * 100)
+    for r in out.values():
+        assert max(r.width, r.height) <= 64
+    # 127x63 → scale 64/127: width 64, height 31; body shrunk by area ratio
+    assert (out[63].width, out[63].height) == (64, 31)
+    expected_body = (100 * 64 * 31) // (127 * 63)
+    assert out[63].n_bytes == len("IMG|64|31|") + expected_body

@@ -3265,3 +3265,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthesize_image_assets(_t(spark, sf_dir, "documents"))
     return image_features(resize_images(assets, max_dim=64))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: video-like payloads (NUL-delimited frames —
+# here: document words as frames) sampled every Nth, through the same
+# mapInPandas plumbing as decode. Oracle replays the split + stride in SQL.
+# ---------------------------------------------------------------------------
+
+_FRAME_SAMPLE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS frame_id,
+       CAST(strlen(t[i]) AS INT) AS frame_bytes
+FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+WHERE (i - 1) % 2 = 0
+"""
+
+
+@_register("frame_sample", _FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import sample_frames, synthesize_image_assets
+
+    # words become NUL-delimited "frames" in the fake payload. regexp_replace,
+    # NOT translate: translate treats a NUL in the replacement alphabet as
+    # end-of-string and silently deletes instead of substituting
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " ", "\x00")
+    )
+    return sample_frames(synthesize_image_assets(docs), every_n=2)

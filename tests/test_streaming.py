@@ -136,6 +136,46 @@ def test_stream_stream_join_custom_payload(events_dir, spark):
     assert out.count() == 7
 
 
+def test_watermark_drops_late_event_after_window_finalized(spark, tmp_path):
+    # St3 late-data semantics proper (not just bounded equivalence). What
+    # watermarks GUARANTEE: a window whose end the watermark has passed is
+    # finalized/emitted, and later arrivals for it are dropped. What they
+    # do NOT guarantee: dropping data the very batch the watermark first
+    # covers it (the filter lags one batch; rows between old and new
+    # watermark MAY still merge). Three micro-batches pin the guaranteed
+    # path: batch 0 raises max event time to 10:30 (watermark → 09:30);
+    # batch 1 (12:30 event) finalizes the 08:00 window at count 1 and moves
+    # the watermark to 11:30; batch 2's 08:45 straggler targets a finalized
+    # window and MUST be discarded, never re-emitted.
+    import os
+    import time
+
+    from yfinance_etl_spark.streaming.streams import tumbling_counts
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    files = [
+        [(1, _ts(8, 30), 1, "click", 1.0, "{}"), (2, _ts(10, 30), 1, "click", 1.0, "{}")],
+        [(4, _ts(12, 30), 1, "click", 1.0, "{}")],
+        [(3, _ts(8, 45), 1, "click", 1.0, "{}")],  # straggler, 2 batches late
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    out = ST.run_to_memory(tumbling_counts(stream), "append").collect()
+    emitted = {(r.window_start, r.event_type): r.n_events for r in out}
+    # 08:00 closed WITHOUT the straggler; 10:00 closed normally; 12:00 still
+    # open (watermark never passed its end) so append mode never emits it
+    assert emitted == {(_ts(8), "click"): 1, (_ts(10), "click"): 1}
+
+
 def test_ema_state_carries_across_microbatches(spark, tmp_path):
     # two files + maxFilesPerTrigger=1 → two micro-batches; the GroupState
     # must carry (ema, n) so the final emission equals the full-series fold

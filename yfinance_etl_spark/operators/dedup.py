@@ -364,23 +364,28 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
 
 
 def contamination_overlap(
-    candidates: DataFrame, benchmark: DataFrame, min_overlap: int = 3
+    docs: DataFrame, bench_pred, min_overlap: int = 3
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, n_overlap) for every candidate
     document sharing ≥ ``min_overlap`` distinct word shingles with ANY
     benchmark document — the cross-set sibling of the self-join dedup
     family (a pretraining pipeline drops training docs that leak eval
     data, it does not merely dedup them against each other).
+    ``bench_pred`` is a boolean Column over the shingle frame's ``doc_id``
+    marking benchmark membership; everything else is a candidate.
 
-    Scale shape: benchmark suites are tiny relative to the corpus, so the
-    benchmark's DISTINCT shingle set broadcasts and the candidate side
-    never shuffles — a map-side hash semi-join + one doc-keyed count, no
-    matter how large the corpus. (A benchmark too big to broadcast falls
-    back to the shingle-keyed equi-join, the inverted-index shape of
-    ``jaccard_pairs``.)
+    Scale shape: the corpus is shingled ONCE — the same ``doc_shingles``
+    subplan the dedup family shares (so a cached/materialized shingle
+    stage substitutes here too) — then split by the predicate. Benchmark
+    suites are tiny relative to the corpus, so the benchmark's DISTINCT
+    shingle set broadcasts and the candidate side never shuffles: a
+    map-side hash join + one doc-keyed count, no matter how large the
+    corpus. (A benchmark too big to broadcast falls back to the
+    shingle-keyed equi-join, the inverted-index shape of ``jaccard_pairs``.)
     """
-    bench = F.broadcast(doc_shingles(benchmark).select("shingle").distinct())
-    cand = doc_shingles(candidates)
+    sh = doc_shingles(docs)
+    bench = F.broadcast(sh.filter(bench_pred).select("shingle").distinct())
+    cand = sh.filter(~bench_pred)
     return (
         cand.join(bench, "shingle")
         .groupBy("doc_id")

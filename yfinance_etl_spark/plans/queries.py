@@ -3219,8 +3219,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.dedup import contamination_overlap
 
     docs = _t(spark, sf_dir, "documents")
-    is_bench = F.col("doc_id") % 97 == 3
-    return contamination_overlap(docs.filter(~is_bench), docs.filter(is_bench))
+    return contamination_overlap(docs, F.col("doc_id") % 97 == 3)
 
 
 # ---------------------------------------------------------------------------

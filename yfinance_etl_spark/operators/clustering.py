@@ -111,7 +111,11 @@ def kmeans(
     assignments: (vec_id, vec, cent_id, d2) under the FINAL centroids;
     centroids:   (cent_id, cent) after the final recompute.
     """
-    vecs = _as_double_vec(embs, vec_col)
+    # materialize the (static) vector frame once: it appears in every Lloyd
+    # round's assign, so without the checkpoint the single final job would
+    # rescan + re-cast it iters+1 times (same lineage-truncation pattern as
+    # graph.connected_components)
+    vecs = _as_double_vec(embs, vec_col).localCheckpoint(eager=True)
     # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
     # driver-side plan, still deterministic) — NOT filter(vec_id < k), which
     # silently yields < k centroids when ids are sparse or offset

@@ -34,6 +34,10 @@ REGISTRY: dict[str, Query] = {}
 
 def _register(name: str, oracle: str | None):
     def deco(fn):
+        # a duplicate name would silently REPLACE an existing query and
+        # shrink the correctness gate by one — fail loudly instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = Query(fn, oracle)
         return fn
 

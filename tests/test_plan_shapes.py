@@ -151,6 +151,22 @@ def test_symbol_search_filter_is_map_side(spark):
     assert "Exchange" not in plan  # pure filter + projection
 
 
+def test_stratified_sample_zero_shuffle(spark):
+    # salted hash-mod membership is a pure per-row filter
+    plan = _plan(spark, "stratified_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_shard_packing_two_exchanges(spark):
+    # the distributed prefix-sum: one range exchange + one pid-window
+    # exchange; the offset table joins by broadcast (its BroadcastExchange
+    # moves num_ranges rows, not data), never a third shuffle
+    plan = _plan(spark, "shard_packing")
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    assert n_shuffles == 2, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_funnel_single_shuffle(spark):
     # as-of window + per-user agg share the user_id partitioning: one exchange
     plan = _plan(spark, "funnel_conversions")

@@ -193,7 +193,12 @@ def rolling_hashes_udf(texts: pd.Series) -> pd.Series:
     def hashes(t):
         if t is None:
             return None
-        codes = np.array([ord(c) for c in t], dtype=np.int64)
+        try:
+            # ASCII fast path: byte values ARE the codepoints, and frombuffer
+            # beats the per-char ord() comprehension by ~2 orders of magnitude
+            codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        except UnicodeEncodeError:
+            codes = np.array([ord(c) for c in t], dtype=np.int64)
         if len(codes) < RH_K:
             return []
         # correlate (unlike convolve) does NOT flip the kernel:

@@ -105,6 +105,30 @@ def test_pack_shards_matches_sequential_prefix_sum(spark):
     assert set(out.values()) == set(range(max(out.values()) + 1))
 
 
+def test_pack_shards_exact_at_partial_sampling_scale(spark):
+    # 200k rows / 16 ranges: repartitionByRange samples only a SUBSET of
+    # rows for its boundaries and re-samples per execution. Round 5 shipped
+    # without the localCheckpoint pin and assigned wrong shard ids to ~2/3
+    # of rows at this size (offsets from execution 1 applied to execution
+    # 2's different partitioning) — this is the regression test for that.
+    from yfinance_etl_spark.operators.sampling import pack_shards
+
+    n, budget = 200_000, 9_999
+    df = (
+        spark.range(n, numPartitions=16)
+        .withColumnRenamed("id", "k")
+        .withColumn("w", (F.col("k") * 7919 % 97 + 1).cast("long"))
+    )
+    out = pack_shards(df, "w", "k", budget=budget, num_ranges=16).collect()
+    run, expect = 0, {}
+    for k in range(n):  # key order
+        expect[k] = run // budget
+        run += k * 7919 % 97 + 1
+    got = {r.k: r.shard_id for r in out}
+    wrong = sum(1 for k, s in got.items() if expect[k] != s)
+    assert wrong == 0, f"{wrong}/{n} rows got a wrong shard id"
+
+
 def test_tfidf_scores_match_hand_computation(spark):
     docs = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],

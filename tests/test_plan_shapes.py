@@ -160,11 +160,22 @@ def test_stratified_sample_zero_shuffle(spark):
 def test_shard_packing_two_exchanges(spark):
     # the distributed prefix-sum: one range exchange + one pid-window
     # exchange; the offset table joins by broadcast (its BroadcastExchange
-    # moves num_ranges rows, not data), never a third shuffle
+    # moves num_ranges rows, not data), never a third shuffle. The final
+    # plan scans the checkpointed prefix frame (the pin that keeps the
+    # totals collect and the output join on the SAME range boundaries), so
+    # the two exchanges are asserted on the pre-checkpoint stage.
+    from yfinance_etl_spark.operators.sampling import _local_prefix
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "k bigint, w bigint")
+    stage = _local_prefix(df, "w", "k", 8)
+    stage_plan = stage._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = stage_plan.count("Exchange hashpartitioning") + stage_plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles == 2, stage_plan
     plan = _plan(spark, "shard_packing")
-    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
-    assert n_shuffles == 2, plan
     assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # no third shuffle after the scan
 
 
 def test_funnel_single_shuffle(spark):

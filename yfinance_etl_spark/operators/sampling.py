@@ -77,6 +77,27 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def _local_prefix(
+    items: DataFrame, weight_col: str, key: str, num_ranges: int
+) -> DataFrame:
+    """Range-partitioned per-partition running sums (stages 1-2 of the
+    distributed prefix sum): one range exchange + one pid-window exchange.
+    Split out so plan-shape tests can pin the two-shuffle stage before
+    ``pack_shards`` truncates its lineage with the checkpoint."""
+    from pyspark.sql import Window
+
+    pid, lcum = "__pid", "__lcum"
+    ranged = items.repartitionByRange(num_ranges, F.col(key)).withColumn(
+        pid, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(lcum, F.sum(weight_col).over(w))
+
+
 def pack_shards(
     items: DataFrame,
     weight_col: str,
@@ -104,20 +125,22 @@ def pack_shards(
 
     Cost at any scale: one range shuffle + one pid-window shuffle + a
     broadcast of ``num_ranges`` rows. Output is identical for ANY range
-    boundaries, so the range sampler's choices never affect results.
+    boundaries — but only if the SAME boundaries back both the totals
+    collect and the final join. ``repartitionByRange`` re-samples its
+    boundaries on every execution (Spark seeds the sampler from the fresh
+    RDD id), so the prefix-summed frame is pinned with an eager
+    ``localCheckpoint`` before the totals come to the driver; the returned
+    join then reuses the exact partitioning the offsets were computed
+    from. Without the pin, the two executions see different partition
+    contents and offsets from run 1 get applied to run 2 — silently wrong
+    shard ids at any scale where the range sampler is partial (the same
+    lineage-truncation pattern kmeans and connected_components use).
     """
     pid, lcum, off = "__pid", "__lcum", "__off"
-    from pyspark.sql import Window
 
-    ranged = items.repartitionByRange(num_ranges, F.col(key)).withColumn(
-        pid, F.spark_partition_id()
+    local = _local_prefix(items, weight_col, key, num_ranges).localCheckpoint(
+        eager=True
     )
-    w = (
-        Window.partitionBy(pid)
-        .orderBy(key)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.withColumn(lcum, F.sum(weight_col).over(w))
     totals = sorted(
         local.groupBy(pid).agg(F.max(lcum).alias("t")).collect(),
         key=lambda r: r[pid],

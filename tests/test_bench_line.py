@@ -1,0 +1,64 @@
+"""The driver archives only the last 2000 chars of stdout; bench.py's one
+JSON line must always fit or the BENCH artifact is unparseable (r2-r5)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import fit_line
+
+
+def _out(n_queries: int) -> dict:
+    timings = {f"some_long_query_name_{i:03d}": round(0.1 + i * 0.07, 2) for i in range(n_queries)}
+    return {
+        "metric": "suite_wall_sec",
+        "value": round(sum(timings.values()) + 20.0, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "setup_sec": 20.0,
+        "n_queries": n_queries,
+    }
+
+
+def test_short_suite_is_untouched():
+    out = _out(10)
+    line = fit_line(out, 1950)
+    parsed = json.loads(line)
+    assert "omitted" not in parsed and len(parsed["queries"]) == 10
+
+
+def test_oversized_suite_fits_budget_and_drops_fastest_first():
+    out = _out(120)
+    full = dict(out["queries"])
+    line = fit_line(out, 1950)
+    assert len(line) <= 1950
+    parsed = json.loads(line)
+    kept = parsed["queries"]
+    om = parsed["omitted"]
+    assert om["n"] == len(full) - len(kept)
+    # everything dropped is no slower than everything kept
+    assert om["max_sec"] <= min(kept.values())
+    assert om["sum_sec"] == round(sum(v for k, v in full.items() if k not in kept), 2)
+    # the slowest queries always survive
+    slowest = sorted(full, key=full.get)[-10:]
+    assert all(s in kept for s in slowest)
+
+
+def test_real_registry_line_fits():
+    # with 82 registered queries and realistic 2-dp timings the emitted
+    # line must stay inside the driver's capture window
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    out = {
+        "metric": "suite_wall_sec",
+        "value": 102.33,
+        "unit": "sec",
+        "queries": {n: 1.23 for n in REGISTRY},
+        "sf": 0.1,
+        "setup_sec": 20.52,
+        "n_queries": len(REGISTRY),
+    }
+    line = fit_line(out, 1950)
+    assert len(line) <= 1950
+    assert json.loads(line)

@@ -71,3 +71,22 @@ def test_resize_caps_longest_side_and_composes(spark):
     assert (out[63].width, out[63].height) == (64, 31)
     expected_body = (100 * 64 * 31) // (127 * 63)
     assert out[63].n_bytes == len("IMG|64|31|") + expected_body
+
+
+def test_resize_truncates_characters_not_bytes(spark):
+    # non-ASCII body: a byte-count cut would land mid-codepoint and make
+    # the composed resize -> image_features decode raise; character
+    # truncation (matching the oracle's length()/substr()) must not
+    from yfinance_etl_spark.multimodal.columns import (
+        image_features,
+        resize_images,
+        synthesize_image_assets,
+    )
+
+    text = "é" * 100  # 2 bytes per char in UTF-8
+    docs = spark.createDataFrame([(63, text)], "doc_id bigint, text string")
+    out = image_features(resize_images(synthesize_image_assets(docs), 64)).collect()[0]
+    # 127x63 → 64x31; body keeps (100 * 64 * 31) // (127 * 63) CHARACTERS
+    keep_chars = (100 * 64 * 31) // (127 * 63)
+    assert out.n_bytes == len("IMG|64|31|") + 2 * keep_chars
+    assert out.checksum == (ord("é") * keep_chars) % 256

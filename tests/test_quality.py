@@ -29,6 +29,9 @@ EDGE_TEXTS = [
     "a b a b a b a b",  # repeated bigram
     None,  # null text → all-null features
     "one two three four five six seven eight nine ten",
+    "\tfoo bar",  # leading tab survives JVM trim → leading empty token
+    "nbsp stays inside token",  # Java \s is ASCII-only: NBSP is not a separator
+    "tab\tand\nnewline\x0bmix\r\fdone",  # every ASCII \s char collapses
 ]
 
 

@@ -101,8 +101,11 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
     for ``PIL.Image.resize`` and the Spark surface is unchanged.
 
     Deterministic fake semantics (what the oracle can replay): new_w/new_h
-    floor-scale by ``max_dim / max(w, h)``; the body byte count scales by
-    the area ratio (floor), standing in for the pixel buffer shrinking.
+    floor-scale by ``max_dim / max(w, h)``; the body CHARACTER count scales
+    by the area ratio (floor), standing in for the pixel buffer shrinking.
+    Characters, not bytes: the oracle truncates with substr/strlen (both
+    codepoint-based), and a byte cut could land mid-codepoint on non-ASCII
+    text, making the composed resize→image_features decode raise.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -112,7 +115,8 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
                 w, h, body = _decode_payload(bytes(content))
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = int(w * scale), int(h * scale)
-                nbody = body[: (len(body) * nw * nh) // (w * h)]
+                text = body.decode("utf-8")
+                nbody = text[: (len(text) * nw * nh) // (w * h)].encode("utf-8")
                 payload = b"IMG|%d|%d|%b" % (nw, nh, nbody)
                 new_meta = {"kind": meta["kind"], "width": nw, "height": nh, "mime": meta["mime"]}
                 rows.append((doc_id, payload, new_meta))

@@ -73,23 +73,29 @@ _REP_COUNTS_TYPE = StructType(
 def _rep_counts(texts: pd.Series) -> pd.DataFrame:
     """Integer repetition counts per document (the compute-dense part).
 
-    Tokenization mirrors ``text.tokens`` exactly: collapse whitespace on the
-    trimmed text, split on single spaces — so an empty string yields one
-    empty token, like Spark's ``split('', ' ')``. Only counts leave the
-    kernel; fractions and rounding happen in Catalyst so the float path is
-    identical to the HOF reference.
+    Tokenization mirrors ``text.tokens`` exactly — including its JVM
+    whitespace semantics: Spark ``trim`` strips only ASCII spaces and Java
+    ``\\s`` is the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` (NBSP et al. stay
+    inside tokens), whereas Python ``str.strip()``/``\\s`` are
+    Unicode-aware and would tokenize '\\tfoo' or NBSP-bearing text
+    differently than the HOF reference and the DuckDB oracle. So: strip
+    spaces only, collapse the ASCII whitespace class, split on single
+    spaces — an empty string yields one empty token, like Spark's
+    ``split('', ' ')``. Only counts leave the kernel; fractions and
+    rounding happen in Catalyst so the float path is identical to the HOF
+    reference.
     """
     import re
 
     import numpy as np
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     rows = []
     for t in texts:
         if t is None:
             rows.append((None, None, None, None, None, None))
             continue
-        toks = ws.sub(" ", t.strip()).split(" ")
+        toks = ws.sub(" ", t.strip(" ")).split(" ")
         n = len(toks)
         counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)[1]
         tok_chars = sum(map(len, toks))

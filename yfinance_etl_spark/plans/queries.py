@@ -3246,7 +3246,7 @@ scaled AS (
 ),
 resized AS (
   SELECT doc_id, width, height,
-         substr(text, 1, CAST((strlen(text) * width * height) // (w * h) AS INT)) AS body
+         substr(text, 1, CAST((length(text) * width * height) // (w * h) AS INT)) AS body
   FROM scaled
 )
 SELECT doc_id, 'image' AS kind, width, height,

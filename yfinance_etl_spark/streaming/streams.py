@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,10 @@ from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
 from yfinance_etl_spark.scratch import scratch_dir
 
 _uid = itertools.count()
+
+#: serializes the session-global shuffle-partition set/start/restore window
+#: in run_to_memory (see its docstring)
+_SHUFFLE_CONF_LOCK = threading.Lock()
 
 
 def _stage_dir(path: str) -> str:
@@ -79,23 +84,32 @@ def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 8) ->
     deployment at real rate passes None (keep the session value) or sizes
     it to executor-cores × a small factor. Results are identical for any
     value — partitioning is physical only.
+
+    The conf scoping mutates SESSION-global state, so the set/start/restore
+    window is serialized behind a module lock: two overlapping calls (or a
+    concurrent batch query on the same session) could otherwise observe or
+    restore the temporary value and permanently lower the session default.
+    The lock covers this helper only — callers running batch queries
+    concurrently on the same session during a streaming run still see the
+    temporary value, which is physical-only (results unaffected).
     """
     spark = df.sparkSession
     name = f"stream_result_{next(_uid)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -200,3 +200,16 @@ def test_minhash_signatures_have_no_shuffle(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         # per-row HOF signatures: a map-only stage, zero exchanges
         assert "Exchange" not in plan, f"signature stage shuffled:\n{plan}"
+
+
+def test_price_band_join_broadcasts_intervals(spark):
+    # the band table broadcasts and the BETWEEN predicate evaluates
+    # map-side on the fact scan: the ONLY shuffle in the plan is the final
+    # group-by agg. (r5 flagged a 2.6x bench wobble on this query; warm
+    # re-measures are ~0.8-1.1s — cold-scan noise, not plan drift. This pin
+    # makes real drift visible.)
+    plan = _plan(spark, "price_band_join")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan

@@ -55,3 +55,62 @@ def test_asof_carry_forward_many_lefts(spark):
     quotes = spark.createDataFrame([("A", _ts(2), 7.0)], "sym string, ts timestamp, px double")
     out = asof_join(trades, quotes, "sym", "ts", ["px"]).collect()
     assert all(r.asof_px == 7.0 for r in out)  # one quote serves every later trade
+
+
+# ---------------------------------------------------------------------------
+# Property: for arbitrary event sets the window-based asof_join is
+# row-for-row identical to DuckDB's native ASOF LEFT JOIN (the oracle
+# semantics funnel_conversions and asof_click_attribution are graded
+# against). Right sides are generated unique on (key, ts): equal-timestamp
+# duplicates have no defined winner in either engine.
+# ---------------------------------------------------------------------------
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_g_keys = st.sampled_from(["A", "B", "C"])
+_g_ts = st.integers(min_value=0, max_value=50)
+_g_px = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000).map(float))
+
+_lefts = st.lists(st.tuples(_g_keys, _g_ts), min_size=1, max_size=25)
+_rights = st.lists(
+    st.tuples(_g_keys, _g_ts, _g_px), min_size=0, max_size=25, unique_by=lambda t: (t[0], t[1])
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_lefts, _rights)
+def test_asof_join_matches_duckdb_native_asof(spark, lefts, rights):
+    trades_pd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], columns=["trade_id", "sym", "ts"]
+    )
+    quotes_pd = pd.DataFrame(rights, columns=["sym", "ts", "px"])
+
+    trades = spark.createDataFrame(trades_pd.astype({"ts": "int64"}))
+    quotes = (
+        spark.createDataFrame(quotes_pd.astype({"ts": "int64"}))
+        if len(quotes_pd)
+        else spark.createDataFrame([], "sym string, ts bigint, px double")
+    )
+    got = {
+        r.trade_id: r.asof_px
+        for r in asof_join(trades, quotes, "sym", "ts", ["px"]).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("trades", trades_pd)
+    con.register("quotes", quotes_pd)
+    want = {
+        tid: px
+        for tid, px in con.execute(
+            """
+            SELECT t.trade_id, q.px
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.sym = q.sym AND t.ts >= q.ts
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

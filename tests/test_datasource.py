@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from yfinance_etl_spark.sources.datasource import MarketDataSource, MarketReader
@@ -135,3 +137,49 @@ def test_interval_pushdown_monthly(spark):
     assert abs(sum(r.qty for r in daily) - sum(r.qty for r in monthly)) < 1e-6
     with pytest.raises(ValueError, match="interval"):
         MarketReader({"path": SF, "tickers": "1", "interval": "7h"})
+
+
+def test_fetch_impl_injection_reaches_executors(registered):
+    # the live-path seam: .option("fetch_impl", "module:function") is
+    # imported WORKER-side, so it works despite Spark 4 planning Python
+    # data sources in a separate process (driver-side monkeypatching
+    # cannot reach the reader -- that was verified to silently no-op)
+    rows = _read(
+        registered,
+        tickers="AB,CD",
+        fetch_impl="yfinance_etl_spark.sources.live:fetch_bars_demo",
+    ).collect()
+    assert len(rows) == 6  # 3 demo bars per ticker
+    by_ticker = {}
+    for r in rows:
+        by_ticker.setdefault(r.ticker, []).append(r)
+    assert set(by_ticker) == {"AB", "CD"}
+    # deterministic demo values: base = (sum of codepoints) % 100 + 1
+    assert min(r.price for r in by_ticker["AB"]) == (ord("A") + ord("B")) % 100 + 1.0
+
+
+def test_fetch_impl_bad_spec_raises(registered):
+    with pytest.raises(Exception, match="module:function"):
+        _read(registered, tickers="1", fetch_impl="not-a-spec").collect()
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE") != "1",
+    reason="live HTTP smoke: set SPARK_GRAFT_LIVE=1 to run (needs network)",
+)
+def test_live_http_fetch_smoke(registered):
+    # real-network path, same seam: yfinance when installed, else stooq
+    # CSV over stdlib urllib. Asserts the Spark surface (schema, one
+    # partition per ticker, non-empty rows), not market values.
+    df = _read(
+        registered,
+        tickers="AAPL,MSFT",
+        start="2024-01-02",
+        end="2024-01-31",
+        fetch_impl="yfinance_etl_spark.sources.live:fetch_bars_http",
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r.ticker for r in rows} == {"AAPL", "MSFT"}
+    assert all(r.price > 0 for r in rows)

@@ -35,9 +35,21 @@ def test_image_features_values(spark):
     assert feats[65].width == 65 and feats[65].height == 65
 
 
-def test_decode_rejects_unknown_format():
-    with pytest.raises(NotImplementedError, match="imaging library"):
+def test_decode_rejects_unknown_format_without_pil():
+    import yfinance_etl_spark.multimodal.columns as mm
+
+    if mm.HAVE_PIL:
+        pytest.skip("PIL available: real decode path active")
+    with pytest.raises(NotImplementedError, match="PIL"):
         _decode_payload(b"\x89PNG....")
+
+
+def test_decode_fake_format_never_consults_pil(monkeypatch):
+    import yfinance_etl_spark.multimodal.columns as mm
+
+    monkeypatch.setattr(mm, "HAVE_PIL", True)  # even if "available"...
+    w, h, body = mm._decode_payload(b"IMG|8|4|xyz")
+    assert (w, h, body) == (8, 4, b"xyz")  # ...fake magic stays on the stub
 
 
 def test_sample_frames_stride(spark):

@@ -13,9 +13,48 @@ def test_parse_pages_and_boundaries():
     assert [len(p) for p in pages] == [100, 100, 50]
 
 
-def test_parse_rejects_real_pdf_magic():
-    with pytest.raises(NotImplementedError, match="PDF library"):
+def test_parse_rejects_real_pdf_magic_without_backend():
+    import yfinance_etl_spark.sources.pdf as pdfmod
+
+    if pdfmod.PDF_BACKEND is not None:  # environment has a real library
+        pytest.skip(f"real backend available: {pdfmod.PDF_BACKEND}")
+    with pytest.raises(NotImplementedError, match="pypdf or pdfplumber"):
         _parse_pdf(b"%PDF-1.7 ...")
+
+
+def test_real_pdf_routes_to_backend_adapter(monkeypatch):
+    # force a fake backend and check selection: real magic goes to the
+    # adapter (with doc_id derived from the path), fake magic never does
+    import yfinance_etl_spark.sources.pdf as pdfmod
+
+    calls = []
+
+    def fake_real(b):
+        calls.append(b)
+        return ["page one", "page two"]
+
+    monkeypatch.setattr(pdfmod, "_parse_pdf_real", fake_real)
+    doc_id, pages = pdfmod._parse_pdf(b"%PDF-1.7 ...", "/data/report_17.pdf")
+    assert (doc_id, pages) == (17, ["page one", "page two"])
+    assert calls  # adapter used
+    calls.clear()
+    pdfmod._parse_pdf(b"PDF|3|abc", "/data/report_17.pdf")
+    assert not calls  # fake format stays on the stub path
+
+
+def test_doc_id_from_path_deterministic():
+    from yfinance_etl_spark.sources.pdf import _doc_id_from_path
+
+    assert _doc_id_from_path("/a/b/doc_123.pdf") == 123
+    # no trailing digits → stable crc32, not a crash
+    assert _doc_id_from_path("/a/b/report.pdf") == _doc_id_from_path("/c/report.pdf")
+
+
+def test_backend_selection_is_importable_everywhere():
+    # PDF_BACKEND must be None or a spelled backend — never an ImportError
+    from yfinance_etl_spark.sources.pdf import PDF_BACKEND
+
+    assert PDF_BACKEND in (None, "pypdf", "pdfplumber")
 
 
 def test_binaryfile_roundtrip(spark, tmp_path):

@@ -24,11 +24,17 @@ oracle-checked end to end.
 
 from __future__ import annotations
 
+import importlib.util
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: optional imaging backend — found via find_spec at import time, never a
+#: hard dependency (this container ships none)
+HAVE_PIL: bool = importlib.util.find_spec("PIL") is not None
 
 #: declared output schema of the image feature extractor
 IMAGE_FEATURES_SCHEMA = (
@@ -61,15 +67,23 @@ def synthesize_image_assets(docs: DataFrame) -> DataFrame:
 
 
 def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
-    """STUB decoder: parses the deterministic fake format. A real deployment
-    replaces this one function with e.g. ``PIL.Image.open(io.BytesIO(b))``."""
-    if not b.startswith(MAGIC):
-        raise NotImplementedError(
-            "real image decode needs an imaging library (not in this container); "
-            "payloads must be the deterministic IMG|w|h|body fake format"
-        )
-    _, w, h, body = b.split(b"|", 3)
-    return int(w), int(h), body
+    """Decoder for the deterministic fake format, with real image payloads
+    routed to PIL when it is installed (optional import — see HAVE_PIL).
+    The PIL path returns the raw pixel buffer as the body, so downstream
+    ops that treat the body as opaque bytes (resize ratios, frame splits,
+    byte counts) compose unchanged."""
+    if b.startswith(MAGIC):
+        _, w, h, body = b.split(b"|", 3)
+        return int(w), int(h), body
+    if HAVE_PIL:
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(b))
+        return im.width, im.height, im.tobytes()
+    raise NotImplementedError(
+        "real image decode needs PIL (not installed in this container); "
+        "payloads must be the deterministic IMG|w|h|body fake format"
+    )
 
 
 def image_features(assets: DataFrame) -> DataFrame:
@@ -83,8 +97,12 @@ def image_features(assets: DataFrame) -> DataFrame:
                 b = bytes(content)
                 w, h, body = _decode_payload(b)
                 # checksum over CODEPOINTS (not UTF-8 bytes): matches the
-                # oracle's per-character ascii() on non-ASCII text too
-                csum = sum(ord(c) for c in body.decode("utf-8")) % 256
+                # oracle's per-character ascii() on non-ASCII text too; a
+                # real-image pixel buffer (PIL path) isn't UTF-8 → sum bytes
+                try:
+                    csum = sum(ord(c) for c in body.decode("utf-8")) % 256
+                except UnicodeDecodeError:
+                    csum = sum(body) % 256
                 rows.append((doc_id, meta["kind"], w, h, len(b), csum))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "kind", "width", "height", "n_bytes", "checksum"]
@@ -115,8 +133,11 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
                 w, h, body = _decode_payload(bytes(content))
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = int(w * scale), int(h * scale)
-                text = body.decode("utf-8")
-                nbody = text[: (len(text) * nw * nh) // (w * h)].encode("utf-8")
+                try:
+                    text = body.decode("utf-8")
+                    nbody = text[: (len(text) * nw * nh) // (w * h)].encode("utf-8")
+                except UnicodeDecodeError:  # real pixel buffer: cut raw bytes
+                    nbody = body[: (len(body) * nw * nh) // (w * h)]
                 payload = b"IMG|%d|%d|%b" % (nw, nh, nbody)
                 new_meta = {"kind": meta["kind"], "width": nw, "height": nh, "mime": meta["mime"]}
                 rows.append((doc_id, payload, new_meta))

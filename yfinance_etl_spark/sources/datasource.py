@@ -110,6 +110,26 @@ def _fetch_bars(
         con.close()
 
 
+def _resolve_fetch(spec: str | None):
+    """Resolve the ``fetch_impl`` option (``"module:function"``) to the
+    worker-side fetch implementation; default is the offline fixture scan.
+
+    String-spec + worker-side import is deliberate: Spark 4 plans Python
+    data sources in a separate Python worker process, so driver-side
+    module state (monkeypatched globals, closures over live sessions)
+    never reaches the reader — an import path does, everywhere. The live
+    HTTP fetcher ships at ``yfinance_etl_spark.sources.live:fetch_bars_http``
+    (smoke-tested behind SPARK_GRAFT_LIVE=1)."""
+    if not spec:
+        return _fetch_bars
+    mod, sep, attr = spec.partition(":")
+    if not sep or not mod or not attr:
+        raise ValueError(f"fetch_impl must be 'module:function', got {spec!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)
+
+
 class _TickerPartition(InputPartition):
     def __init__(self, ticker: str):
         self.ticker = ticker
@@ -117,6 +137,11 @@ class _TickerPartition(InputPartition):
 
 class MarketReader(DataSourceReader):
     def __init__(self, options: dict):
+        self._fetch_spec = options.get("fetch_impl")
+        if self._fetch_spec and ":" not in self._fetch_spec:
+            raise ValueError(
+                f"fetch_impl must be 'module:function', got {self._fetch_spec!r}"
+            )
         self.path = options.get("path")
         if not self.path:
             raise ValueError("marketdata source requires option 'path'")
@@ -137,7 +162,8 @@ class MarketReader(DataSourceReader):
 
     def read(self, partition: _TickerPartition):
         # yielding Arrow RecordBatches keeps the transfer vectorized
-        yield from _fetch_bars(
+        fetch = _resolve_fetch(self._fetch_spec)
+        yield from fetch(
             self.path, partition.ticker, self.start, self.end, self.interval
         )
 

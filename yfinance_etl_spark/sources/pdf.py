@@ -6,16 +6,22 @@ store (each file one row: path/length/content), and page extraction runs
 in ``mapInPandas`` — so a million PDFs parse across the cluster instead of
 one at a time in the driver.
 
-STUB NOTICE: no PDF library ships in this container, so the parser reads
-a deterministic fake format ``PDF|<doc_id>|<body>`` with fixed 100-char
-pages, and raises ``NotImplementedError`` on real PDF magic. Swapping in
-``pypdf`` changes only ``_parse_pdf`` — the binaryFile scan and the
-Arrow-batched extraction plumbing are production-real.
+STUB NOTICE: no PDF library ships in this container, so by default the
+parser reads a deterministic fake format ``PDF|<doc_id>|<body>`` with
+fixed 100-char pages. When ``pypdf`` or ``pdfplumber`` IS importable
+(checked via ``importlib.util.find_spec`` at import time, never a hard
+dependency), real ``%PDF`` payloads route to it; without a library, real
+magic raises ``NotImplementedError``. Either way the binaryFile scan and
+the Arrow-batched extraction plumbing are production-real.
 """
 
 from __future__ import annotations
 
+import importlib.util
+import io
 import os
+import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +33,13 @@ MAGIC = b"PDF|"
 PAGE_CHARS = 100
 
 PAGES_SCHEMA = "doc_id bigint, page_no int, page_text string"
+
+#: which real-PDF library (if any) this environment offers — evaluated once,
+#: import-safe in containers that ship neither
+PDF_BACKEND: str | None = next(
+    (m for m in ("pypdf", "pdfplumber") if importlib.util.find_spec(m) is not None),
+    None,
+)
 
 
 def stage_fake_pdfs(docs, key: str) -> str:
@@ -44,18 +57,44 @@ def stage_fake_pdfs(docs, key: str) -> str:
     return d
 
 
-def _parse_pdf(b: bytes) -> tuple[int, list[str]]:
-    """STUB parser for the fake format; a real deployment replaces this one
-    function with ``pypdf.PdfReader(io.BytesIO(b))``."""
-    if not b.startswith(MAGIC):
-        raise NotImplementedError(
-            "real PDF parsing needs a PDF library (not in this container); "
-            "payloads must be the deterministic PDF|doc_id|body fake format"
-        )
-    _, doc_id, body = b.split(b"|", 2)
-    text = body.decode()
-    pages = [text[i : i + PAGE_CHARS] for i in range(0, max(len(text), 1), PAGE_CHARS)]
-    return int(doc_id), pages
+def _doc_id_from_path(path: str) -> int:
+    """Deterministic doc id for real PDFs: trailing digits of the file stem
+    (``report_17.pdf`` → 17) or a crc32 of the basename otherwise."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    m = re.search(r"(\d+)$", stem)
+    return int(m.group(1)) if m else zlib.crc32(stem.encode("utf-8"))
+
+
+def _parse_pdf_real(b: bytes) -> list[str]:
+    """Adapter over whichever optional library is installed (pypdf's and
+    pdfplumber's page iteration differ only in spelling — reference analogue
+    pdf_rag_chatbot.py:12-20)."""
+    if PDF_BACKEND == "pypdf":
+        import pypdf
+
+        return [p.extract_text() or "" for p in pypdf.PdfReader(io.BytesIO(b)).pages]
+    if PDF_BACKEND == "pdfplumber":
+        import pdfplumber
+
+        with pdfplumber.open(io.BytesIO(b)) as doc:
+            return [p.extract_text() or "" for p in doc.pages]
+    raise NotImplementedError(
+        "real PDF parsing needs pypdf or pdfplumber (neither is installed); "
+        "without one, payloads must be the deterministic PDF|doc_id|body fake format"
+    )
+
+
+def _parse_pdf(b: bytes, path: str = "") -> tuple[int, list[str]]:
+    """Fake-format parser, with real ``%PDF`` payloads routed to the
+    optional-library adapter when one is installed."""
+    if b.startswith(MAGIC):
+        _, doc_id, body = b.split(b"|", 2)
+        text = body.decode()
+        pages = [
+            text[i : i + PAGE_CHARS] for i in range(0, max(len(text), 1), PAGE_CHARS)
+        ]
+        return int(doc_id), pages
+    return _doc_id_from_path(path), _parse_pdf_real(b)
 
 
 def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
@@ -65,9 +104,9 @@ def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
-                doc_id, pages = _parse_pdf(bytes(content))
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id, pages = _parse_pdf(bytes(content), path)
                 rows.extend((doc_id, i, p) for i, p in enumerate(pages))
             yield pd.DataFrame(rows, columns=["doc_id", "page_no", "page_text"])
 
-    return files.select("content").mapInPandas(extract, PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(extract, PAGES_SCHEMA)

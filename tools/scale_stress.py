@@ -1,0 +1,102 @@
+"""Scale-stress the dedup/ANN family on a deterministically blown-up corpus.
+
+Measures, at each blow-up factor over $SPARK_GRAFT_SF_DIR (default sf0.1):
+  * candidate-comparison volumes (LSH bands, inverted-index Jaccard,
+    ANN buckets) — the quantities the "cost tracks candidates, not
+    |docs|²" claim is about, plus the brute-force N·(N-1)/2 for contrast;
+  * wall time of the three end-to-end operators.
+
+Prints one JSON line per factor plus a growth-exponent summary: fitted
+log-log slope of candidates vs corpus size (1.0 = linear, 2.0 =
+quadratic). Run:  python tools/scale_stress.py [factors ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from yfinance_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_neardup  # noqa: E402
+from yfinance_etl_spark.operators.similarity import ann_bucketed_topk  # noqa: E402
+from yfinance_etl_spark.operators.synth import (  # noqa: E402
+    ann_candidate_volume,
+    blow_up_documents,
+    blow_up_embeddings,
+    jaccard_candidate_volume,
+    lsh_candidate_volume,
+)
+from yfinance_etl_spark.session import get_spark  # noqa: E402
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main(factors: list[int]) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    rows = []
+    for f in factors:
+        # the fixture parquet is a single row-group → one partition; the
+        # zero-shuffle blow-up inherits it, so spread explicitly before
+        # measuring (production inputs arrive already partitioned)
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        emb = blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        n_docs, n_vecs = docs.count(), emb.count()
+        r = {
+            "factor": f,
+            "n_docs": n_docs,
+            "n_vecs": n_vecs,
+            "brute_force_doc_pairs": n_docs * (n_docs - 1) // 2,
+            "lsh_cand": lsh_candidate_volume(docs),
+            "jacc_cand": jaccard_candidate_volume(docs),
+            "ann_cand": ann_candidate_volume(emb),
+            "brute_force_vec_pairs": n_vecs * (n_vecs - 1) // 2,
+            "sec_minhash_lsh": _timed(minhash_lsh_neardup(docs)),
+            "sec_jaccard": _timed(jaccard_pairs(docs)),
+            "sec_ann_bucketed": _timed(ann_bucketed_topk(emb)),
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str, size: str) -> float:
+            return round(
+                math.log(max(b[metric], 1) / max(a[metric], 1))
+                / math.log(b[size] / a[size]),
+                2,
+            )
+
+        print(
+            json.dumps(
+                {
+                    "growth_exponent_vs_corpus": {
+                        "lsh_cand": slope("lsh_cand", "n_docs"),
+                        "jacc_cand": slope("jacc_cand", "n_docs"),
+                        "ann_cand": slope("ann_cand", "n_vecs"),
+                        "sec_minhash_lsh": slope("sec_minhash_lsh", "n_docs"),
+                        "sec_jaccard": slope("sec_jaccard", "n_docs"),
+                        "sec_ann_bucketed": slope("sec_ann_bucketed", "n_vecs"),
+                    },
+                    "note": "1.0 = linear in corpus size, 2.0 = quadratic (brute force)",
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main([int(x) for x in sys.argv[1:]] or [1, 5, 20, 50])

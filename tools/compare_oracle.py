@@ -86,11 +86,14 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-compare")
     con = duck_connect(sf_dir)
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -100,10 +103,12 @@ def main() -> int:
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "spark_error", "err": str(e)[:200]}
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"{name}: rows-only ({len(spark_rows)} rows) — no oracle")
+            results[name] = {"status": "rows_only", "spark_rows": len(spark_rows)}
             n_pass += 1
             continue
         try:
@@ -112,14 +117,37 @@ def main() -> int:
             duck_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "duckdb_error", "err": str(e)[:200]}
             n_fail += 1
             continue
         print(f"{name}: {len(spark_rows)} rows", end="")
-        if compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+        ok = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        results[name] = {"status": "pass" if ok else "fail", "spark_rows": len(spark_rows)}
+        if ok:
             print("  PASS")
             n_pass += 1
         else:
             n_fail += 1
+    # full-registry runs must actually have attested every entry
+    if not only:
+        missing = [n for n in REGISTRY if n not in results]
+        assert not missing, f"gate skipped registry entries: {missing}"
+    if write_json and not only:
+        import json
+        import os
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "results": results,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "correctness_full.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {path}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -62,10 +62,19 @@ def main(factors: list[int]) -> None:
             "lsh_cand": lsh_candidate_volume(docs),
             "jacc_cand": jaccard_candidate_volume(docs),
             "ann_cand": ann_candidate_volume(emb),
+            # fixed planes prune a constant FRACTION of N²/2 (linear
+            # speedup, quadratic growth); the scale path grows the plane
+            # count with log(N) so bucket occupancy — and with it the
+            # candidate volume per vector — stays ~flat
+            "ann_planes_scaled": 6 + round(math.log2(f)),
+            "ann_cand_scaled": ann_candidate_volume(emb, 6 + round(math.log2(f))),
             "brute_force_vec_pairs": n_vecs * (n_vecs - 1) // 2,
             "sec_minhash_lsh": _timed(minhash_lsh_neardup(docs)),
             "sec_jaccard": _timed(jaccard_pairs(docs)),
             "sec_ann_bucketed": _timed(ann_bucketed_topk(emb)),
+            "sec_ann_scaled": _timed(
+                ann_bucketed_topk(emb, n_planes=6 + round(math.log2(f)))
+            ),
         }
         rows.append(r)
         print(json.dumps(r), flush=True)
@@ -87,6 +96,7 @@ def main(factors: list[int]) -> None:
                         "lsh_cand": slope("lsh_cand", "n_docs"),
                         "jacc_cand": slope("jacc_cand", "n_docs"),
                         "ann_cand": slope("ann_cand", "n_vecs"),
+                        "ann_cand_scaled": slope("ann_cand_scaled", "n_vecs"),
                         "sec_minhash_lsh": slope("sec_minhash_lsh", "n_docs"),
                         "sec_jaccard": slope("sec_jaccard", "n_docs"),
                         "sec_ann_bucketed": slope("sec_ann_bucketed", "n_vecs"),

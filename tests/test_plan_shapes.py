@@ -213,3 +213,12 @@ def test_price_band_join_broadcasts_intervals(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange rangepartitioning") == 0, plan
+
+
+def test_order_value_deciles_shares_priority_shuffle(spark):
+    # both rank windows and the ntile window partition by o_orderpriority,
+    # so they ride ONE exchange; the only other exchange is the final
+    # (priority, decile) agg. Three window functions must not mean three
+    # shuffles.
+    plan = _plan(spark, "order_value_deciles")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

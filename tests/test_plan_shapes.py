@@ -222,3 +222,16 @@ def test_order_value_deciles_shares_priority_shuffle(spark):
     # shuffles.
     plan = _plan(spark, "order_value_deciles")
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark):
+    # the benchmark's distinct shingle set broadcasts (BroadcastHashJoin)
+    # and the candidate/corpus side's only exchange is the final doc-keyed
+    # count — the corpus never shuffles for the join itself, however large
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
+    # allowed exchanges: the DISTINCT on the (tiny) benchmark shingle set
+    # pre-broadcast and the final doc-keyed count — the join itself must
+    # never sort-merge or shuffle the corpus
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -85,12 +85,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    # First executions carry whole-stage-codegen compile (measured ~1.4s
-    # extra on price_band_join when it leads the suite) plus GC/page-cache
-    # noise; re-run anything meaningfully above the suite median once and
-    # keep the minimum. Bounded extra wall time (~40s), far stabler
-    # per-query numbers — and codegen compile time is a per-PLAN constant,
-    # not a per-row cost, so excluding it is the 100 TB-faithful reading.
+    # First executions carry whole-stage-codegen compile (a per-PLAN
+    # constant, not a per-row cost — ~1.4s measured on the suite's lead
+    # query) plus GC/page-cache noise; re-run anything meaningfully above
+    # the suite median once and keep the minimum. Targeted, NOT min-of-two
+    # over the whole suite: a full second pass was measured to AGE the
+    # session (storage pressure from 164 executions evicts the shared
+    # caches and late re-runs come back 5× slower), adding more noise than
+    # it removes.
     if timings:
         med = sorted(timings.values())[len(timings) // 2]
         for name in [n for n, t in timings.items() if t > max(1.5 * med, 1.0)]:

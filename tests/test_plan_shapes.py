@@ -235,3 +235,16 @@ def test_contamination_broadcasts_benchmark_shingles(spark):
     # never sort-merge or shuffle the corpus
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["multimodal_features", "multimodal_resize", "frame_sample", "pii_redaction", "tz_normalize"],
+)
+def test_map_only_queries_never_shuffle(spark, name):
+    # these are per-row/per-asset transformations: any Exchange appearing
+    # here means a composition regression (e.g. an accidental groupBy or a
+    # lost pushdown), which at 100 TB turns a streaming-friendly map stage
+    # into a full-corpus shuffle
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} shuffled:\n{plan}"

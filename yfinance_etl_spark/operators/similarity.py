@@ -72,20 +72,35 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
     """Random-hyperplane (SimHash-style) LSH bucket id per vector — the
     scale path's pruning key. Planes are deterministic ±1 sign patterns
     derived from the dimension index so the oracle can reproduce them:
-    plane p gives sign(Σ_i vec[i]·s(p,i)), s(p,i) = +1 if ((i >> p) & 1)=0
-    else −1. Bucket = the n_planes-bit code.
+    plane p gives sign(Σ_i vec[i]·s(p,i)), s(p,i) = +1 iff
+    popcount((i+1) · m_p) is even, with the odd per-plane multiplier
+    m_p = (0x9E3779B1·(p+1)) | 1. Bucket = the n_planes-bit code.
 
-    n_planes must be ≤ log2(dim) (6 for the 64-dim fixture): plane p reads
-    bit p of the dimension index, so beyond that the sign pattern degenerates
-    to a constant. 2^n_planes buckets → each query scans ~corpus/2^n_planes."""
+    The popcount-parity family supports ANY n_planes (every plane is an
+    independent-looking ±1 pattern), unlike an index-bit family whose
+    planes degenerate past log2(dim) and silently cap the bucket count at
+    2·dim. That matters at scale: keeping bucket occupancy flat as the
+    corpus grows requires planes ∝ log2(N), so buckets must be able to
+    outgrow the embedding dimension (measured in
+    scale_stress_results.jsonl: the capped family plateaus at 128 buckets
+    / ~4.2M candidates at 32k vectors where this family reaches 880+
+    buckets / ~1.4M). 2^n_planes buckets → each query scans
+    ~corpus/2^n_planes."""
     vec = F.col("embedding").cast("array<double>")
+
+    def signed(m: int):
+        # closure (not a default arg: pyspark reads the lambda's arity)
+        return lambda x, i: F.when(
+            F.bit_count((i.cast("long") + 1) * F.lit(m)) % 2 == 0, x
+        ).otherwise(-x)
+
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: F.when(((i.bitwiseAND(F.lit(1 << p))) == 0), x).otherwise(-x),
+                signed((0x9E3779B1 * (p + 1)) | 1),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

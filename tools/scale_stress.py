@@ -22,7 +22,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from yfinance_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_neardup  # noqa: E402
-from yfinance_etl_spark.operators.similarity import ann_bucketed_topk  # noqa: E402
+from yfinance_etl_spark.operators.similarity import (  # noqa: E402
+    ann_bucketed_topk,
+    ann_multiprobe_topk,
+    knn_topk,
+)
 from yfinance_etl_spark.operators.synth import (  # noqa: E402
     ann_candidate_volume,
     blow_up_documents,
@@ -37,6 +41,14 @@ def _timed(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
+
+
+def _recall(approx, exact) -> float:
+    """Fraction of the exact top-k neighbor pairs the approximate path
+    recovers — the quality half of the pruning-vs-recall tradeoff."""
+    a = {(r.q_id, r.neighbor_id) for r in approx.select("q_id", "neighbor_id").collect()}
+    e = {(r.q_id, r.neighbor_id) for r in exact.select("q_id", "neighbor_id").collect()}
+    return round(len(a & e) / len(e), 3) if e else 1.0
 
 
 def main(factors: list[int]) -> None:
@@ -76,6 +88,16 @@ def main(factors: list[int]) -> None:
                 ann_bucketed_topk(emb, n_planes=6 + round(math.log2(f)))
             ),
         }
+        # recall@5 vs brute-force exact: pruning without recall is half
+        # the story — multi-probe is what pays for the extra planes
+        exact = knn_topk(emb).localCheckpoint(eager=True)
+        planes = 6 + round(math.log2(f))
+        r["recall_bucketed_scaled"] = _recall(
+            ann_bucketed_topk(emb, n_planes=planes), exact
+        )
+        r["recall_multiprobe_scaled"] = _recall(
+            ann_multiprobe_topk(emb, n_planes=planes), exact
+        )
         rows.append(r)
         print(json.dumps(r), flush=True)
 

@@ -142,12 +142,19 @@ def test_ivf_assign_and_probe(spark):
 
     emb = _emb(spark)
     assigned, cents = ivf_assign(emb, k_centroids=2)
+    # hash-spread sample: the 2 smallest md5(vec_id) of {0,1,5,6,7,8}
+    import hashlib
+
+    expected = sorted(
+        [0, 1, 5, 6, 7, 8],
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )[:2]
+    assert sorted(r.cent_id for r in cents.collect()) == sorted(expected) == [6, 7]
     lists = {r.vec_id: r.list_id for r in assigned.collect()}
-    # centroids are vec_id {0, 1}; vec 5 = [0.8, 0.3, ...] is closer to
-    # centroid 1 = [0.9, 0.1, ...] than to centroid 0 = [1, 0, ...]
-    assert lists[0] == 0 and lists[1] == 1
-    assert lists[5] == 1
-    assert lists[8] == 1  # antipode of 0: cos -1 vs 0, -0.99 vs 1 → list 1
+    # centroid 6 = [0,1,0,0], centroid 7 = [0,0,1,0]
+    assert lists[1] == 6 and lists[5] == 6  # positive dim-1 component → 6
+    assert lists[6] == 6 and lists[7] == 7
+    assert lists[0] == 6 and lists[8] == 6  # cos 0 to both → tie → lowest id
     top = ivf_topk(emb, k=2, k_centroids=2, n_probe=2).collect()
     by_q = {}
     for r in top:

@@ -146,22 +146,28 @@ def ann_bucketed_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> D
 
 
 def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: deterministic centroids (the k_centroids
-    lowest vec_ids — a fixed 'training sample' both engines can name), each
-    vector assigned to its highest-cosine centroid (ties → lowest centroid
-    id). Returns (assignments, centroids).
+    """IVF coarse quantizer: deterministic HASH-SPREAD centroids — the
+    k_centroids rows with the smallest md5(vec_id), a fixed 'training
+    sample' both engines can name that is uniform over the id space. (The
+    naive `vec_id < k` sample is adversarial whenever ids correlate with
+    content — ingest order, per-source id blocks — putting every centroid
+    in one region and all mass in one inverted list.) Each vector is
+    assigned to its highest-cosine centroid (ties → lowest centroid id).
+    Returns (assignments, centroids).
 
     At 100 TB the inverted list id is the partition key: vectors cluster
     into k lists, a query touches n_probe of them, and the broadcast
-    centroid table is tiny by construction.
+    centroid table is tiny by construction. Selection is orderBy+limit =
+    TakeOrderedAndProject — per-partition top-k merged on the driver, no
+    global sort materializes.
     """
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cents = F.broadcast(
-        emb.filter(F.col("vec_id") < k_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
-        )
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec"))
     )
     scored = emb.crossJoin(cents).select(
         "vec_id", "vec", "cent_id", F.round(cosine(F.col("vec"), F.col("cent_vec")), 6).alias("sim")

@@ -1713,7 +1713,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SQL = f"""
 WITH emb AS ({_EMB_SOURCE}),
-cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb WHERE vec_id < 8),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
 cs AS (
   SELECT e.vec_id, e.vec, c.cent_id,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id

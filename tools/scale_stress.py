@@ -88,6 +88,20 @@ def main(factors: list[int]) -> None:
                 ann_bucketed_topk(emb, n_planes=6 + round(math.log2(f)))
             ),
         }
+        # MinHash recall vs exact Jaccard at the same threshold: precision
+        # is 1.0 by construction (candidates are exact-verified), so
+        # banding misses are the only loss — 4x4 banding collides with
+        # prob 1-(1-J^4)^4 (0.67 at J=0.70, 0.95 at J=0.90)
+        mh = {
+            (p.doc_a, p.doc_b)
+            for p in minhash_lsh_neardup(docs).select("doc_a", "doc_b").collect()
+        }
+        ex = {
+            (p.doc_a, p.doc_b)
+            for p in jaccard_pairs(docs, threshold=0.7).select("doc_a", "doc_b").collect()
+        }
+        r["n_true_pairs_at_07"] = len(ex)
+        r["minhash_recall_at_07"] = round(len(mh & ex) / len(ex), 3) if ex else 1.0
         # recall@5 vs brute-force exact: pruning without recall is half
         # the story — multi-probe is what pays for the extra planes
         exact = knn_topk(emb).localCheckpoint(eager=True)

@@ -73,25 +73,28 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
     scale path's pruning key. Planes are deterministic ±1 sign patterns
     derived from the dimension index so the oracle can reproduce them:
     plane p gives sign(Σ_i vec[i]·s(p,i)), s(p,i) = +1 iff
-    popcount((i+1) · m_p) is even, with the odd per-plane multiplier
-    m_p = (0x9E3779B1·(p+1)) | 1. Bucket = the n_planes-bit code.
+    popcount(i & (p+1)) is even — the Walsh function with mask p+1.
+    Bucket = the n_planes-bit code.
 
-    The popcount-parity family supports ANY n_planes (every plane is an
-    independent-looking ±1 pattern), unlike an index-bit family whose
-    planes degenerate past log2(dim) and silently cap the bucket count at
-    2·dim. That matters at scale: keeping bucket occupancy flat as the
-    corpus grows requires planes ∝ log2(N), so buckets must be able to
-    outgrow the embedding dimension (measured in
-    scale_stress_results.jsonl: the capped family plateaus at 128 buckets
-    / ~4.2M candidates at 32k vectors where this family reaches 880+
-    buckets / ~1.4M). 2^n_planes buckets → each query scans
+    Walsh masks give MUTUALLY ORTHOGONAL sign patterns (rows of a
+    Hadamard matrix — the structured-projection trick fast JL transforms
+    use), valid up to dim−1 planes. That matters at scale twice over:
+    (a) keeping bucket occupancy flat as the corpus grows requires planes
+    ∝ log2(N), so the family must not degenerate early — an index-bit
+    family (= the power-of-two-mask subset of this one) goes constant
+    past log2(dim) planes and caps buckets at 2·dim; (b) orthogonal
+    planes decorrelate the bit code, so occupancy stays near-uniform
+    (measured on a 32k-vector 16× corpus, scale_stress_results.jsonl: 10
+    Walsh planes → 983 occupied buckets, max occupancy 107, 674k
+    candidates — vs 128 buckets / 4.2M candidates for the degenerate
+    index-bit family). 2^n_planes buckets → each query scans
     ~corpus/2^n_planes."""
     vec = F.col("embedding").cast("array<double>")
 
-    def signed(m: int):
+    def signed(mask: int):
         # closure (not a default arg: pyspark reads the lambda's arity)
         return lambda x, i: F.when(
-            F.bit_count((i.cast("long") + 1) * F.lit(m)) % 2 == 0, x
+            F.bit_count(i.bitwiseAND(F.lit(mask))) % 2 == 0, x
         ).otherwise(-x)
 
     bits = []
@@ -100,7 +103,7 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                signed((0x9E3779B1 * (p + 1)) | 1),
+                signed(p + 1),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

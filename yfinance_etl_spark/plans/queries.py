@@ -849,13 +849,11 @@ def _cos_sql(a: str, b: str) -> str:
 def _lsh_ctes(n_planes: int, source: str, id_col: str = "vec_id") -> str:
     """Shared CTE text for the deterministic-hyperplane bucketing every
     LSH oracle uses (mirrors similarity.lsh_bucket: plane p's ±1 sign for
-    1-based dimension i is popcount-parity of i · m_p, m_p =
-    (0x9E3779B1·(p+1)) | 1). One builder, so the sign convention cannot
-    drift between the bucketed-ANN, multi-probe, and embedding-dedup
-    oracles."""
+    0-based dimension i is the Walsh function popcount-parity of
+    i & (p+1)). One builder, so the sign convention cannot drift between
+    the bucketed-ANN, multi-probe, and embedding-dedup oracles."""
     sign = lambda p: (  # noqa: E731
-        f"CASE WHEN bit_count(CAST(i AS BIGINT) * {(0x9E3779B1 * (p + 1)) | 1}) % 2 = 0"
-        " THEN 1.0 ELSE -1.0 END"
+        f"CASE WHEN bit_count((i - 1) & {p + 1}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
     )
     projs = ",\n         ".join(
         f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"

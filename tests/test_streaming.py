@@ -202,3 +202,66 @@ def test_ema_state_carries_across_microbatches(spark, tmp_path):
     assert final.n_events == 3
     assert final.ema_value == pytest.approx(12.9, abs=1e-12)
     assert len(out) >= 2  # one emission per micro-batch that saw data
+
+
+def test_watermark_evicts_finalized_window_state(spark, tmp_path):
+    # The 100 TB/day claim for stateful streaming is that state is
+    # O(rate x watermark window), NOT O(total input): windows the
+    # watermark has finalized must leave the state store. Drive 201
+    # one-event tumbling windows through six micro-batches and read the
+    # state-store row count from the final progress event — with eviction
+    # it holds only the not-yet-finalized tail (~2 windows), without it
+    # all 201 would accumulate.
+    import os
+    import time
+
+    from yfinance_etl_spark.streaming.streams import tumbling_counts
+
+    def hts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    d = str(tmp_path / "evict")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    chunks = [range(0, 40), range(40, 80), range(80, 120), range(120, 160), range(160, 200), [300]]
+    for i, hours in enumerate(chunks):
+        rows = [(h, hts(h), 1, "click", 1.0, "{}") for h in hours]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    name = "evict_probe"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted = spark.table(name).count()
+    # AvailableNow flushes with a trailing batch whose watermark = 300:00
+    # - 1h = 299:00, finalizing every window ending <= 299:00 -> all 200
+    # hour-windows emit; only the [300,301) straggler window stays open
+    assert emitted == 200
+    assert state_rows, "no stateOperators metrics captured"
+    assert state_rows[-1] <= 5, f"state not evicted: {state_rows}"
+    # and mid-stream the store also stayed bounded (each batch holds at
+    # most its ~40 open windows + the previous tail, never the full 201)
+    assert max(state_rows) <= 90, f"state grew unboundedly: {state_rows}"

@@ -265,3 +265,64 @@ def test_watermark_evicts_finalized_window_state(spark, tmp_path):
     # and mid-stream the store also stayed bounded (each batch holds at
     # most its ~40 open windows + the previous tail, never the full 201)
     assert max(state_rows) <= 90, f"state grew unboundedly: {state_rows}"
+
+
+def test_interval_join_state_evicted_on_both_sides(spark, tmp_path):
+    # Same empirical claim for the stream-stream interval join: the
+    # two-sided watermark + time-bounded condition lets Spark drop
+    # buffered rows once the opposite watermark passes ts + within, so
+    # join state is O(rate x window) — feed 200 hours of events into both
+    # sides and check the final state store holds a small tail, not the
+    # whole history of either side.
+    import os
+    import time
+
+    def hts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    d = str(tmp_path / "ij")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    chunks = [range(0, 50), range(50, 100), range(100, 150), range(150, 200), [300]]
+    for i, hours in enumerate(chunks):
+        rows = [(h, hts(h), 1, "click", float(h), "{}") for h in hours]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        time.sleep(1.1)
+
+    def src():
+        return (
+            spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/*")
+        )
+
+    name = "ij_probe"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ST.stream_stream_join(src(), src(), key="user_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # each event matches itself and (except the last of a run) its +1h
+    # successor within the hour bound: 201 self-pairs + 199 successor
+    # pairs inside 0..199 + none for the 300 straggler's successor
+    assert spark.table(name).count() == 201 + 199
+    assert state_rows, "no stateOperators metrics captured"
+    # 401 rows were buffered over the stream's life (~201 per side); the
+    # final store holds only rows newer than watermark - within
+    assert state_rows[-1] <= 10, f"join state not evicted: {state_rows}"
+    assert max(state_rows) <= 120, f"join state grew unboundedly: {state_rows}"

@@ -68,7 +68,9 @@ def knn_topk(
     )
 
 
-def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
+def lsh_bucket(
+    embeddings: DataFrame, n_planes: int = 6, first_mask: int = 1
+) -> DataFrame:
     """Random-hyperplane (SimHash-style) LSH bucket id per vector — the
     scale path's pruning key. Planes are deterministic ±1 sign patterns
     derived from the dimension index so the oracle can reproduce them:
@@ -88,7 +90,12 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
     Walsh planes → 983 occupied buckets, max occupancy 107, 674k
     candidates — vs 128 buckets / 4.2M candidates for the degenerate
     index-bit family). 2^n_planes buckets → each query scans
-    ~corpus/2^n_planes."""
+    ~corpus/2^n_planes.
+
+    ``first_mask`` shifts the mask window (plane p uses mask
+    first_mask + p) so banded schemes can draw DISJOINT plane sets per
+    band; all masks must stay < dim or the plane degenerates to a
+    constant sign."""
     vec = F.col("embedding").cast("array<double>")
 
     def signed(mask: int):
@@ -103,7 +110,7 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                signed(p + 1),
+                signed(first_mask + p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

@@ -3476,6 +3476,7 @@ _WINDOW_PRIORITY = [
     "frame_sample",
     # -- new this round --
     "order_value_deciles",
+    "dedup_embedding_banded",
     # -- driver-checked but highest-risk: keep under the hard signal --
     "stream_tumbling_counts",
     "stream_sliding_avg",
@@ -3494,7 +3495,6 @@ _WINDOW_PRIORITY = [
     "ann_multiprobe_topk",
     "ann_ivf_topk",
     "datasource_history",
-    "multimodal_features",
 ]
 
 

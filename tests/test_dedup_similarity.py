@@ -205,3 +205,24 @@ def test_signature_udf_twins_equal_catalyst(spark):
         .collect()
     }
     assert sh_ref == sh_fast
+
+
+def test_banded_neardup_is_superset_of_single_band(spark):
+    # band 0 of the banded blocker uses exactly the single-band masks
+    # (1-4), so every single-band pair must reappear in the banded result
+    # with the same cos_sim — banding can only ADD recall, never lose it
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    single = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in REGISTRY["dedup_embedding_banded"].fn(spark, sf).collect()
+    }
+    assert set(single) <= set(banded)
+    assert all(banded[k] == v for k, v in single.items())
+    # and no pair below the threshold leaks through the extra bands
+    assert all(c >= 0.95 for c in banded.values())

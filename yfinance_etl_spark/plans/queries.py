@@ -1699,7 +1699,14 @@ def _embed_neardup(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
     def dot16(a, b):
         return reduce(lambda acc, i: acc + a[i] * b[i], range(EMBED_DIM), F.lit(0.0))
 
-    docs = doc_embeddings(_t(spark, sf_dir, "documents"))
+    # the fixture parquet is one row-group -> one partition; spread BEFORE
+    # the Arrow embed UDF or it runs single-task (measured 4 s for 5k docs
+    # serial vs ~0.4 s spread; the plan evaluates it once per join side)
+    docs = doc_embeddings(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     BANDS, R = bands, 4
     banded = docs
     for band in range(BANDS):
@@ -1733,6 +1740,12 @@ def _embed_neardup(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
     # local-mode hack. distinct() collapses multi-band collisions AFTER
     # the threshold filter pruned the shuffle input.
     S = 8
+    # In the broadcast shape the probe side's ROW partitioning (the
+    # repartition before the embed UDF) is what spreads the quadratic
+    # probe work — do NOT repartition by the block keys here: that
+    # re-concentrates each hot bucket into one task (measured 3.6 s ->
+    # 9 s at sf0.1). The salt pays off when the join degrades to a
+    # shuffle at true scale, where it splits the hot bucket's shuffle key.
     a_ = b.withColumn("salt", (F.col("doc_id") % S).cast("int")).alias("a")
     b_ = b.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))).alias("b")
     pairs = a_.join(

@@ -114,7 +114,13 @@ def kmeans(
     # materialize the (static) vector frame once: it appears in every Lloyd
     # round's assign, so without the checkpoint the single final job would
     # rescan + re-cast it iters+1 times (same lineage-truncation pattern as
-    # graph.connected_components)
+    # graph.connected_components). Spread an under-partitioned input first
+    # (a single-row-group fixture scan otherwise pins every assign pass of
+    # every iteration to ONE task) — but never coalesce an input that
+    # already has enough partitions.
+    par = embs.sparkSession.sparkContext.defaultParallelism
+    if embs.rdd.getNumPartitions() < par:
+        embs = embs.repartition(par)
     vecs = _as_double_vec(embs, vec_col).localCheckpoint(eager=True)
     # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
     # driver-side plan, still deterministic) — NOT filter(vec_id < k), which

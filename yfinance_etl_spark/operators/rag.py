@@ -90,15 +90,24 @@ def mock_completion_udf(prompts: pd.Series) -> pd.Series:
     return prompts.map(lambda p: None if p is None else f"[mock] {p[:40]} #{len(p)}")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input before the Arrow embed UDF —
+    a single-row-group fixture scan otherwise runs the whole kernel in one
+    task (measured 4 s serial vs ~0.4 s spread for 5k docs). Never
+    coalesces an input that already has enough partitions."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+
+
 def doc_embeddings(docs: DataFrame) -> DataFrame:
     """Whole-document embeddings (doc_id, embedding) — shared by the
     embedding-cosine dedup path; cached once per suite (cache.py)."""
-    return docs.select("doc_id", hash_embed("text").alias("embedding"))
+    return _spread(docs).select("doc_id", hash_embed("text").alias("embedding"))
 
 
 def chunk_embeddings(docs: DataFrame, size: int = 200, overlap: int = 50) -> DataFrame:
     """L3+L5: explode documents into chunks and embed each chunk."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.explode(chunk_text("text", size=size, overlap=overlap)).alias("c")
     ).select(
         "doc_id",

@@ -1699,14 +1699,9 @@ def _embed_neardup(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
     def dot16(a, b):
         return reduce(lambda acc, i: acc + a[i] * b[i], range(EMBED_DIM), F.lit(0.0))
 
-    # the fixture parquet is one row-group -> one partition; spread BEFORE
-    # the Arrow embed UDF or it runs single-task (measured 4 s for 5k docs
-    # serial vs ~0.4 s spread; the plan evaluates it once per join side)
-    docs = doc_embeddings(
-        _t(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+    # doc_embeddings spreads an under-partitioned scan itself (the plan
+    # evaluates the embed UDF once per join side)
+    docs = doc_embeddings(_t(spark, sf_dir, "documents"))
     BANDS, R = bands, 4
     banded = docs
     for band in range(BANDS):

@@ -115,3 +115,42 @@ def test_pairwise_correlation_matches_pandas(spark):
     expected = pd.Series(xs).corr(pd.Series(ys))
     assert abs(out[0]["corr"] - round(expected, 6)) < 1e-9
     assert out[0]["n_days"] == 8
+
+
+def test_kmv_estimator_error_bound_and_small_group_exactness(spark):
+    # KMV with k=256: standard error 1/sqrt(k) ~ 6%; pin a 3-sigma bound
+    # at sf0.01, and exactness when a group has fewer than k distinct keys
+    # (the estimator then returns the true count by construction)
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    est = {
+        r.o_orderpriority: r.kmv_customers
+        for r in REGISTRY["kmv_distinct"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for p, n in exact.items():
+        assert abs(est[p] - n) / n <= 0.2, (p, est[p], n)
+
+    small_est = {
+        r.o_orderpriority: r.kmv_customers
+        for r in REGISTRY["kmv_distinct"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    small_exact = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for p, n in small_exact.items():
+        if n < 256:
+            assert small_est[p] == float(n), (p, small_est[p], n)

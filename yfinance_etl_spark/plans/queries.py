@@ -2353,6 +2353,69 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV distinct-count estimator — the cross-engine-VERIFIABLE sketch. The
+# native HLL state above is engine-specific, but the k-minimum-values
+# estimator is pure algebra over md5: keep the k smallest normalized
+# hashes of the key; if the group has >= k distinct keys, estimate
+# (k-1)/h_(k) (the kth minimum is an order statistic of uniform hashes),
+# else the minima themselves count the group exactly. Identical md5 ->
+# identical minima -> identical estimate in Spark and DuckDB, so the
+# driver value-hashes this one — the estimator math is verified even
+# though HLL's internal state cannot be.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS hv
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, hv,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+  FROM h
+)
+SELECT o_orderpriority,
+       CASE WHEN COUNT(*) >= {_KMV_K}
+            THEN ROUND(({_KMV_K} - 1) / MAX(hv), 6)
+            ELSE CAST(COUNT(*) AS DOUBLE) END AS kmv_customers
+FROM ranked WHERE rn <= {_KMV_K}
+GROUP BY o_orderpriority
+"""
+
+
+@_register("kmv_distinct", _KMV_SQL)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _KMV_K
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    h = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", hv.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.when(
+                F.count(F.lit(1)) >= k, F.round((k - 1) / F.max("hv"), 6)
+            )
+            .otherwise(F.count(F.lit(1)).cast("double"))
+            .alias("kmv_customers")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE: all 2^k grouping combinations in one pass — the rollup's sibling
 # for cross-dimensional dashboards (priority × status totals, each margin,
 # and the grand total). Like ROLLUP, Spark expands the grouping sets over
@@ -3485,6 +3548,7 @@ _WINDOW_PRIORITY = [
     # -- new this round --
     "order_value_deciles",
     "dedup_embedding_banded",
+    "kmv_distinct",
     # -- driver-checked but highest-risk: keep under the hard signal --
     "stream_tumbling_counts",
     "stream_sliding_avg",
@@ -3502,7 +3566,6 @@ _WINDOW_PRIORITY = [
     "ann_bucketed_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
-    "datasource_history",
 ]
 
 

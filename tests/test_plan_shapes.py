@@ -248,3 +248,18 @@ def test_map_only_queries_never_shuffle(spark, name):
     # into a full-corpus shuffle
     plan = _plan(spark, name)
     assert "Exchange" not in plan, f"{name} shuffled:\n{plan}"
+
+
+def test_banded_neardup_broadcast_probe_shape(spark):
+    # the banded near-dup must stay a BROADCAST equi-join on
+    # (band, bucket, salt) — never all-pairs — with the probe side spread
+    # across row partitions (the r6 12.3s -> 3.4s fix: a RoundRobin
+    # repartition before the embed UDF; repartitioning by the join keys
+    # instead re-concentrates hot buckets and is asserted absent)
+    plan = _plan(spark, "dedup_embedding_banded")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "RoundRobinPartitioning" in plan, plan
+    # no key-hash exchange feeds the join probe; the only hash exchange
+    # is the final distinct()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

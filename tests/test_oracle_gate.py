@@ -1,0 +1,59 @@
+"""Meta-verification of the oracle gate itself: the comparator must
+actually CATCH each mismatch class, or every green gate run is vacuous.
+Pure-python tests over tools/compare_oracle.compare — no Spark session."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _compare():
+    spec = importlib.util.spec_from_file_location(
+        "compare_oracle", "/root/repo/tools/compare_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("compare_oracle", mod)
+    spec.loader.exec_module(mod)
+    return mod.compare
+
+
+def test_gate_passes_identical_results():
+    compare = _compare()
+    rows = [(1, "a", 1.5), (2, "b", 2.5)]
+    assert compare("t", rows, ["k", "s", "v"], rows, ["k", "s", "v"])
+
+
+def test_gate_is_order_insensitive_for_rows_and_columns():
+    compare = _compare()
+    spark = [(1, 1.5), (2, 2.5)]
+    duck = [(2.5, 2), (1.5, 1)]  # rows reversed, columns swapped
+    assert compare("t", spark, ["k", "v"], duck, ["v", "k"])
+
+
+def test_gate_catches_value_mismatch():
+    compare = _compare()
+    assert not compare("t", [(1, 1.5)], ["k", "v"], [(1, 1.6)], ["k", "v"])
+
+
+def test_gate_catches_rowcount_mismatch():
+    compare = _compare()
+    assert not compare("t", [(1,)], ["k"], [(1,), (2,)], ["k"])
+
+
+def test_gate_catches_schema_mismatch():
+    compare = _compare()
+    assert not compare("t", [(1,)], ["k"], [(1,)], ["other"])
+
+
+def test_gate_catches_float_beyond_tolerance_but_not_epsilon():
+    compare = _compare()
+    # 1e-9-relative noise passes loose (with a WARN); 1e-6 fails
+    assert compare("t", [(1.0,)], ["v"], [(1.0 + 1e-12,)], ["v"])
+    assert not compare("t", [(1.0,)], ["v"], [(1.0 + 1e-6,)], ["v"])
+
+
+def test_gate_catches_null_vs_value():
+    compare = _compare()
+    assert not compare("t", [(None,)], ["v"], [(0,)], ["v"])
+    assert compare("t", [(None,)], ["v"], [(None,)], ["v"])

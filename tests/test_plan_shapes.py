@@ -263,3 +263,18 @@ def test_banded_neardup_broadcast_probe_shape(spark):
     # no key-hash exchange feeds the join probe; the only hash exchange
     # is the final distinct()
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_no_query_plan_contains_antipatterns(spark):
+    # suite-wide guard: no registered query may plan a CartesianProduct
+    # (an un-broadcast cross join is never acceptable — the brute-force
+    # knn baseline broadcasts, planning as BroadcastNestedLoopJoin) or a
+    # BatchEvalPython (row-at-a-time Python UDF; every Python kernel in
+    # the engine is Arrow-batched or pure Catalyst)
+    offenders = {}
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders

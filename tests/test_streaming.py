@@ -326,3 +326,65 @@ def test_interval_join_state_evicted_on_both_sides(spark, tmp_path):
     # final store holds only rows newer than watermark - within
     assert state_rows[-1] <= 10, f"join state not evicted: {state_rows}"
     assert max(state_rows) <= 120, f"join state grew unboundedly: {state_rows}"
+
+
+def test_session_window_state_evicted(spark, tmp_path):
+    # Third stateful-operator class: gap-based session windows. A session
+    # closes (emits, and leaves the store) once the watermark passes its
+    # end; only sessions the watermark can still extend may stay. 120
+    # users x 1 session each across four micro-batches must NOT accumulate
+    # 120 open sessions at the end.
+    import os
+    import time
+
+    def hts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # user u has one 2-event session at hour 2u (sessions gap = 6h apart
+    # per user, so no merging); a final lone event advances the watermark
+    chunks = [range(0, 40), range(40, 80), range(80, 120), [900]]
+    for i, users in enumerate(chunks):
+        rows = []
+        for u in users:
+            rows += [
+                (u * 2, hts(2 * u), u, "click", 1.0, "{}"),
+                (u * 2 + 1, hts(2 * u) + dt.timedelta(minutes=30), u, "click", 1.0, "{}"),
+            ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    name = "sess_probe"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ST.session_rollup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # flush watermark = 900:00 - 1h closes all 120 user sessions; the lone
+    # hour-900 session (ends 906:00 > watermark 899:00) stays open
+    assert spark.table(name).count() == 120
+    assert state_rows, "no stateOperators metrics captured"
+    assert state_rows[-1] <= 5, f"session state not evicted: {state_rows}"
+    assert max(state_rows) <= 100, f"session state grew unboundedly: {state_rows}"

@@ -42,3 +42,19 @@ def test_reorder_is_a_permutation():
 
     assert list(e.queries()) == names
     assert set(e.oracle_sql()) == {n for n in names if REGISTRY[n].oracle}
+
+
+def test_committed_correctness_snapshot_covers_full_registry():
+    # r5 advice: the gate artifact must attest the WHOLE registry — adding
+    # a query without regenerating correctness_full.json (tools/
+    # compare_oracle.py --json) should fail loudly here, not silently
+    # under-cover
+    import json
+
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    snap = json.load(open("/root/repo/correctness_full.json"))
+    missing = set(REGISTRY) - set(snap["results"])
+    assert not missing, f"queries not attested by correctness_full.json: {sorted(missing)}"
+    assert snap["n_fail"] == 0, snap
+    assert snap["n_queries"] == len(REGISTRY)

@@ -198,8 +198,11 @@ def test_minhash_signatures_have_no_shuffle(spark):
     docs = load_table(spark, SF, "documents")
     for df in (minhash_bands(docs), simhash_signatures(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # per-row HOF signatures: a map-only stage, zero exchanges
-        assert "Exchange" not in plan, f"signature stage shuffled:\n{plan}"
+        # per-row HOF signatures: no KEYED shuffle, ever (the only
+        # allowed exchange is the guarded RoundRobin spread of an
+        # under-partitioned scan, a no-op on partitioned inputs)
+        assert "Exchange hashpartitioning" not in plan, f"signature stage shuffled:\n{plan}"
+        assert "Exchange rangepartitioning" not in plan, f"signature stage sorted:\n{plan}"
 
 
 def test_price_band_join_broadcasts_intervals(spark):

@@ -51,9 +51,19 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input before the md5-dense
+    shingle/hash kernels — a single-row-group fixture scan otherwise runs
+    them in one task (measured: doc_hashes 14 s serial vs 3 s spread at
+    sf0.1). Never coalesces an input that already has enough partitions,
+    so at true scale this is a no-op and the stage stays map-only."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+
+
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted-index base."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.explode(word_shingles("text")).alias("shingle")
     ).distinct()
 
@@ -75,7 +85,7 @@ def doc_hashes(docs: DataFrame) -> DataFrame:
         F.array_distinct(word_shingles("text")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    return docs.select("doc_id", hs.alias("hs"))
+    return _spread(docs).select("doc_id", hs.alias("hs"))
 
 
 @F.pandas_udf(ArrayType(LongType()))

@@ -96,6 +96,19 @@ def test_lsh_bucket_groups_identical_vectors(spark):
     assert got[0] != got[2]  # antipodal vectors flip every plane's sign
 
 
+def test_lsh_bucket_rejects_degenerate_mask_window(spark):
+    # r6 advice: a Walsh mask >= dim degenerates that plane to a constant
+    # sign — silently halving effective buckets. With dim passed, the
+    # builder must fail fast instead.
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="mask window"):
+        lsh_bucket(df, n_planes=4, first_mask=1, dim=4)  # masks 1..4, 4 >= dim
+    # boundary config (masks 1..3 < dim=4) builds fine
+    assert lsh_bucket(df, n_planes=3, first_mask=1, dim=4).collect()
+
+
 def test_hot_shingle_df_cutoff_prevents_fanout(spark):
     # 8 docs share a stop-phrase shingle but are otherwise unrelated: with
     # the df cutoff the inverted-index self-join must produce NO pairs

@@ -5,13 +5,14 @@ Pure-python tests over tools/compare_oracle.compare — no Spark session."""
 from __future__ import annotations
 
 import importlib.util
+import pathlib
 import sys
+
+_TOOL = pathlib.Path(__file__).resolve().parents[1] / "tools" / "compare_oracle.py"
 
 
 def _compare():
-    spec = importlib.util.spec_from_file_location(
-        "compare_oracle", "/root/repo/tools/compare_oracle.py"
-    )
+    spec = importlib.util.spec_from_file_location("compare_oracle", str(_TOOL))
     mod = importlib.util.module_from_spec(spec)
     sys.modules.setdefault("compare_oracle", mod)
     spec.loader.exec_module(mod)

@@ -4,23 +4,32 @@ accident of decorator order."""
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from yfinance_etl_spark.plans.queries import REGISTRY, _WINDOW_PRIORITY
 
-# every query absent from CORRECTNESS_r05.json (driver rows 1-50 of the
-# round-5 order) — round 6's rotation must put ALL of them in the window
-_R05_UNCHECKED = {
-    "price_band_join", "lang_profile", "price_pivot_wide",
-    "datasource_monthly_bars", "order_value_quantiles", "sketch_profile",
-    "orders_cube", "ticker_correlation_matrix", "dedup_clusters",
-    "tfidf_top_terms", "train_split_counts", "salted_revenue_by_segment",
-    "incremental_rollup", "doc_quality_gopher", "pii_redaction",
-    "url_domain_stats", "kmeans_clusters", "symbol_search",
-    "fund_expense_ratio", "tz_normalize", "stream_static_enriched",
-    "stream_interval_join", "watchlist_parse", "stratified_sample",
-    "shard_packing", "compacted_sink_roundtrip", "funnel_conversions",
-    "cohort_retention", "contamination_check", "multimodal_resize",
-    "frame_sample",
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+# every query absent from CORRECTNESS_r06.json (driver rows 1-50 of the
+# round-6 order) — round 7's rotation must put ALL of them in the window,
+# plus the two never-hash-attested entries, so no query's last driver
+# attestation is more than two rounds old
+_R06_UNCHECKED = {
+    "flagship_risk", "pricing_summary", "top_orders", "revenue_by_region",
+    "orders_with_lineitems_semi", "customers_without_urgent_orders_anti",
+    "sma_min_periods", "cumulative_return", "uptrend_flags",
+    "positional_lookback", "benchmark_ols", "sortino", "dividend_yield",
+    "ema_20", "text_quality", "chunk_stats", "scalar_profile",
+    "events_json_profile", "doc_sentiment", "sink_roundtrip",
+    "datasource_history", "sector_weights", "rag_retrieval", "rag_answers",
+    "multimodal_features", "newsfeed_sentiment", "pdf_page_text",
+    "peer_group_lookup", "sql_top_orders_per_priority", "token_stats",
+    "rolling_fingerprint", "bucketed_join_revenue", "revenue_rollup",
+    "metrics_unpivot",
 }
+
+_NEVER_HASH_ATTESTED = {"funnel_conversions", "sketch_profile"}
 
 
 def test_priority_names_lead_the_registry():
@@ -29,9 +38,10 @@ def test_priority_names_lead_the_registry():
 
 def test_driver_window_covers_all_previously_unchecked_queries():
     window = set(list(REGISTRY)[:50])
-    missing = _R05_UNCHECKED - window
+    missing = (_R06_UNCHECKED | _NEVER_HASH_ATTESTED) - window
     assert not missing, f"not in the driver's 50-row window: {sorted(missing)}"
-    assert "order_value_deciles" in window  # new this round
+    # the round-6 red row must lead the window so its fix is attested first
+    assert list(REGISTRY)[0] == "funnel_conversions"
 
 
 def test_reorder_is_a_permutation():
@@ -49,11 +59,7 @@ def test_committed_correctness_snapshot_covers_full_registry():
     # a query without regenerating correctness_full.json (tools/
     # compare_oracle.py --json) should fail loudly here, not silently
     # under-cover
-    import json
-
-    from yfinance_etl_spark.plans.queries import REGISTRY
-
-    snap = json.load(open("/root/repo/correctness_full.json"))
+    snap = json.load(open(_REPO / "correctness_full.json"))
     missing = set(REGISTRY) - set(snap["results"])
     assert not missing, f"queries not attested by correctness_full.json: {sorted(missing)}"
     assert snap["n_fail"] == 0, snap

@@ -8,6 +8,8 @@ boundaries, session merging, and dedup-first-wins are checked end to end.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import time
 
 import pytest
 
@@ -16,6 +18,22 @@ from yfinance_etl_spark.streaming import streams as ST
 
 def _ts(h, m=0, s=0):
     return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _stamp(chunk_dir: str, seq: int) -> None:
+    """Pin the file source's micro-batch order EXPLICITLY: set every file
+    under ``chunk_dir`` to a strictly increasing mtime (10 s apart per
+    chunk). FileStreamSource orders candidates by modification time, and
+    the previous time.sleep(1.1)-between-writes approach could still land
+    two chunks in the same mtime second on a slow filesystem (r6 advice),
+    silently reordering batches and changing watermark progression."""
+    t = _stamp.base + seq * 10
+    for root, _dirs, files in os.walk(chunk_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (t, t))
+
+
+_stamp.base = time.time() - 3600
 
 
 @pytest.fixture(scope="module")
@@ -148,7 +166,6 @@ def test_watermark_drops_late_event_after_window_finalized(spark, tmp_path):
     # the watermark to 11:30; batch 2's 08:45 straggler targets a finalized
     # window and MUST be discarded, never re-emitted.
     import os
-    import time
 
     from yfinance_etl_spark.streaming.streams import tumbling_counts
 
@@ -162,7 +179,7 @@ def test_watermark_drops_late_event_after_window_finalized(spark, tmp_path):
     ]
     for i, rows in enumerate(files):
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
-        time.sleep(1.1)
+        _stamp(f"{d}/f{i}", i)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
@@ -180,7 +197,6 @@ def test_ema_state_carries_across_microbatches(spark, tmp_path):
     # two files + maxFilesPerTrigger=1 → two micro-batches; the GroupState
     # must carry (ema, n) so the final emission equals the full-series fold
     import os
-    import time
 
     d = str(tmp_path / "ev")
     os.makedirs(d)
@@ -188,8 +204,9 @@ def test_ema_state_carries_across_microbatches(spark, tmp_path):
     rows2 = [(3, _ts(0, 2), 1, "click", 30.0, "{}")]
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d + "/f1")
-    time.sleep(1.1)
+    _stamp(d + "/f1", 0)
     spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(d + "/f2")
+    _stamp(d + "/f2", 1)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(d + "/f1").schema)
@@ -213,7 +230,6 @@ def test_watermark_evicts_finalized_window_state(spark, tmp_path):
     # it holds only the not-yet-finalized tail (~2 windows), without it
     # all 201 would accumulate.
     import os
-    import time
 
     from yfinance_etl_spark.streaming.streams import tumbling_counts
 
@@ -227,7 +243,7 @@ def test_watermark_evicts_finalized_window_state(spark, tmp_path):
     for i, hours in enumerate(chunks):
         rows = [(h, hts(h), 1, "click", 1.0, "{}") for h in hours]
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
-        time.sleep(1.1)
+        _stamp(f"{d}/f{i}", i)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
@@ -275,7 +291,6 @@ def test_interval_join_state_evicted_on_both_sides(spark, tmp_path):
     # sides and check the final state store holds a small tail, not the
     # whole history of either side.
     import os
-    import time
 
     def hts(h):
         return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
@@ -287,7 +302,7 @@ def test_interval_join_state_evicted_on_both_sides(spark, tmp_path):
     for i, hours in enumerate(chunks):
         rows = [(h, hts(h), 1, "click", float(h), "{}") for h in hours]
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
-        time.sleep(1.1)
+        _stamp(f"{d}/f{i}", i)
 
     def src():
         return (
@@ -335,7 +350,6 @@ def test_session_window_state_evicted(spark, tmp_path):
     # users x 1 session each across four micro-batches must NOT accumulate
     # 120 open sessions at the end.
     import os
-    import time
 
     def hts(h):
         return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
@@ -354,7 +368,7 @@ def test_session_window_state_evicted(spark, tmp_path):
                 (u * 2 + 1, hts(2 * u) + dt.timedelta(minutes=30), u, "click", 1.0, "{}"),
             ]
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
-        time.sleep(1.1)
+        _stamp(f"{d}/f{i}", i)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(d + "/f0").schema)

@@ -14,11 +14,12 @@ Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yfinance_etl_spark.catalog import TABLES  # noqa: E402
 from yfinance_etl_spark.plans.queries import REGISTRY  # noqa: E402

@@ -18,7 +18,7 @@ import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yfinance_etl_spark.plans.queries import REGISTRY  # noqa: E402
 
@@ -35,9 +35,12 @@ def main(repo: str) -> None:
             if name in seen and isinstance(row, dict) and row.get("hash_match"):
                 seen[name].append(rnd)
 
-    # never attested → fewest attestations → stalest last attestation
+    # never attested → stalest last attestation → fewest attestations.
+    # Staleness leads (not count): the goal is that every query's last
+    # driver attestation stays <= 2 rounds old, so a query attested four
+    # times but last seen in r5 outranks one attested once in r6.
     ranked = sorted(
-        REGISTRY, key=lambda n: (len(seen[n]), max(seen[n], default=0), n)
+        REGISTRY, key=lambda n: (max(seen[n], default=-1), len(seen[n]), n)
     )
     never = [n for n in ranked if not seen[n]]
     print(f"# {len(never)} never driver-attested; window = first 50 below")
@@ -49,4 +52,4 @@ def main(repo: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo")
+    main(sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yfinance_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_neardup  # noqa: E402
 from yfinance_etl_spark.operators.similarity import (  # noqa: E402

@@ -116,12 +116,10 @@ def kmeans(
     # rescan + re-cast it iters+1 times (same lineage-truncation pattern as
     # graph.connected_components). Spread an under-partitioned input first
     # (a single-row-group fixture scan otherwise pins every assign pass of
-    # every iteration to ONE task) — but never coalesce an input that
-    # already has enough partitions.
-    par = embs.sparkSession.sparkContext.defaultParallelism
-    if embs.rdd.getNumPartitions() < par:
-        embs = embs.repartition(par)
-    vecs = _as_double_vec(embs, vec_col).localCheckpoint(eager=True)
+    # every iteration to ONE task).
+    from yfinance_etl_spark.operators.partitioning import spread
+
+    vecs = _as_double_vec(spread(embs), vec_col).localCheckpoint(eager=True)
     # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
     # driver-side plan, still deterministic) — NOT filter(vec_id < k), which
     # silently yields < k centroids when ids are sparse or offset

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from yfinance_etl_spark.operators.partitioning import spread as _spread
 from yfinance_etl_spark.operators.text import fingerprint, word_shingles
 
 N_HASHES = 16
@@ -49,16 +50,6 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
         F.countDistinct("fp").alias("n_distinct"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
     )
-
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition an under-partitioned input before the md5-dense
-    shingle/hash kernels — a single-row-group fixture scan otherwise runs
-    them in one task (measured: doc_hashes 14 s serial vs 3 s spread at
-    sf0.1). Never coalesces an input that already has enough partitions,
-    so at true scale this is a no-op and the stage stays map-only."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:

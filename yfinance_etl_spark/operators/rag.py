@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StringType
 
 from yfinance_etl_spark.operators.similarity import cosine
+from yfinance_etl_spark.operators.partitioning import spread as _spread
 from yfinance_etl_spark.operators.text import chunk_text
 
 EMBED_DIM = 16
@@ -88,15 +89,6 @@ def mock_completion_udf(prompts: pd.Series) -> pd.Series:
     the prompt plus its length (oracle: '[mock] ' || substr(p,1,40) || ' #'
     || length(p))."""
     return prompts.map(lambda p: None if p is None else f"[mock] {p[:40]} #{len(p)}")
-
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition an under-partitioned input before the Arrow embed UDF —
-    a single-row-group fixture scan otherwise runs the whole kernel in one
-    task (measured 4 s serial vs ~0.4 s spread for 5k docs). Never
-    coalesces an input that already has enough partitions."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
 
 
 def doc_embeddings(docs: DataFrame) -> DataFrame:

@@ -69,7 +69,10 @@ def knn_topk(
 
 
 def lsh_bucket(
-    embeddings: DataFrame, n_planes: int = 6, first_mask: int = 1
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    first_mask: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-style) LSH bucket id per vector — the
     scale path's pruning key. Planes are deterministic ±1 sign patterns
@@ -95,7 +98,16 @@ def lsh_bucket(
     ``first_mask`` shifts the mask window (plane p uses mask
     first_mask + p) so banded schemes can draw DISJOINT plane sets per
     band; all masks must stay < dim or the plane degenerates to a
-    constant sign."""
+    constant sign. Pass ``dim`` when the vector width is statically known
+    and that invariant is enforced at build time (a degenerate plane
+    silently halves effective buckets — recall and pruning decay with no
+    error otherwise)."""
+    if dim is not None and first_mask + n_planes > dim:
+        raise ValueError(
+            f"lsh_bucket: mask window [{first_mask}, {first_mask + n_planes - 1}] "
+            f"exceeds dim-1={dim - 1}; a Walsh mask >= dim degenerates to a "
+            "constant sign bit (constant bucket bit, halved effective buckets)"
+        )
     vec = F.col("embedding").cast("array<double>")
 
     def signed(mask: int):
@@ -122,13 +134,16 @@ def lsh_bucket(
     return embeddings.withColumn("bucket", bucket)
 
 
-def ann_bucketed_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+def ann_bucketed_topk(
+    embeddings: DataFrame, k: int = 5, n_planes: int = 6, dim: int | None = None
+) -> DataFrame:
     """Approximate top-k: exact cosine only within each query's LSH bucket.
 
     At 100 TB: bucket is the shuffle/partition key, so each task scores one
-    bucket — no all-pairs crossJoin ever materializes.
+    bucket — no all-pairs crossJoin ever materializes. ``dim`` (when the
+    vector width is statically known) fail-fasts degenerate plane configs.
     """
-    b = lsh_bucket(embeddings, n_planes).select(
+    b = lsh_bucket(embeddings, n_planes, dim=dim).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label", "bucket"
     )
     q = F.broadcast(
@@ -228,7 +243,7 @@ def ivf_topk(
 
 
 def ann_multiprobe_topk(
-    embeddings: DataFrame, k: int = 5, n_planes: int = 6
+    embeddings: DataFrame, k: int = 5, n_planes: int = 6, dim: int | None = None
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query scores its own bucket PLUS every
     bucket at Hamming distance 1 (one plane's sign flipped) — n_planes+1
@@ -236,7 +251,7 @@ def ann_multiprobe_topk(
     dominant LSH miss mode) are recovered at (n_planes+1)/2^n_planes of
     the corpus per query instead of a full rescan. A corpus vector matches
     at most one probe, so no dedup is needed before ranking."""
-    b = lsh_bucket(embeddings, n_planes).select(
+    b = lsh_bucket(embeddings, n_planes, dim=dim).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
     )
     probes = F.array(

@@ -896,7 +896,9 @@ FROM ranked WHERE knn_rank <= 5
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.similarity import ann_bucketed_topk
 
-    return ann_bucketed_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
+    # dim=64 is the embeddings-table contract (TESTDATA.md): fail-fast if a
+    # plane-count change ever degenerates the Walsh mask window
+    return ann_bucketed_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1706,7 +1708,7 @@ def _embed_neardup(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
     banded = docs
     for band in range(BANDS):
         banded = lsh_bucket(
-            banded, n_planes=R, first_mask=band * R + 1
+            banded, n_planes=R, first_mask=band * R + 1, dim=EMBED_DIM
         ).withColumnRenamed("bucket", f"__bkt{band}")
     # norm hoisted per doc BEFORE the pair join: the in-bucket pair count is
     # quadratic in bucket size, so per-pair work must be one dot product,
@@ -1851,7 +1853,7 @@ SELECT q_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 5
 def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.similarity import ann_multiprobe_topk
 
-    return ann_multiprobe_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
+    return ann_multiprobe_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6, dim=64)
 
 
 @_register("ann_ivf_topk", _IVF_SQL)
@@ -3283,8 +3285,8 @@ WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase
 c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
 SELECT p.user_id,
        COUNT(*) AS n_purchases,
-       SUM(CASE WHEN c.ts IS NOT NULL AND c.ts >= p.ts - INTERVAL 1 HOUR
-                THEN 1 ELSE 0 END) AS n_converted
+       CAST(SUM(CASE WHEN c.ts IS NOT NULL AND c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 GROUP BY p.user_id
 """
@@ -3512,60 +3514,60 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
+# r7 rotation (tools/rotate_window.py, staleness-first): leads with the
+# never-hash-attested pair, then all 34 queries whose last driver
+# attestation predates r6, then r6-attested fillers.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked as of CORRECTNESS_r05 (registry rows 51-81) --
-    "price_band_join",
-    "lang_profile",
-    "price_pivot_wide",
-    "datasource_monthly_bars",
-    "order_value_quantiles",
-    "sketch_profile",
-    "orders_cube",
-    "ticker_correlation_matrix",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "train_split_counts",
-    "salted_revenue_by_segment",
-    "incremental_rollup",
-    "doc_quality_gopher",
-    "pii_redaction",
-    "url_domain_stats",
-    "kmeans_clusters",
-    "symbol_search",
-    "fund_expense_ratio",
-    "tz_normalize",
-    "stream_static_enriched",
-    "stream_interval_join",
-    "watchlist_parse",
-    "stratified_sample",
-    "shard_packing",
-    "compacted_sink_roundtrip",
-    "funnel_conversions",
-    "cohort_retention",
-    "contamination_check",
-    "multimodal_resize",
-    "frame_sample",
-    # -- new this round --
-    "order_value_deciles",
-    "dedup_embedding_banded",
-    "kmv_distinct",
-    # -- driver-checked but highest-risk: keep under the hard signal --
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_rollup",
-    "stream_ema_stateful",
-    "stream_parquet_sink_roundtrip",
-    "stream_dedup_distinct",
-    "asof_click_attribution",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "knn_cosine_topk",
-    "ann_bucketed_topk",
-    "ann_multiprobe_topk",
-    "ann_ivf_topk",
+    "funnel_conversions",  # never
+    "sketch_profile",  # never
+    "events_json_profile",  # r3,4,5
+    "scalar_profile",  # r3,4,5
+    "sql_top_orders_per_priority",  # r3,4,5
+    "bucketed_join_revenue",  # r2,3,4,5
+    "chunk_stats",  # r2,3,4,5
+    "datasource_history",  # r2,3,4,5
+    "doc_sentiment",  # r2,3,4,5
+    "metrics_unpivot",  # r2,3,4,5
+    "multimodal_features",  # r2,3,4,5
+    "newsfeed_sentiment",  # r2,3,4,5
+    "pdf_page_text",  # r2,3,4,5
+    "peer_group_lookup",  # r2,3,4,5
+    "rag_answers",  # r2,3,4,5
+    "rag_retrieval",  # r2,3,4,5
+    "revenue_rollup",  # r2,3,4,5
+    "rolling_fingerprint",  # r2,3,4,5
+    "sector_weights",  # r2,3,4,5
+    "sink_roundtrip",  # r2,3,4,5
+    "token_stats",  # r2,3,4,5
+    "benchmark_ols",  # r1,2,3,4,5
+    "cumulative_return",  # r1,2,3,4,5
+    "customers_without_urgent_orders_anti",  # r1,2,3,4,5
+    "dividend_yield",  # r1,2,3,4,5
+    "ema_20",  # r1,2,3,4,5
+    "flagship_risk",  # r1,2,3,4,5
+    "orders_with_lineitems_semi",  # r1,2,3,4,5
+    "positional_lookback",  # r1,2,3,4,5
+    "pricing_summary",  # r1,2,3,4,5
+    "revenue_by_region",  # r1,2,3,4,5
+    "sma_min_periods",  # r1,2,3,4,5
+    "sortino",  # r1,2,3,4,5
+    "text_quality",  # r1,2,3,4,5
+    "top_orders",  # r1,2,3,4,5
+    "uptrend_flags",  # r1,2,3,4,5
+    "cohort_retention",  # r6
+    "compacted_sink_roundtrip",  # r6
+    "contamination_check",  # r6
+    "datasource_monthly_bars",  # r6
+    "dedup_clusters",  # r6
+    "dedup_embedding_banded",  # r6
+    "doc_quality_gopher",  # r6
+    "frame_sample",  # r6
+    "fund_expense_ratio",  # r6
+    "incremental_rollup",  # r6
+    "kmeans_clusters",  # r6
+    "kmv_distinct",  # r6
+    "multimodal_resize",  # r6
+    "order_value_deciles",  # r6
 ]
 
 

@@ -17,6 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realparse: drives the optional pypdf/pdfplumber/PIL adapter paths "
+        "against real-format fixture bytes (skipped where the libs are absent)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (

@@ -178,10 +178,29 @@ def test_shard_packing_two_exchanges(spark):
     assert "Exchange hashpartitioning" not in plan  # no third shuffle after the scan
 
 
-def test_funnel_single_shuffle(spark):
-    # as-of window + per-user agg share the user_id partitioning: one exchange
-    plan = _plan(spark, "funnel_conversions")
+def _assert_asof_shape(plan: str) -> None:
+    # the as-of family's contract (r6 advice asked for a specific pin, not
+    # just the suite guard): exactly ONE exchange and it hashes user_id —
+    # union + carry-forward window + agg all ride that single partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    # the sort feeding the carry-forward window is partition-LOCAL
+    # ("false, 0" = global=false): no rangepartitioning global sort ever
+    assert "Exchange rangepartitioning" not in plan, plan
+    # no fallback to a real join operator (the union+window shape has no
+    # join at all; a range-join rewrite would appear as SMJ/BNLJ here)
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"{op} crept into the as-of plan:\n{plan}"
+    # both event scans keep their event_type pushdown
+    assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type") == 2, plan
+
+
+def test_funnel_single_shuffle_on_user_id(spark):
+    _assert_asof_shape(_plan(spark, "funnel_conversions"))
+
+
+def test_asof_click_attribution_single_shuffle_on_user_id(spark):
+    _assert_asof_shape(_plan(spark, "asof_click_attribution"))
 
 
 def test_cohort_two_exchanges(spark):

@@ -50,6 +50,140 @@ def test_lsh_candidate_volume_grows_linearly_not_quadratically(spark):
     assert ratio < 8, f"LSH candidate volume grew {ratio:.1f}x on a 4x corpus"
 
 
+def test_blow_up_events_scales_rate_not_span(spark):
+    from yfinance_etl_spark.catalog import load_table
+    from yfinance_etl_spark.operators.synth import blow_up_events
+
+    ev = load_table(spark, SF, "events")
+    big = blow_up_events(ev, 4)
+    n, nb = ev.count(), big.count()
+    assert nb == 4 * n
+    # same time span (±4 replica-shift seconds), same user population:
+    # rate is the only knob that moved
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    blo, bhi = big.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert abs((bhi - hi).total_seconds()) <= 4 and blo == lo
+    assert big.select("user_id").distinct().count() == ev.select("user_id").distinct().count()
+    # event ids stay collision-free
+    assert big.select("event_id").distinct().count() == nb
+
+
+def test_salted_join_spreads_hot_key_groups(spark):
+    # the deterministic half of the salted-join claim: the biggest
+    # (key, salt) reducer group is ~hot/8, never the whole hot key
+    # (salt expression mirrors operators/joins.salted_join:126)
+    from yfinance_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    facts = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0)).otherwise(F.col("user_id")).alias("k"),
+        "event_id",
+        "value",
+    )
+    hot = facts.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    row_fp = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in facts.columns]))
+    max_salted = (
+        facts.withColumn("__salt", F.pmod(row_fp, F.lit(8)))
+        .groupBy("k", "__salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot > facts.count() * 0.2  # the fixture really is skewed
+    assert max_salted <= hot / 4, (hot, max_salted)  # ~hot/8 with crc32 spread
+
+
+def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
+    # tools/scale_stress.py joins|streamstate append their evidence to the
+    # committed scale_stress_results.jsonl; this pins that the recorded
+    # curves actually show the claimed properties (regenerate the sweep if
+    # the operators change — same discipline as correctness_full.json)
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl")
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    joins = [r for r in lines if r.get("kind") == "joins"]
+    stream = [r for r in lines if r.get("kind") == "streamstate"]
+    assert len(joins) >= 2 and len(stream) >= 2, "sweeps not recorded"
+    for r in joins:
+        # salting spreads the hot key at least 6x of the ideal 8x
+        assert r["max_salted_group"] * 6 <= r["hot_key_rows"], r
+    # peak interval-join state stays FLAT while stream volume grows >= 4x
+    vols = [r["n_events_per_side"] for r in stream]
+    peaks = [r["state_rows_max"] for r in stream]
+    assert max(vols) >= 4 * min(vols)
+    assert max(peaks) <= 1.5 * min(peaks), peaks
+
+
+def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):
+    # live miniature of the streamstate sweep: 4x the stream LENGTH at a
+    # fixed rate must NOT move peak join state (state ~ rate x window)
+    from yfinance_etl_spark.streaming.streams import stream_stream_join
+
+    RATE, CHUNK_H = 50, 20
+    peaks = {}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for hours in (40, 160):
+            d = str(tmp_path / f"h{hours}")
+            ev = spark.range(hours * RATE).select(
+                F.col("id").alias("event_id"),
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + (F.col("id") * (3600 // RATE)) * F.expr("INTERVAL 1 SECOND")
+                ).alias("ts"),
+                (F.col("id") % 10).alias("user_id"),
+            )
+            import os
+
+            for c in range(hours // CHUNK_H):
+                cd = os.path.join(d, f"f{c}")
+                ev.filter(
+                    (F.col("event_id") >= c * CHUNK_H * RATE)
+                    & (F.col("event_id") < (c + 1) * CHUNK_H * RATE)
+                ).coalesce(1).write.parquet(cd)
+                t = 1_000_000_000 + c * 10
+                for root, _dirs, files in os.walk(cd):
+                    for fn in files:
+                        os.utime(os.path.join(root, fn), (t, t))
+
+            def src():
+                return (
+                    spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(d + "/*")
+                )
+
+            name = f"flat_ij_{hours}"
+            q = (
+                stream_stream_join(
+                    src(), src(), key="user_id", left_payload=("event_id",),
+                    right_payload=("event_id",),
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            peaks[hours] = max(
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in (q.recentProgress or [])
+                if p.get("stateOperators")
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert peaks[160] <= 1.5 * peaks[40], peaks
+
+
 def test_ann_candidate_volume_stays_far_below_brute_force(spark):
     base = spark.read.parquet(f"{SF}/embeddings.parquet")
     small = blow_up_embeddings(base, 2).repartition(16).localCheckpoint(eager=True)

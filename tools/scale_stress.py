@@ -144,5 +144,200 @@ def main(factors: list[int]) -> None:
         )
 
 
+def main_joins(factors: list[int]) -> None:
+    """Join-family sweep (r6 advice item 4): as-of join wall growth vs
+    event volume, and salted-join hot-key spreading vs the unsalted
+    shuffle. One JSON line per factor, kind="joins"."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.catalog import load_table
+    from yfinance_etl_spark.operators.joins import asof_join, salted_join
+    from yfinance_etl_spark.operators.synth import blow_up_events
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-joins")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev0 = load_table(spark, sf_dir, "events")
+
+    rows = []
+    for f in factors:
+        ev = blow_up_events(ev0, f).repartition(64).localCheckpoint(eager=True)
+        n = ev.count()
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        t_asof = _timed(
+            asof_join(purchases, clicks, key="user_id", time="ts", right_payload=["ts"])
+        )
+        # skewed fact: ~1/3 of all rows remapped onto ONE hot key (0)
+        facts = ev.select(
+            F.when(F.col("user_id") % 3 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "event_id",
+            "value",
+        ).localCheckpoint(eager=True)
+        dim = facts.select("k").distinct().withColumn("tier", F.col("k") % 5)
+        # deterministic skew metrics: biggest reducer group, plain vs salted
+        # (salt expression mirrors joins.salted_join:126 — crc32 row fp mod 8)
+        max_key = facts.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+        row_fp = F.crc32(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in facts.columns])
+        )
+        max_salted = (
+            facts.withColumn("__salt", F.pmod(row_fp, F.lit(8)))
+            .groupBy("k", "__salt")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        # broadcastable dim: salting is pure overhead (plain broadcast join
+        # has no reducer skew to fix) — record both so the "when to salt"
+        # guidance is evidence, not folklore
+        t_plain_bc = _timed(facts.join(dim, "k").groupBy("tier").count())
+        t_salted_bc = _timed(
+            salted_join(facts, dim, "k", n_salt=8).groupBy("tier").count()
+        )
+        # forced-shuffle join (large-dim emulation: broadcast + AQE skew
+        # handling OFF): the hot key pins one reducer; salting spreads it 8x
+        bc_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        skew_prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            t_plain_sh = _timed(facts.join(dim, "k").groupBy("tier").count())
+            t_salted_sh = _timed(
+                salted_join(facts, dim, "k", n_salt=8).groupBy("tier").count()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc_prev)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_prev)
+        r = {
+            "kind": "joins",
+            "factor": f,
+            "n_events": n,
+            "sec_asof": t_asof,
+            "hot_key_rows": int(max_key),
+            "max_salted_group": int(max_salted),
+            "sec_join_plain_broadcast": t_plain_bc,
+            "sec_join_salted_broadcast": t_salted_bc,
+            "sec_join_plain_shuffle": t_plain_sh,
+            "sec_join_salted_shuffle": t_salted_sh,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        # exponent from the LAST TWO points: the first factor's wall is
+        # session-warm-up-inflated, which fakes a negative slope
+        a, b = rows[-2], rows[-1]
+        exp = round(
+            math.log(max(b["sec_asof"], 0.01) / max(a["sec_asof"], 0.01))
+            / math.log(b["n_events"] / a["n_events"]),
+            2,
+        )
+        print(
+            json.dumps(
+                {
+                    "kind": "joins_summary",
+                    "asof_wall_exponent_last2": exp,
+                    "note": "asof is one user_id shuffle + in-partition sort: "
+                    "exponent <=1 expected (sub-linear while cores are "
+                    "unsaturated); salted max group ~ hot/8",
+                }
+            ),
+            flush=True,
+        )
+
+
+def main_streamstate(hours_list: list[int]) -> None:
+    """Interval-join state vs stream LENGTH at fixed event rate: the
+    O(rate x window) claim means peak state stays ~flat while total
+    volume grows. One JSON line per stream length, kind="streamstate"."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.streaming.streams import stream_stream_join
+
+    RATE, CHUNK_H = 100, 25  # events/hour; hours per micro-batch file
+    spark = get_spark("scale-stress-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    base = tempfile.mkdtemp(prefix="scale_stress_stream_")
+    try:
+        for hours in hours_list:
+            d = os.path.join(base, f"h{hours}")
+            os.makedirs(d)
+            ev = spark.range(hours * RATE).select(
+                F.col("id").alias("event_id"),
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + (F.col("id") * (3600 // RATE)) * F.expr("INTERVAL 1 SECOND")
+                ).alias("ts"),
+                (F.col("id") % 20).alias("user_id"),
+                F.lit("click").alias("event_type"),
+                F.col("id").cast("double").alias("value"),
+            )
+            n_chunks = hours // CHUNK_H
+            for c in range(n_chunks):
+                chunk = ev.filter(
+                    (F.col("event_id") >= c * CHUNK_H * RATE)
+                    & (F.col("event_id") < (c + 1) * CHUNK_H * RATE)
+                )
+                cd = os.path.join(d, f"f{c}")
+                chunk.coalesce(1).write.parquet(cd)
+                t = 1_000_000_000 + c * 10  # strictly increasing mtimes
+                for root, _dirs, files in os.walk(cd):
+                    for fn in files:
+                        os.utime(os.path.join(root, fn), (t, t))
+
+            def src():
+                return (
+                    spark.readStream.schema(spark.read.parquet(d + "/f0").schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(d + "/*")
+                )
+
+            name = f"stress_ij_{hours}"
+            q = (
+                stream_stream_join(src(), src(), key="user_id")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            state = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in (q.recentProgress or [])
+                if p.get("stateOperators")
+            ]
+            r = {
+                "kind": "streamstate",
+                "hours": hours,
+                "rate_per_hour": RATE,
+                "n_events_per_side": hours * RATE,
+                "n_batches": n_chunks,
+                "emitted_pairs": spark.table(name).count(),
+                "state_rows_max": max(state) if state else None,
+                "state_rows_final": state[-1] if state else None,
+            }
+            print(json.dumps(r), flush=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main([int(x) for x in sys.argv[1:]] or [1, 5, 20, 50])
+    argv = sys.argv[1:]
+    if argv and argv[0] == "joins":
+        main_joins([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "streamstate":
+        main_streamstate([int(x) for x in argv[1:]] or [50, 100, 200, 400])
+    else:
+        main([int(x) for x in argv] or [1, 5, 20, 50])

@@ -78,6 +78,25 @@ def blow_up_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def blow_up_events(events: DataFrame, factor: int) -> DataFrame:
+    """Event stream × factor at the SAME time span: replica r shifts ts by
+    r seconds and renumbers event_id collision-free, user_id unchanged —
+    so per-user event RATE scales ×factor while per-user ordering stays
+    realistic. This is the load knob for the as-of-join and streaming
+    state sweeps (state must track rate × window, never total volume)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    rep = F.col("__rep")
+    return (
+        events.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__rep")
+        )
+        .withColumn("event_id", F.col("event_id") * factor + rep)
+        .withColumn("ts", F.col("ts") + rep * F.expr("INTERVAL 1 SECOND"))
+        .drop("__rep")
+    )
+
+
 def lsh_candidate_volume(docs: DataFrame) -> int:
     """Σ over (band_id, band_val) buckets of n·(n-1)/2 — the number of
     candidate comparisons the MinHash-LSH band join performs (with

@@ -12,6 +12,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from yfinance_etl_spark.functions.scalar import dsum
 
@@ -104,3 +105,51 @@ def test_sentiment_hof_udf_agree_on_arbitrary_text(spark, texts):
     ).collect()
     for r in rows:
         assert r.hof == r.udf
+
+
+# --- dsum_r: decimal-space rounding of money-product sums -----------------
+# The r7 tri-sf gate caught dividend_yield failing ONLY at sf0.1: a
+# supplier's sum of price*discount landed exactly on the 2-dp half
+# boundary, where (a) rounding after a double cast and (b) scale-12
+# double→decimal conversion both split Spark from DuckDB. These tests pin
+# the fixed helper cross-engine on exactly those shapes.
+
+#: 2-decimal money and 2-decimal rates — their product has 4 decimals,
+#: the shape that can land exactly on a 2-dp rounding boundary
+cents = st.integers(min_value=0, max_value=10_000_000).map(lambda c: c / 100)
+rate = st.integers(min_value=0, max_value=99).map(lambda c: c / 100)
+
+
+def _duck_dsum_r(pairs):
+    import duckdb
+
+    from yfinance_etl_spark.plans import sqlfrag as S
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (p DOUBLE, d DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    return con.execute(f"SELECT {S.dsum_r('p * d')} FROM t").fetchone()[0]
+
+
+def test_dsum_r_exact_half_boundary_matches_duckdb(spark):
+    from yfinance_etl_spark.functions.scalar import dsum_r
+
+    # constructed so the exact 4-dp sum ends in 5 at the 3rd decimal:
+    # 3 * (1836.025 * 0.1) = 550.8075 → ROUND(…, 2) must give 550.81 in
+    # BOTH engines (half-up == half-away-from-zero for positive sums);
+    # the double of 550.8075 sits BELOW the boundary, which is exactly
+    # where round-after-double-cast split the engines pre-fix
+    pairs = [(1836.025, 0.1)] * 3
+    df = spark.createDataFrame(pairs, "p double, d double")
+    got = df.agg(dsum_r(F.col("p") * F.col("d")).alias("s")).collect()[0].s
+    assert got == _duck_dsum_r(pairs) == 550.81
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(cents, rate), min_size=1, max_size=50))
+def test_dsum_r_matches_duckdb_on_money_products(spark, pairs):
+    from yfinance_etl_spark.functions.scalar import dsum_r
+
+    df = spark.createDataFrame(pairs, "p double, d double")
+    got = df.agg(dsum_r(F.col("p") * F.col("d")).alias("s")).collect()[0].s
+    assert got == _duck_dsum_r(pairs)

@@ -29,7 +29,7 @@ _R06_UNCHECKED = {
     "metrics_unpivot",
 }
 
-_NEVER_HASH_ATTESTED = {"funnel_conversions", "sketch_profile"}
+_NEVER_HASH_ATTESTED = {"funnel_conversions"}
 
 
 def test_priority_names_lead_the_registry():
@@ -42,6 +42,14 @@ def test_driver_window_covers_all_previously_unchecked_queries():
     assert not missing, f"not in the driver's 50-row window: {sorted(missing)}"
     # the round-6 red row must lead the window so its fix is attested first
     assert list(REGISTRY)[0] == "funnel_conversions"
+
+
+def test_oracle_less_queries_do_not_occupy_hash_slots():
+    # sketch_profile can only ever get the weak rows-only check — a window
+    # slot spent on it displaces a hash-attestable query (r6 verdict)
+    window = list(REGISTRY)[:50]
+    rows_only = [n for n in window if REGISTRY[n].oracle is None]
+    assert rows_only == [], f"oracle-less queries in the hash window: {rows_only}"
 
 
 def test_reorder_is_a_permutation():

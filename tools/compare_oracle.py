@@ -8,7 +8,13 @@ DuckDB over the same parquet files, and compares:
     exact equality for non-floats, exact-first then 1e-9-relative for floats
     (exact mismatches are reported loudly — the driver may hash exact).
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage:
+  python tools/compare_oracle.py [sf_dir] [query ...]     one sf, optional subset
+  python tools/compare_oracle.py --json                   full gate + correctness_full.json
+  python tools/compare_oracle.py --tri [testdata_base]    full gate at sf0.001, sf0.01, sf0.1
+                                                          in ONE command (r6 verdict item 7);
+                                                          the sf0.01 leg refreshes
+                                                          correctness_full.json
 """
 
 from __future__ import annotations
@@ -86,12 +92,8 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> bool:
     return ok
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--json"]
-    write_json = "--json" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-    spark = get_spark("oracle-compare")
+def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
+    """Full (or subset) registry-vs-oracle pass at one sf dir."""
     con = duck_connect(sf_dir)
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
@@ -133,22 +135,55 @@ def main() -> int:
     if not only:
         missing = [n for n in REGISTRY if n not in results]
         assert not missing, f"gate skipped registry entries: {missing}"
-    if write_json and not only:
-        import json
-        import os
+    return n_pass, n_fail, results
 
-        out = {
-            "sf_dir": sf_dir,
-            "n_queries": len(results),
-            "n_pass": n_pass,
-            "n_fail": n_fail,
-            "results": results,
-        }
-        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "correctness_full.json")
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-        print(f"wrote {path}")
+
+def write_snapshot(sf_dir: str, n_pass: int, n_fail: int, results: dict) -> None:
+    import json
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "correctness_full.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}")
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    write_json = "--json" in argv
+    tri = "--tri" in argv
+    args = [a for a in argv if a not in ("--json", "--tri")]
+    spark = get_spark("oracle-compare")
+
+    if tri:
+        # one-command tri-sf gate: same registry, same oracles, three data
+        # scales — catches sf-dependent logic (thresholds tuned to one
+        # corpus size, overflow at larger sums, empty-input edge cases)
+        base = args[0] if args else "/root/testdata"
+        totals = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            sf_dir = os.path.join(base, sf)
+            print(f"\n=== {sf_dir} ===")
+            n_pass, n_fail, results = run_gate(spark, sf_dir, set())
+            if sf == "sf0.01":  # the driver's gate scale → canonical snapshot
+                write_snapshot(sf_dir, n_pass, n_fail, results)
+            totals.append((sf, n_pass, n_fail))
+            print(f"{sf}: {n_pass} pass, {n_fail} fail")
+        print("\n" + " | ".join(f"{sf}: {p}p/{f}f" for sf, p, f in totals))
+        return 1 if any(f for _, _, f in totals) else 0
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    n_pass, n_fail, results = run_gate(spark, sf_dir, only)
+    if write_json and not only:
+        write_snapshot(sf_dir, n_pass, n_fail, results)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -39,8 +39,13 @@ def main(repo: str) -> None:
     # Staleness leads (not count): the goal is that every query's last
     # driver attestation stays <= 2 rounds old, so a query attested four
     # times but last seen in r5 outranks one attested once in r6.
+    # Oracle-less queries (sketch_profile) rank LAST: they can only ever
+    # get the weaker rows-only check, so giving them a window slot every
+    # round would permanently displace a hash-attestable query.
     ranked = sorted(
-        REGISTRY, key=lambda n: (max(seen[n], default=-1), len(seen[n]), n)
+        REGISTRY,
+        key=lambda n: (REGISTRY[n].oracle is None,
+                       max(seen[n], default=-1), len(seen[n]), n),
     )
     never = [n for n in ranked if not seen[n]]
     print(f"# {len(never)} never driver-attested; window = first 50 below")

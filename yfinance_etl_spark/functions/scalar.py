@@ -34,6 +34,39 @@ def dsum(c: Column | str, scale: int = MONEY_SCALE) -> Column:
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
 
 
+#: per-row quantization for money PRODUCTS (price*discount: true width 4-6
+#: decimals). The grid must sit far ABOVE the double's representation error
+#: (~1e-11 at 1e5 magnitude) so Spark's shortest-repr cast and DuckDB's
+#: exact-binary cast round a product to the SAME decimal — at scale 12 they
+#: disagree by 1e-12/row (Spark gets the clean 4-dp value, DuckDB keeps a
+#: binary tail like .664999999998) and a 6000-row sum can flip a 2-dp
+#: rounding boundary (observed: dividend_yield at sf0.1 only).
+PRODUCT_SCALE = 6
+
+
+def dsum_r(c: Column | str, places: int = 2, scale: int = PRODUCT_SCALE) -> Column:
+    """Exact decimal sum rounded IN DECIMAL SPACE, then cast to double —
+    for money products that are then rounded at 2 decimals.
+
+    Two cross-engine traps, both observed at sf0.1 and invisible at
+    sf0.01, force this shape for sums of values wider than ``places``:
+
+    * rounding AFTER a cast to double splits engines when the sum lands
+      exactly on the half boundary: double(550831.075) ≈ …0749…, DuckDB
+      rounds the binary value down, Spark's ROUND goes through the
+      shortest decimal repr and rounds up;
+    * summing at scale 12 splits engines because double→decimal
+      conversion itself differs (see PRODUCT_SCALE) — the per-row snap to
+      the coarse grid makes both engines sum the TRUE decimal values.
+
+    HALF_UP (Spark) == half-away-from-zero (DuckDB) for the positive
+    sums here. ``r6(dsum(c), 2)`` stays correct for sums of ≤2-decimal
+    COLUMNS, which cannot reach a 3rd-decimal boundary.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(F.sum(c.cast(f"decimal(38,{scale})")), places).cast("double")
+
+
 def davg(c: Column | str, scale: int = MONEY_SCALE) -> Column:
     """Deterministic mean: exact decimal sum → double → / count."""
     c = F.col(c) if isinstance(c, str) else c

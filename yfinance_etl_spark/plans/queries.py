@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yfinance_etl_spark.catalog import load_table
-from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, r6
+from yfinance_etl_spark.functions.scalar import STAT_SCALE, davg, dsum, dsum_r, r6
 from yfinance_etl_spark.operators import metrics as M
 from yfinance_etl_spark.operators import windows as W
 from yfinance_etl_spark.plans import sqlfrag as S
@@ -103,8 +103,8 @@ _PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND({S.dsum('l_quantity')}, 2) AS sum_qty,
        ROUND({S.dsum('l_extendedprice')}, 2) AS sum_base_price,
-       ROUND({S.dsum('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
-       ROUND({S.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
+       {S.dsum_r('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {S.dsum_r('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        ROUND({S.davg('l_quantity')}, 6) AS avg_qty,
        ROUND({S.davg('l_extendedprice')}, 6) AS avg_price,
        ROUND({S.davg('l_discount', S.STAT_SCALE)}, 6) AS avg_disc,
@@ -125,8 +125,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         r6(dsum("l_quantity"), 2).alias("sum_qty"),
         r6(dsum("l_extendedprice"), 2).alias("sum_base_price"),
-        r6(dsum(disc_price), 2).alias("sum_disc_price"),
-        r6(dsum(charge), 2).alias("sum_charge"),
+        dsum_r(disc_price).alias("sum_disc_price"),
+        dsum_r(charge).alias("sum_charge"),
         r6(davg("l_quantity")).alias("avg_qty"),
         r6(davg("l_extendedprice")).alias("avg_price"),
         r6(davg("l_discount", STAT_SCALE)).alias("avg_disc"),
@@ -164,7 +164,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_REGION_SQL = f"""
 SELECT r_name,
-       ROUND({S.dsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+       {S.dsum_r('l_extendedprice * (1 - l_discount)')} AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -189,7 +189,7 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -520,7 +520,8 @@ _DIVYIELD_SQL = f"""
 WITH {S.BARS},
 divs AS (
   SELECT l_suppkey AS suppkey,
-         {S.dsum('l_extendedprice * l_discount')} AS total_div
+         {S.dsum('l_extendedprice * l_discount')} AS total_div_x,
+         {S.dsum_r('l_extendedprice * l_discount')} AS total_div_r
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
   GROUP BY 1
@@ -531,9 +532,9 @@ latest AS (
   GROUP BY suppkey
 )
 SELECT latest.suppkey,
-       ROUND(COALESCE(divs.total_div, 0), 2) AS total_div,
+       COALESCE(divs.total_div_r, 0) AS total_div,
        ROUND(latest.last_price, 6) AS last_price,
-       ROUND(COALESCE(divs.total_div, 0) / latest.last_price * 100, 6) AS div_yield_pct
+       ROUND(COALESCE(divs.total_div_x, 0) / latest.last_price * 100, 6) AS div_yield_pct
 FROM latest LEFT JOIN divs ON latest.suppkey = divs.suppkey
 """
 
@@ -545,15 +546,18 @@ def q_dividend_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     divs = (
         li.filter(F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("total_div"))
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("total_div_x"),
+            dsum_r(F.col("l_extendedprice") * F.col("l_discount")).alias("total_div_r"),
+        )
     )
     latest = bars.groupBy("suppkey").agg(F.max_by("price", "ddate").alias("last_price"))
-    total_div = F.coalesce(F.col("total_div"), F.lit(0.0))
     return latest.join(divs, "suppkey", "left").select(
         "suppkey",
-        r6(total_div, 2).alias("total_div"),
+        F.coalesce(F.col("total_div_r"), F.lit(0.0)).alias("total_div"),
         r6(F.col("last_price")).alias("last_price"),
-        r6(total_div / F.col("last_price") * 100).alias("div_yield_pct"),
+        r6(F.coalesce(F.col("total_div_x"), F.lit(0.0)) / F.col("last_price") * 100)
+        .alias("div_yield_pct"),
     )
 
 
@@ -3515,11 +3519,14 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # r7 rotation (tools/rotate_window.py, staleness-first): leads with the
-# never-hash-attested pair, then all 34 queries whose last driver
-# attestation predates r6, then r6-attested fillers.
+# never-hash-attested funnel fix, then all 34 queries whose last driver
+# attestation predates r6, then r6-attested fillers. sketch_profile is
+# oracle-less by design (opaque HLL/GK state; accuracy pinned by the
+# epsilon test, distinct-count verifiability by kmv_distinct) — it can
+# only ever get the weak rows-only check, so it no longer occupies a
+# hash-attestable window slot.
 _WINDOW_PRIORITY = [
     "funnel_conversions",  # never
-    "sketch_profile",  # never
     "events_json_profile",  # r3,4,5
     "scalar_profile",  # r3,4,5
     "sql_top_orders_per_priority",  # r3,4,5
@@ -3568,6 +3575,7 @@ _WINDOW_PRIORITY = [
     "kmv_distinct",  # r6
     "multimodal_resize",  # r6
     "order_value_deciles",  # r6
+    "order_value_quantiles",  # r6
 ]
 
 

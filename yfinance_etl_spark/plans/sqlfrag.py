@@ -15,6 +15,18 @@ def dsum(x: str, scale: int = MONEY_SCALE) -> str:
     return f"CAST(SUM(CAST({x} AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
+PRODUCT_SCALE = 6
+
+
+def dsum_r(x: str, places: int = 2, scale: int = PRODUCT_SCALE) -> str:
+    """Decimal-space round of the exact sum, then cast to double — the
+    oracle twin of scalar.dsum_r (see its docstring: the coarse per-row
+    scale makes Spark's shortest-repr and DuckDB's exact-binary
+    double→decimal casts agree, and rounding in decimal space avoids the
+    double(x.xx5) half-boundary split)."""
+    return f"CAST(ROUND(SUM(CAST({x} AS DECIMAL(38,{scale}))), {places}) AS DOUBLE)"
+
+
 def davg(x: str, scale: int = MONEY_SCALE) -> str:
     return f"{dsum(x, scale)} / COUNT({x})"
 

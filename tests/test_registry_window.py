@@ -72,3 +72,16 @@ def test_committed_correctness_snapshot_covers_full_registry():
     assert not missing, f"queries not attested by correctness_full.json: {sorted(missing)}"
     assert snap["n_fail"] == 0, snap
     assert snap["n_queries"] == len(REGISTRY)
+
+
+def test_committed_tri_sf_snapshot_is_green():
+    # the tri-sf gate (tools/compare_oracle.py --tri) must have attested
+    # the registry at ALL THREE data scales — sf-dependent logic (e.g.
+    # the r7 rounding-boundary hit) only shows at sf0.1
+    snap = json.load(open(_REPO / "correctness_tri.json"))
+    assert set(snap["per_sf"]) == {"sf0.001", "sf0.01", "sf0.1"}
+    for sf, row in snap["per_sf"].items():
+        assert row["n_fail"] == 0, (sf, row["failed"])
+        assert row["n_pass"] == snap["n_queries"], (sf, row)
+        # sketch_profile stays the ONLY rows-only entry (r6 verdict)
+        assert row["rows_only"] == ["sketch_profile"], (sf, row["rows_only"])

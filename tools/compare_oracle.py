@@ -165,9 +165,13 @@ def main() -> int:
     if tri:
         # one-command tri-sf gate: same registry, same oracles, three data
         # scales — catches sf-dependent logic (thresholds tuned to one
-        # corpus size, overflow at larger sums, empty-input edge cases)
+        # corpus size, overflow at larger sums, empty-input edge cases,
+        # rounding-boundary hits whose probability grows with group count)
+        import json
+
         base = args[0] if args else "/root/testdata"
         totals = []
+        tri_out: dict[str, dict] = {}
         for sf in ("sf0.001", "sf0.01", "sf0.1"):
             sf_dir = os.path.join(base, sf)
             print(f"\n=== {sf_dir} ===")
@@ -175,7 +179,21 @@ def main() -> int:
             if sf == "sf0.01":  # the driver's gate scale → canonical snapshot
                 write_snapshot(sf_dir, n_pass, n_fail, results)
             totals.append((sf, n_pass, n_fail))
+            tri_out[sf] = {
+                "n_pass": n_pass,
+                "n_fail": n_fail,
+                "failed": sorted(n for n, r in results.items()
+                                 if r["status"] not in ("pass", "rows_only")),
+                "rows_only": sorted(n for n, r in results.items()
+                                    if r["status"] == "rows_only"),
+            }
             print(f"{sf}: {n_pass} pass, {n_fail} fail")
+        tri_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                "correctness_tri.json")
+        with open(tri_path, "w") as f:
+            json.dump({"n_queries": len(REGISTRY), "per_sf": tri_out}, f,
+                      indent=1, sort_keys=True)
+        print(f"wrote {tri_path}")
         print("\n" + " | ".join(f"{sf}: {p}p/{f}f" for sf, p, f in totals))
         return 1 if any(f for _, _, f in totals) else 0
 

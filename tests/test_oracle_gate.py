@@ -58,3 +58,42 @@ def test_gate_catches_null_vs_value():
     compare = _compare()
     assert not compare("t", [(None,)], ["v"], [(0,)], ["v"])
     assert compare("t", [(None,)], ["v"], [(None,)], ["v"])
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location("compare_oracle", str(_TOOL))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dtype_check_catches_hugeint_vs_bigint():
+    # the r6 funnel_conversions red row: DuckDB typed SUM(CASE…) as
+    # HUGEINT, Spark emitted BIGINT — identical VALUES, type-sensitive
+    # driver hash red. The gate must now catch this class locally.
+    m = _mod()
+    bad = m.dtype_mismatches([("n", "bigint")], ["n"], ["HUGEINT"])
+    assert bad and "HUGEINT" in bad[0]
+
+
+def test_dtype_check_catches_decimal_vs_double():
+    m = _mod()
+    assert m.dtype_mismatches([("v", "double")], ["v"], ["DECIMAL(38,2)"])
+
+
+def test_dtype_check_accepts_matching_families():
+    m = _mod()
+    spark = [("k", "bigint"), ("v", "double"), ("s", "string"),
+             ("d", "date"), ("ts", "timestamp"), ("b", "boolean"),
+             ("a", "array<double>")]
+    duck_cols = ["k", "v", "s", "d", "ts", "b", "a"]
+    duck_types = ["BIGINT", "DOUBLE", "VARCHAR", "DATE",
+                  "TIMESTAMP", "BOOLEAN", "DOUBLE[]"]
+    assert m.dtype_mismatches(spark, duck_cols, duck_types) == []
+
+
+def test_dtype_check_int_widths_share_a_family():
+    # Spark int vs DuckDB INTEGER/BIGINT: the driver compares collected
+    # python ints, so width differences inside int64 are not hash-visible
+    m = _mod()
+    assert m.dtype_mismatches([("n", "int")], ["n"], ["BIGINT"]) == []

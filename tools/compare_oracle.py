@@ -39,6 +39,70 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# ---------------------------------------------------------------------------
+# dtype parity: the driver's value hash is TYPE-sensitive (r6: funnel's
+# SUM(CASE…) came back HUGEINT from DuckDB vs BIGINT from Spark — values
+# identical, hash red). Map both engines' types onto canonical families
+# and fail on mismatch, so that class of bug dies locally, not in a round
+# artifact. HUGEINT and DECIMAL deliberately map to families Spark never
+# produces: the oracle must CAST them explicitly.
+# ---------------------------------------------------------------------------
+
+def duck_family(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    if t == "HUGEINT" or t == "UHUGEINT":
+        return "int128"  # pandas/arrow widen to float64/object → hash splits
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "string"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BOOLEAN":
+        return "bool"
+    return t.lower()
+
+
+def spark_family(t: str) -> str:
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t == "string":
+        return "string"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "boolean":
+        return "bool"
+    return t
+
+
+def dtype_mismatches(spark_dtypes: list[tuple[str, str]],
+                     duck_cols: list[str], duck_types: list) -> list[str]:
+    s = {name: spark_family(t) for name, t in spark_dtypes}
+    out = []
+    for name, dt in zip(duck_cols, duck_types):
+        df_, sf_ = duck_family(str(dt)), s.get(name)
+        if sf_ is not None and df_ != sf_:
+            out.append(f"{name}: duck {dt} ({df_}) vs spark {sf_}")
+    return out
+
+
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(row[i] for i in order) for row in rows]
@@ -103,6 +167,7 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
         try:
             sdf = q.fn(spark, sf_dir)
             spark_cols = sdf.columns
+            spark_dtypes = sdf.dtypes
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
@@ -115,9 +180,10 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
             n_pass += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(q.oracle)
+            duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
+            duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
             results[name] = {"status": "duckdb_error", "err": str(e)[:200]}
@@ -125,6 +191,10 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
             continue
         print(f"{name}: {len(spark_rows)} rows", end="")
         ok = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        bad_types = dtype_mismatches(spark_dtypes, duck_cols, duck_types)
+        if bad_types:
+            print(f"  FAIL dtype (driver hash is type-sensitive): {bad_types}")
+            ok = False
         results[name] = {"status": "pass" if ok else "fail", "spark_rows": len(spark_rows)}
         if ok:
             print("  PASS")

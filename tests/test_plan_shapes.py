@@ -287,6 +287,24 @@ def test_banded_neardup_broadcast_probe_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_kmeans_assign_is_map_only(spark):
+    # Lloyd's assign step must never shuffle: centroids enter the plan as
+    # one k×dim literal matrix (the Spark-MLlib driver-side shape) and the
+    # argmin is a single projection. An earlier revision crossJoined a
+    # broadcast centroid frame and argmin'd via groupBy(vec_id) — that
+    # shuffled every vector (with its embedding payload) once PER ROUND,
+    # the exact cost this test pins out of existence.
+    from yfinance_etl_spark.operators.clustering import _as_double_vec, assign
+
+    vecs = _as_double_vec(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+    )
+    cents = [(i, [0.1 * i] * 64) for i in range(8)]
+    plan = assign(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"assign shuffled:\n{plan}"
+    assert "Join" not in plan, f"assign planned a join:\n{plan}"
+
+
 def test_no_query_plan_contains_antipatterns(spark):
     # suite-wide guard: no registered query may plan a CartesianProduct
     # (an un-broadcast cross join is never acceptable — the brute-force

@@ -110,7 +110,17 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     ]
     joins = [r for r in lines if r.get("kind") == "joins"]
     stream = [r for r in lines if r.get("kind") == "streamstate"]
+    km = [r for r in lines if r.get("kind") == "kmeans"]
     assert len(joins) >= 2 and len(stream) >= 2, "sweeps not recorded"
+    assert len(km) >= 2, "kmeans sweep not recorded"
+    # Lloyd wall must grow far slower than corpus size (driver-side
+    # centroids: per-round cost = one map-only scan, no N-row shuffle);
+    # at the recorded >= 16x corpus spread, quadratic would be >= 256x
+    km_lo, km_hi = km[0], km[-1]
+    assert km_hi["n_vecs"] >= 16 * km_lo["n_vecs"]
+    assert km_hi["wall_s"] <= 4 * km_lo["wall_s"], (km_lo, km_hi)
+    # per-round driver traffic is the k·dim grid, constant across factors
+    assert {r["driver_state_doubles_per_round"] for r in km} == {512}
     for r in joins:
         # salting spreads the hot key at least 6x of the ideal 8x
         assert r["max_salted_group"] * 6 <= r["hot_key_rows"], r

@@ -251,6 +251,52 @@ def main_joins(factors: list[int]) -> None:
         )
 
 
+def main_kmeans(factors: list[int]) -> None:
+    """Iterative-algorithm sweep: full Lloyd (k=8, iters=3) wall time vs
+    corpus size. The driver-side-centroid shape means per-round cost is
+    one map-only scan + a k·dim-cell agg — wall should grow ~linearly in
+    N and the bytes crossing to the driver stay k·dim constants at every
+    factor. One JSON line per factor, kind="kmeans"."""
+    from yfinance_etl_spark.operators.clustering import cluster_profile, kmeans
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-kmeans")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # warm-up pass: first-ever execution pays one-time codegen/session
+    # costs (~6 s) that would swamp the growth measurement at small N
+    a0, c0 = kmeans(emb0.limit(200), k=4, iters=1)
+    cluster_profile(a0, c0).count()
+
+    rows = []
+    for f in factors:
+        emb = blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        n = emb.count()
+        t0 = time.perf_counter()
+        assigned, cents = kmeans(emb, k=8, iters=3)
+        t_wall = _timed(cluster_profile(assigned, cents))
+        r = {
+            "kind": "kmeans",
+            "factor": f,
+            "n_vecs": n,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "final_job_s": t_wall,
+            "driver_state_doubles_per_round": 8 * 64,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        lo, hi = rows[0], rows[-1]
+        slope = round(
+            math.log(hi["wall_s"] / lo["wall_s"]) / math.log(hi["n_vecs"] / lo["n_vecs"]),
+            2,
+        )
+        print(json.dumps({"kind": "kmeans_summary", "wall_growth_exponent": slope}), flush=True)
+
+
 def main_streamstate(hours_list: list[int]) -> None:
     """Interval-join state vs stream LENGTH at fixed event rate: the
     O(rate x window) claim means peak state stays ~flat while total
@@ -337,6 +383,8 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "joins":
         main_joins([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "kmeans":
+        main_kmeans([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "streamstate":
         main_streamstate([int(x) for x in argv[1:]] or [50, 100, 200, 400])
     else:

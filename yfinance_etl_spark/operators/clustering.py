@@ -3,15 +3,23 @@
 The iterative-algorithm template for the engine (the batch sibling of the
 Pregel-style label propagation in operators/graph.py): each Lloyd round is
 
-    assign:    vectors × broadcast(centroids) → nearest centroid
-    recompute: posexplode → per-(cluster, dim) exact decimal mean → rebuild
+    assign:    per-row argmin against the k·dim centroid LITERALS (map-only)
+    recompute: posexplode → per-(cluster, dim) exact decimal mean →
+               collect the k·dim cells (≤ a few KB) to the driver
 
-Every step is a DataFrame op — nothing is collected to the driver. The
-centroid table is k rows, so the assign join is a broadcast nested loop
-(k·dim multiply-adds per row, map-side only, no shuffle); recompute is one
-hash aggregation on (cluster, dim) — dim·k cells of state, trivially
-partial-aggregable. At 100 TB the cost per round is exactly one corpus
-scan + one k·dim-sized shuffle, which is the optimal shape for Lloyd.
+This is the same driver-side-centroid shape Spark MLlib's own KMeans uses:
+the only state that ever leaves the executors is the k·dim centroid grid
+(k=8, dim=64 → 512 doubles per round). The assign step costs zero shuffle
+— the argmin over k candidate distances is a single projection evaluated
+inside whole-stage codegen — and recompute partial-aggregates to k·dim
+cells map-side before its one tiny exchange. At 100 TB the cost per round
+is exactly one corpus scan; no N-row shuffle anywhere. (An earlier
+revision kept the centroids as a chained lazy DataFrame — broadcast
+crossJoin + min(struct) groupBy per round — which was collect-free but
+shuffled all N vectors every round and stacked iters nested broadcast
+exchanges into one deep plan; the measured cost at sf0.1 was ~3× this
+version, and the per-round N-row shuffle is exactly what would bite at
+1000 executors.)
 
 Determinism (what lets a DuckDB oracle replay it):
 * init: centroids = the k vectors with the smallest vec_id (no RNG);
@@ -59,35 +67,55 @@ def _sqdist(a, b):
     )
 
 
-def assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, vec, cent_id, d2).
+def assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, vec, cent_id, d2). Map-only.
 
-    crossJoin(broadcast(k rows)) → per-row argmin via min(struct): the
-    struct comparison orders by (d2, cent_id), so the partial-aggregable
-    min IS the deterministic argmin — no window, no extra shuffle beyond
-    the one hash agg on vec_id.
+    ``centroids`` is the driver-side list of (cent_id, coords). The whole
+    grid enters the plan as ONE k×dim array-of-arrays literal (parsed from
+    SQL text with D-suffixed doubles — exact float64 round-trip via repr,
+    and the D suffix stops Spark's parser from typing `0.1` as DECIMAL);
+    a `transform` with index builds the k (d2, cent_id) candidate structs
+    and `array_min` picks the argmin — struct comparison orders by
+    (d2, cent_id), so ties break on the smaller cent_id, identical to the
+    oracle's ORDER BY d2, cent_id LIMIT 1. No join, no shuffle: one
+    projection. Keeping the centroid matrix as a single literal (rather
+    than unrolling k copies of the fold expression) keeps the Catalyst
+    tree O(1) in k·dim — the unrolled form cost ~3 s of analysis/codegen
+    PER ROUND at k=8, dim=64, measured.
     """
-    scored = vecs.crossJoin(
-        F.broadcast(centroids.select("cent_id", "cent"))
-    ).withColumn("d2", _sqdist(F.col("vec"), F.col("cent")))
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cent_id")).alias("best"),
-        # every row in the group carries the same vec (key = vec_id);
-        # min() keeps it without a first()-style nondeterminism flag
-        F.min("vec").alias("vec"),
+    mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+            for _, coords in centroids
+        ) + ")"
     )
-    return best.select(
+    ids = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in centroids) + ")"
+    )
+    candidates = F.transform(
+        mat,
+        lambda cent, i: F.struct(
+            _sqdist(F.col("vec"), cent).alias("d2"), ids[i].alias("cent_id")
+        ),
+    )
+    return vecs.select(
+        "vec_id",
+        "vec",
+        F.array_min(candidates).alias("best"),
+    ).select(
         "vec_id", "vec", F.col("best.cent_id").alias("cent_id"), F.col("best.d2").alias("d2")
     )
 
 
-def recompute(assigned: DataFrame) -> DataFrame:
-    """New centroids: per-(cluster, dim) exact decimal mean → array rebuild.
+def recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroids: per-(cluster, dim) exact decimal mean, collected.
 
     posexplode fans each row into dim rows — at 100 TB that is a dim×
     row-count flat map feeding a (k·dim)-cell hash agg, which partial-
-    aggregates down to k·dim rows before the shuffle. The rebuild
-    (collect_list of dim structs per cluster) moves k·dim rows total.
+    aggregates down to k·dim rows before the shuffle. Only those k·dim
+    cells (already rounded to the shared COORD_DECIMALS grid and cast to
+    double, so the next round starts from bit-identical values in both
+    engines) cross to the driver.
     """
     per_dim = assigned.select(
         "cent_id", F.posexplode("vec").alias("pos", "val")
@@ -96,10 +124,14 @@ def recompute(assigned: DataFrame) -> DataFrame:
         .cast("double")
         .alias("cval")
     )
-    return per_dim.groupBy("cent_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
-        ).alias("cent")
+    # assemble the arrays driver-side from the k·dim cells — one shuffle
+    # total (the cell agg); a second groupBy(cent_id)+collect_list pass
+    # would re-shuffle just to build arrays we are about to collect anyway
+    cells: dict[int, list[tuple[int, float]]] = {}
+    for r in per_dim.collect():
+        cells.setdefault(r["cent_id"], []).append((r["pos"], r["cval"]))
+    return sorted(
+        (cid, [v for _, v in sorted(pv)]) for cid, pv in cells.items()
     )
 
 
@@ -111,9 +143,9 @@ def kmeans(
     assignments: (vec_id, vec, cent_id, d2) under the FINAL centroids;
     centroids:   (cent_id, cent) after the final recompute.
     """
-    # materialize the (static) vector frame once: it appears in every Lloyd
-    # round's assign, so without the checkpoint the single final job would
-    # rescan + re-cast it iters+1 times (same lineage-truncation pattern as
+    # materialize the (static) vector frame once: it is scanned by every
+    # Lloyd round, so the checkpoint caps the cost at one parquet read +
+    # cast total (same lineage-truncation pattern as
     # graph.connected_components). Spread an under-partitioned input first
     # (a single-row-group fixture scan otherwise pins every assign pass of
     # every iteration to ONE task).
@@ -121,18 +153,21 @@ def kmeans(
 
     vecs = _as_double_vec(spread(embs), vec_col).localCheckpoint(eager=True)
     # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
-    # driver-side plan, still deterministic) — NOT filter(vec_id < k), which
-    # silently yields < k centroids when ids are sparse or offset
-    centroids = vecs.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent")
-    )
-    assigned = None
+    # driver, still deterministic) — NOT filter(vec_id < k), which silently
+    # yields < k centroids when ids are sparse or offset
+    centroids = [
+        (r["vec_id"], list(r["vec"]))
+        for r in vecs.orderBy("vec_id").limit(k).collect()
+    ]
     for _ in range(iters):
-        assigned = assign(vecs, centroids)
-        centroids = recompute(assigned)
+        centroids = recompute(assign(vecs, centroids))
     # final assignment under the final centroids (standard Lloyd reporting)
     assigned = assign(vecs, centroids)
-    return assigned, centroids
+    cent_df = vecs.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in coords]) for cid, coords in centroids],
+        "cent_id long, cent array<double>",
+    )
+    return assigned, cent_df
 
 
 def cluster_profile(assigned: DataFrame, centroids: DataFrame) -> DataFrame:

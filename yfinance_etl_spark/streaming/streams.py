@@ -71,7 +71,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time(ns_ts_to_micros(spark.readStream.schema(schema).parquet(src)))
 
 
-def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 8) -> DataFrame:
+def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 4) -> DataFrame:
     """Execute a streaming plan to completion (AvailableNow) into a memory
     sink and return the result as a batch DataFrame.
 
@@ -79,7 +79,9 @@ def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 8) ->
     run (restored after): a stateful query materializes one state store
     PER shuffle partition PER stateful operator, and on the bounded fixture
     streams that per-store setup overhead dominates — 8 stores run the
-    tumbling fixture 3× faster than 32. The right number tracks key
+    tumbling fixture 3× faster than 32, and 4 shaves a further 0.3-0.8 s
+    per query (measured r7; ≥2 kept so multi-partition state stays
+    exercised). The right number tracks key
     cardinality × event rate, NOT the batch shuffle default: a production
     deployment at real rate passes None (keep the session value) or sizes
     it to executor-cores × a small factor. Results are identical for any

@@ -305,6 +305,21 @@ def test_kmeans_assign_is_map_only(spark):
     assert "Join" not in plan, f"assign planned a join:\n{plan}"
 
 
+def test_ivf_assignment_is_map_only(spark):
+    # same property for the IVF coarse quantizer: after the k centroid
+    # rows are collected, list assignment must be a projection — the old
+    # crossJoin + Window.partitionBy(vec_id) argmin shuffled and sorted
+    # all k·N scored rows (embedding payload included)
+    from yfinance_etl_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, _ = ivf_assign(emb, k_centroids=4)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"ivf assignment shuffled:\n{plan}"
+    assert "Window" not in plan, f"ivf assignment planned a window:\n{plan}"
+    assert "Join" not in plan, f"ivf assignment planned a join:\n{plan}"
+
+
 def test_no_query_plan_contains_antipatterns(spark):
     # suite-wide guard: no registered query may plan a CartesianProduct
     # (an un-broadcast cross join is never acceptable — the brute-force

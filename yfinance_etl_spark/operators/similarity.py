@@ -181,27 +181,51 @@ def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, 
     Returns (assignments, centroids).
 
     At 100 TB the inverted list id is the partition key: vectors cluster
-    into k lists, a query touches n_probe of them, and the broadcast
-    centroid table is tiny by construction. Selection is orderBy+limit =
+    into k lists, a query touches n_probe of them, and the centroid table
+    is tiny by construction. Selection is orderBy+limit =
     TakeOrderedAndProject — per-partition top-k merged on the driver, no
-    global sort materializes.
+    global sort materializes. The k collected centroid rows re-enter the
+    assignment plan as ONE literal k×dim matrix (same driver-side shape
+    as operators/clustering.assign): the per-vector argmax is a map-only
+    projection — no crossJoin and, critically, no Window.partitionBy
+    (vec_id), which shuffled and sorted all k·N scored rows WITH their
+    embedding payloads just to pick each row's best centroid.
     """
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    cents = F.broadcast(
+    cent_rows = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec"))
+        .collect()
     )
-    scored = emb.crossJoin(cents).select(
-        "vec_id", "vec", "cent_id", F.round(cosine(F.col("vec"), F.col("cent_vec")), 6).alias("sim")
+    mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r["vec"]) + ")"
+            for r in cent_rows
+        ) + ")"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("list_id"))
+    ids = F.expr(
+        "array(" + ",".join(f"{int(r['vec_id'])}L" for r in cent_rows) + ")"
+    )
+    # argmax sim, ties → lowest cent_id == argmin over (-sim, cent_id);
+    # sim is rounded to 6 dp BEFORE negation, exactly the old window's
+    # ORDER BY round(sim,6) DESC, cent_id ASC
+    candidates = F.transform(
+        mat,
+        lambda cent, i: F.struct(
+            (-F.round(cosine(F.col("vec"), cent), 6)).alias("neg_sim"),
+            ids[i].alias("cent_id"),
+        ),
+    )
+    assigned = emb.select(
+        "vec_id", "vec", F.array_min(candidates)["cent_id"].alias("list_id")
+    )
+    cents = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in cent_rows],
+            "cent_id long, cent_vec array<double>",
+        )
     )
     return assigned, cents
 

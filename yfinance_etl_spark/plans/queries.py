@@ -1150,7 +1150,11 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.streaming import streams as ST
 
     ev = ST.read_events_stream(spark, sf_dir)
-    out = ST.run_to_memory(ST.ema_stream(ev), "update")
+    # Python-state operator: the per-group fold runs in Arrow-batched
+    # Python workers, so task parallelism — not state-store setup — is
+    # the bottleneck; 16 stores beat the fixture-scale default of 4
+    # (1.6 s vs 2.5 s at sf0.1, A/B-measured r7)
+    out = ST.run_to_memory(ST.ema_stream(ev), "update", state_partitions=16)
     # update mode emits one row per (key, micro-batch); keep only the FINAL
     # state per key (n_events strictly increases, so max-by-struct picks it)
     # — without this, any multi-batch execution would duplicate keys

@@ -16,10 +16,12 @@ Convention: an asset row is
   batching, partitioning) is unchanged.
 
 STUB NOTICE: this container ships no imaging/audio libraries, so the
-payload format is a deterministic fake (``IMG|<w>|<h>|<body>``) and
-``_decode_payload`` raises ``NotImplementedError`` for anything else.
-The *fake decode is still a real columnar pipeline* — the query over it is
-oracle-checked end to end.
+oracle-checked queries use a deterministic fake payload format
+(``IMG|<w>|<h>|<body>``). Real payloads route by capability:
+PIL when installed; PNGs through the built-in stdlib decoder
+(``_decode_png_mini`` — zlib inflate + scanline unfilter, so real pixel
+decode IS exercised in CI here); anything else raises
+``NotImplementedError`` toward the PIL adapter.
 """
 
 from __future__ import annotations
@@ -66,12 +68,81 @@ def synthesize_image_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channels per pixel (8-bit depth only in the mini path)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png_mini(b: bytes) -> tuple[int, int, bytes]:
+    """Built-in stdlib PNG decoder (zlib inflate + scanline unfilter, PNG
+    spec §9): 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced, non-palette
+    — the class the committed fixture and most ML-corpus thumbnails are.
+    Returns (width, height, raw pixel bytes), same contract as the PIL
+    ``im.tobytes()`` path, so downstream byte-oriented ops compose
+    unchanged. Anything fancier (palette, 16-bit, Adam7, JPEG, ...)
+    raises toward the optional PIL adapter."""
+    import struct
+    import zlib
+
+    pos, width = len(PNG_SIG), -1
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), tag = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width < 0 or bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            "mini PNG decoder handles 8-bit gray/RGB/alpha non-interlaced only "
+            f"(got depth={bit_depth} color_type={color_type} interlace={interlace}); "
+            "other formats need the PIL adapter"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype, line = raw[base], bytearray(raw[base + 1 : base + 1 + stride])
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0  # left (already reconstructed)
+            bb = prev[x]  # up
+            c = prev[x - bpp] if x >= bpp else 0  # upper-left
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + bb) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + bb) // 2) & 0xFF
+            elif ftype == 4:  # Paeth predictor
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                raise NotImplementedError(f"PNG filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, bytes(out)
+
+
 def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
     """Decoder for the deterministic fake format, with real image payloads
-    routed to PIL when it is installed (optional import — see HAVE_PIL).
-    The PIL path returns the raw pixel buffer as the body, so downstream
-    ops that treat the body as opaque bytes (resize ratios, frame splits,
-    byte counts) compose unchanged."""
+    routed to PIL when it is installed (optional import — see HAVE_PIL)
+    and PNGs decoded by the built-in stdlib path otherwise. Both real
+    paths return the raw pixel buffer as the body, so downstream ops that
+    treat the body as opaque bytes (resize ratios, frame splits, byte
+    counts) compose unchanged."""
     if b.startswith(MAGIC):
         _, w, h, body = b.split(b"|", 3)
         return int(w), int(h), body
@@ -80,9 +151,11 @@ def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
 
         im = Image.open(io.BytesIO(b))
         return im.width, im.height, im.tobytes()
+    if b.startswith(PNG_SIG):
+        return _decode_png_mini(b)
     raise NotImplementedError(
-        "real image decode needs PIL (not installed in this container); "
-        "payloads must be the deterministic IMG|w|h|body fake format"
+        "real non-PNG image decode needs PIL (not installed in this container); "
+        "payloads must be PNG or the deterministic IMG|w|h|body fake format"
     )
 
 

@@ -197,19 +197,34 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
     Characters, not bytes: the oracle truncates with substr/strlen (both
     codepoint-based), and a byte cut could land mid-codepoint on non-ASCII
     text, making the composed resize→image_features decode raise.
+
+    Real payloads (PIL / mini-PNG decoded) get a REAL nearest-neighbor
+    resample over the raw pixel buffer (r7) when the channel count is
+    inferable from ``len(body) == w·h·ch``; an opaque non-pixel body falls
+    back to the area-ratio byte cut. The branch keys on the payload's
+    MAGIC prefix — its origin — never on whether a pixel buffer happens to
+    be UTF-8-decodable.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
-                w, h, body = _decode_payload(bytes(content))
+                raw = bytes(content)
+                w, h, body = _decode_payload(raw)
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = int(w * scale), int(h * scale)
-                try:
+                ch = len(body) // (w * h) if w * h and len(body) % (w * h) == 0 else 0
+                if raw.startswith(MAGIC):  # fake format: codepoint semantics
                     text = body.decode("utf-8")
                     nbody = text[: (len(text) * nw * nh) // (w * h)].encode("utf-8")
-                except UnicodeDecodeError:  # real pixel buffer: cut raw bytes
+                elif ch in (1, 2, 3, 4) and nw and nh:  # pixel buffer: resample
+                    nbody = b"".join(
+                        body[((y2 * h // nh) * w + (x2 * w // nw)) * ch :][:ch]
+                        for y2 in range(nh)
+                        for x2 in range(nw)
+                    )
+                else:  # opaque body: keep the deterministic byte cut
                     nbody = body[: (len(body) * nw * nh) // (w * h)]
                 payload = b"IMG|%d|%d|%b" % (nw, nh, nbody)
                 new_meta = {"kind": meta["kind"], "width": nw, "height": nh, "mime": meta["mime"]}

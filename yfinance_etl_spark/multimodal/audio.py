@@ -1,0 +1,156 @@
+"""Audio columns — REAL RIFF/WAVE payloads, decoded distributed (r7).
+
+Completes the multimodal trio (image: columns.py, video: frame_sample,
+audio: here). Unlike the image path — where real decode needs an optional
+lib for everything but PNG — audio needs nothing beyond the stdlib:
+16-bit PCM WAV is a struct-packable container, so the engine both
+SYNTHESIZES genuinely valid WAV bytes (validated against Python's stdlib
+``wave`` reader in tests) and PARSES them back with a real RIFF chunk
+walker. No fake format anywhere on this path.
+
+Determinism contract (what lets DuckDB replay it without a WAV parser):
+sample i of doc d is ``((d*31 + i*17) % 65536) - 32768`` and the sample
+count is ``N_BASE + d % N_MOD`` — so every feature the parser extracts
+from the real bytes (rate, count, duration, RMS, peak) is reproducible
+by pure arithmetic over generate_series. The oracle recomputes the
+features from the FORMULA while Spark recomputes them from the BYTES;
+agreement proves the encode→decode loop is lossless.
+
+Scale shape: synthesis and decode are both ``mapInPandas`` over Arrow
+batches — map-only, no shuffle; a billion clips parse across executors
+with per-row cost linear in clip length. RMS accumulates in int64
+(max |s| < 2¹⁵ → Σs² < 2³¹·n, exact far beyond any real clip length), so
+the float division/sqrt at the end is the only — and bit-stable — FP step.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SAMPLE_RATE = 8000
+N_BASE, N_MOD = 160, 320  # clip length: N_BASE + doc_id % N_MOD samples
+
+AUDIO_ASSET_SCHEMA = (
+    "doc_id bigint, content binary, "
+    "meta struct<kind: string, sample_rate: int, mime: string>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_ms bigint, rms double, peak int"
+)
+
+
+def _samples(doc_id: int) -> list[int]:
+    n = N_BASE + doc_id % N_MOD
+    return [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+
+
+def wav_bytes(samples: list[int], rate: int = SAMPLE_RATE) -> bytes:
+    """Pack int16 mono samples into a canonical 44-byte-header PCM WAV."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,  # byte rate (16-bit mono)
+        2,  # block align
+        16,  # bits per sample
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def parse_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """Real RIFF chunk walker → (sample_rate, n_channels, samples).
+
+    Walks chunks rather than assuming the canonical 44-byte layout, so
+    WAVs with extra chunks (LIST/INFO metadata etc.) parse too. 16-bit
+    PCM only — the schema every ASR/TTS corpus normalizes to; anything
+    else raises rather than guessing.
+    """
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    rate = channels = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag, length = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV is supported (fmt={fmt}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    return rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def synthesize_audio_assets(docs: DataFrame) -> DataFrame:
+    """One deterministic real-WAV clip per document row (map-only)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    wav_bytes(_samples(int(d))),
+                    ("audio", SAMPLE_RATE, "audio/wav"),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract: rate, channel count, sample count,
+    duration, RMS (int64-exact sum of squares), peak amplitude."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rate, channels, samples = parse_wav(bytes(content))
+                n = len(samples)
+                sq = sum(s * s for s in samples)  # exact in int64
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        channels,
+                        n,
+                        n * 1000 // rate,
+                        # math.sqrt, not **0.5: sqrt is IEEE correctly
+                        # rounded, pow(x, 0.5) need not be — the oracle's
+                        # SQRT must match bit-for-bit
+                        math.sqrt(sq / n) if n else 0.0,
+                        max((abs(s) for s in samples), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return assets.select("doc_id", "content").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )

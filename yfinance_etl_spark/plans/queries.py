@@ -3457,6 +3457,42 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal audio (r7): REAL RIFF/WAVE bytes end to end — the engine
+# synthesizes genuinely valid 16-bit PCM WAV clips (multimodal/audio.py,
+# stdlib-validated in tests) and the feature extractor parses them back
+# with a real chunk walker. The oracle replays the deterministic sample
+# FORMULA over generate_series while Spark recomputes from the BYTES —
+# agreement proves the encode→decode loop is lossless. Σv² stays exact in
+# int64/BIGINT on both engines (< 2^41), so the one FP step (÷n, sqrt)
+# is bit-stable.
+# ---------------------------------------------------------------------------
+
+_AUDIO_SQL = """
+WITH s AS (
+  SELECT d.doc_id, ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, 478) AS t(i)
+  WHERE t.i < 160 + d.doc_id % 320
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       COUNT(*) AS n_samples,
+       COUNT(*) * 1000 // 8000 AS duration_ms,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s
+GROUP BY doc_id
+"""
+
+
+@_register("audio_features", _AUDIO_SQL)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.audio import audio_features, synthesize_audio_assets
+
+    return audio_features(synthesize_audio_assets(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
 # Ranking functions: rank / dense_rank / ntile in one oracle-gated query
 # (closes the SURVEY §2.5 promise — the reference never ranks, but the
 # engine exposes Spark's built-ins; row_number already backs
@@ -3531,6 +3567,7 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
     "funnel_conversions",  # never
+    "audio_features",  # never (new r7)
     "events_json_profile",  # r3,4,5
     "scalar_profile",  # r3,4,5
     "sql_top_orders_per_priority",  # r3,4,5
@@ -3579,7 +3616,6 @@ _WINDOW_PRIORITY = [
     "kmv_distinct",  # r6
     "multimodal_resize",  # r6
     "order_value_deciles",  # r6
-    "order_value_quantiles",  # r6
 ]
 
 

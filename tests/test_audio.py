@@ -58,6 +58,14 @@ def test_parse_wav_rejects_non_pcm_and_non_riff():
         A.parse_wav(bytes(b))
 
 
+def test_parse_wav_raises_not_struct_error_on_truncated_fmt():
+    # a malformed chunk must surface as the adapter contract error, never
+    # an opaque struct.error from inside an executor task
+    b = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with pytest.raises(NotImplementedError, match="truncated"):
+        A.parse_wav(b)
+
+
 def test_audio_features_end_to_end(spark):
     df = spark.createDataFrame([(3,), (7,)], "doc_id long")
     rows = {

@@ -87,6 +87,8 @@ def parse_wav(b: bytes) -> tuple[int, int, list[int]]:
         body = b[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise NotImplementedError(f"WAV fmt chunk truncated ({len(body)} bytes)")
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:

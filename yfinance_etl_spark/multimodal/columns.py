@@ -108,7 +108,14 @@ def _decode_png_mini(b: bytes) -> tuple[int, int, bytes]:
         )
     bpp = _PNG_CHANNELS[color_type]
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError(
+            f"PNG pixel data truncated: {len(raw)} bytes for {width}x{height}"
+        )
     out = bytearray()
     prev = bytearray(stride)
     for y in range(height):

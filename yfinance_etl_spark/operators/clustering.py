@@ -29,10 +29,12 @@ Determinism (what lets a DuckDB oracle replay it):
   and cast back to double, so round i+1 starts from bit-identical
   centroids in both engines.
 
-A fixed iteration count (not convergence-test) keeps the plan static and
-the oracle expressible as chained CTEs; production would loop to
-convergence with a localCheckpoint per round to truncate lineage (see
-operators/graph.py for that pattern).
+A fixed iteration count (not convergence-test) keeps the oracle
+expressible as chained CTEs. Production would simply loop to convergence:
+each round is its own job off the checkpointed vectors, the centroid grid
+is already on the driver, so the stopping test (max coordinate shift
+< tol) is a pure-Python comparison between rounds — no lineage
+accumulates and nothing else changes.
 """
 
 from __future__ import annotations

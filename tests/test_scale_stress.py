@@ -121,6 +121,13 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     assert km_hi["wall_s"] <= 4 * km_lo["wall_s"], (km_lo, km_hi)
     # per-round driver traffic is the k·dim grid, constant across factors
     assert {r["driver_state_doubles_per_round"] for r in km} == {512}
+    # audio path (map-only synth + parse): wall flat-to-linear, never
+    # super-linear, across a >= 16x clip-count spread
+    au = [r for r in lines if r.get("kind") == "audio"]
+    assert len(au) >= 2, "audio sweep not recorded"
+    au_lo, au_hi = au[0], au[-1]
+    assert au_hi["n_clips"] >= 16 * au_lo["n_clips"]
+    assert au_hi["wall_s"] <= 4 * au_lo["wall_s"], (au_lo, au_hi)
     for r in joins:
         # salting spreads the hot key at least 6x of the ideal 8x
         assert r["max_salted_group"] * 6 <= r["hot_key_rows"], r

@@ -297,6 +297,46 @@ def main_kmeans(factors: list[int]) -> None:
         print(json.dumps({"kind": "kmeans_summary", "wall_growth_exponent": slope}), flush=True)
 
 
+def main_audio(factors: list[int]) -> None:
+    """Audio-path sweep: WAV synthesis + parse + features are all map-only
+    mapInPandas — wall should track corpus size at most linearly with no
+    shuffle anywhere. One JSON line per factor, kind="audio"."""
+    from yfinance_etl_spark.multimodal.audio import audio_features, synthesize_audio_assets
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-audio")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # warm-up: one-time codegen/Arrow-init costs would swamp factor 1
+    audio_features(synthesize_audio_assets(docs0.limit(50))).count()
+
+    rows = []
+    for f in factors:
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        n = docs.count()
+        t0 = time.perf_counter()
+        feats = audio_features(synthesize_audio_assets(docs))
+        _timed(feats)
+        r = {
+            "kind": "audio",
+            "factor": f,
+            "n_clips": n,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        lo, hi = rows[0], rows[-1]
+        slope = round(
+            math.log(hi["wall_s"] / lo["wall_s"]) / math.log(hi["n_clips"] / lo["n_clips"]),
+            2,
+        )
+        print(json.dumps({"kind": "audio_summary", "wall_growth_exponent": slope}), flush=True)
+
+
 def main_streamstate(hours_list: list[int]) -> None:
     """Interval-join state vs stream LENGTH at fixed event rate: the
     O(rate x window) claim means peak state stays ~flat while total
@@ -385,6 +425,8 @@ if __name__ == "__main__":
         main_joins([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "kmeans":
         main_kmeans([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "audio":
+        main_audio([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "streamstate":
         main_streamstate([int(x) for x in argv[1:]] or [50, 100, 200, 400])
     else:

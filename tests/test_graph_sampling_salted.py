@@ -183,6 +183,24 @@ def test_kmeans_seeds_from_sparse_offset_ids(spark):
     assert {r.cent_id for r in centroids.select("cent_id").collect()} <= {100, 200}
 
 
+def test_kmeans_tol_converges_to_the_fixed_iter_answer(spark):
+    # two tight, well-separated blobs: Lloyd converges after one round, so
+    # tol-mode must stop early AND land on the same centroids the fixed
+    # 5-round run reaches
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)] + [
+        (10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(4)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    _, fixed = kmeans(embs, k=2, iters=5)
+    _, early = kmeans(embs, k=2, iters=5, tol=1e-9)
+    as_map = lambda df: {  # noqa: E731
+        r.cent_id: list(r.cent) for r in df.collect()
+    }
+    assert as_map(fixed) == as_map(early)
+
+
 def test_salted_join_rejects_dim_preserving_how(spark):
     import pytest
 

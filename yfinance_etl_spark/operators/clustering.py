@@ -138,9 +138,20 @@ def recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
 
 
 def kmeans(
-    embs: DataFrame, k: int = 8, iters: int = 3, vec_col: str = "embedding"
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    tol: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run ``iters`` Lloyd rounds; returns (assignments, centroids).
+    """Run Lloyd rounds; returns (assignments, centroids).
+
+    ``tol=None`` (the oracle-replayable default) runs exactly ``iters``
+    rounds. With ``tol`` set, ``iters`` becomes the round CAP and the loop
+    stops early once the largest absolute centroid-coordinate shift drops
+    below ``tol`` — a pure-Python comparison of consecutive driver-side
+    grids, zero extra cluster work (the production mode the fixed-round
+    oracle queries deliberately don't use).
 
     assignments: (vec_id, vec, cent_id, d2) under the FINAL centroids;
     centroids:   (cent_id, cent) after the final recompute.
@@ -162,7 +173,16 @@ def kmeans(
         for r in vecs.orderBy("vec_id").limit(k).collect()
     ]
     for _ in range(iters):
+        prev = dict(centroids)
         centroids = recompute(assign(vecs, centroids))
+        if tol is not None and {c for c, _ in centroids} == set(prev):
+            shift = max(
+                abs(v - p)
+                for cid, coords in centroids
+                for v, p in zip(coords, prev[cid])
+            )
+            if shift < tol:
+                break
     # final assignment under the final centroids (standard Lloyd reporting)
     assigned = assign(vecs, centroids)
     cent_df = vecs.sparkSession.createDataFrame(

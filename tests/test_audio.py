@@ -35,6 +35,22 @@ def test_parse_wav_roundtrips_the_samples():
     assert out == samples
 
 
+def test_wav_roundtrips_arbitrary_samples_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, rate):
+        got_rate, channels, out = A.parse_wav(A.wav_bytes(samples, rate))
+        assert (got_rate, channels, out) == (rate, 1, samples)
+
+    check()
+
+
 def test_parse_wav_walks_extra_chunks_and_word_alignment():
     # canonical header + an odd-length LIST chunk BEFORE data: a parser
     # that assumes the 44-byte layout breaks on exactly this class

@@ -12,6 +12,11 @@ the ``-m realparse`` leg exercises the real adapter paths
   Helvetica Tj content stream. The xref table offsets are COMPUTED from
   the assembled byte stream (pdfminer/pdfplumber require them exact;
   pypdf would tolerate drift but correctness costs nothing here).
+* tiny_flate.pdf — the same document with its content stream
+  ``/Filter /FlateDecode`` zlib-compressed (r9): the class virtually
+  every real-world PDF writer emits, exercising the mini extractor's
+  stdlib-zlib inflate branch. Uses a TJ array + escapes so the
+  byte-order and escape-decode paths run on the compressed leg too.
 * tiny.png — 4x2 RGB8 PNG: signature + IHDR + zlib-compressed scanlines
   (filter byte 0 per row) + IEND, CRCs computed. A distinctive pixel
   pattern lets the test assert PIL round-trips actual pixel data, not
@@ -29,14 +34,31 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 PDF_TEXT = "Hello Spark engine page one"
 
 
-def build_pdf(text: str = PDF_TEXT) -> bytes:
-    stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode("ascii")
+# Flate fixture page text: Tj + TJ + octal/paren escapes, so the compressed
+# leg also covers operand ordering and string decoding. Expected extraction:
+FLATE_TEXT = "Compressed (flate) page: Hi kerned TJ tail"
+FLATE_STREAM = (
+    rb"BT /F1 12 Tf 72 720 Td "
+    rb"(Compressed \(flate\) page: ) Tj "
+    rb"(\110\151 ) Tj "  # "Hi " via octal escapes
+    rb"[(kerned) -250 ( TJ) -250 ( tail)] TJ "
+    rb"ET"
+)
+
+
+def build_pdf(text: str = PDF_TEXT, stream: bytes | None = None, flate: bool = False) -> bytes:
+    if stream is None:
+        stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode("ascii")
+    extra = b""
+    if flate:
+        stream = zlib.compress(stream)
+        extra = b" /Filter /FlateDecode"
     objects = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d >>\nstream\n%b\nendstream" % (len(stream), stream),
+        b"<< /Length %d%b >>\nstream\n%b\nendstream" % (len(stream), extra, stream),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -88,6 +110,8 @@ def build_png() -> bytes:
 if __name__ == "__main__":
     with open(os.path.join(HERE, "tiny.pdf"), "wb") as f:
         f.write(build_pdf())
+    with open(os.path.join(HERE, "tiny_flate.pdf"), "wb") as f:
+        f.write(build_pdf(stream=FLATE_STREAM, flate=True))
     with open(os.path.join(HERE, "tiny.png"), "wb") as f:
         f.write(build_png())
-    print("wrote tiny.pdf, tiny.png")
+    print("wrote tiny.pdf, tiny_flate.pdf, tiny.png")

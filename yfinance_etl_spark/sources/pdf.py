@@ -11,11 +11,14 @@ queries read a deterministic fake format ``PDF|<doc_id>|<body>`` with
 fixed 100-char pages. Real ``%PDF`` payloads route by capability: to
 ``pypdf`` or ``pdfplumber`` when importable (checked via
 ``importlib.util.find_spec`` at import time, never a hard dependency),
-else to the built-in mini extractor for uncompressed content streams —
-so the real-PDF route IS exercised in CI here — and compressed
-(``/Filter``) documents raise ``NotImplementedError`` toward the library
-adapters. Either way the binaryFile scan and the Arrow-batched
-extraction plumbing are production-real.
+else to the built-in mini extractor — which handles plain AND
+``/Filter /FlateDecode`` content streams via stdlib ``zlib`` (the
+dominant real-world class) — so the real-PDF route IS exercised in CI
+here. Streams under any OTHER filter (DCTDecode images, LZW, crypt) are
+skipped as non-text; a document whose text is only reachable through
+such filters raises ``NotImplementedError`` toward the library adapters.
+Either way the binaryFile scan and the Arrow-batched extraction plumbing
+are production-real.
 """
 
 from __future__ import annotations
@@ -86,52 +89,123 @@ def _pdf_unescape(s: bytes) -> str:
                 out += _PDF_ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \d{1,3}
+            if b"0" <= nxt <= b"7":  # octal: 1-3 OCTAL digits only (§7.3.4.2)
                 j = i + 1
-                while j < min(i + 4, len(s)) and s[j : j + 1].isdigit():
+                while j < min(i + 4, len(s)) and b"0" <= s[j : j + 1] <= b"7":
                     j += 1
                 out.append(int(s[i + 1 : j], 8) & 0xFF)
-                i = j
+                i = j  # \118 -> chr(0o11) then literal '8' on the next pass
                 continue
+            if nxt in (b"\r", b"\n"):  # line continuation: drop \ and the EOL
+                i += 2
+                if nxt == b"\r" and s[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            # any other char: the REVERSE SOLIDUS is ignored, char stands
+            i += 1
+            continue
         out += c
         i += 1
     return out.decode("latin-1")
 
 
-#: show-text operands: "(...) Tj", "(...) '", or "[...] TJ" array elements
-_TEXT_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')", re.S)
-_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.S)
+#: show-text operands in ONE pass so emission follows stream byte order:
+#: alternative 1 = "(...) Tj" / "(...) '", alternative 2 = "[...] TJ"
+_SHOW_OP_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')"
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+    re.S,
+)
 _TJ_STRING_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+
+
+def _iter_streams(b: bytes):
+    """Yield ``(stream_dict, payload)`` for every ``stream...endstream``
+    object. When the preceding dictionary carries a direct-integer
+    ``/Length``, the payload is sliced by that length — so binary
+    (e.g. Flate) payloads that happen to contain the bytes ``endstream``
+    still split correctly; otherwise it falls back to the next
+    ``endstream`` keyword with a single trailing EOL stripped."""
+    pos = 0
+    while True:
+        s = b.find(b"stream", pos)
+        if s < 0:
+            return
+        after = b[s + 6 : s + 8]
+        if after[:2] == b"\r\n":
+            data_start = s + 8
+        elif after[:1] in (b"\n", b"\r"):
+            data_start = s + 7
+        else:  # 'endstream' or a name like /StreamX — not the keyword
+            pos = s + 6
+            continue
+        window = b[max(0, s - 512) : s]
+        d_open = window.rfind(b"<<")
+        dct = window[d_open:] if d_open >= 0 else b""
+        m_len = _LENGTH_RE.search(dct)
+        if m_len:
+            n = int(m_len.group(1))
+            payload = b[data_start : data_start + n]
+            end = b.find(b"endstream", data_start + n)
+        else:
+            end = b.find(b"endstream", data_start)
+            payload = b[data_start:end] if end >= 0 else b""
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            elif payload[-1:] in (b"\n", b"\r"):
+                payload = payload[:-1]
+        if end < 0:
+            return
+        yield dct, payload
+        pos = end + len(b"endstream")
 
 
 def _extract_text_mini(b: bytes) -> list[str]:
-    """Built-in minimal extractor for UNCOMPRESSED-content-stream PDFs
-    (the class the committed fixture and simple report generators emit):
-    each plain-text content stream containing a BT...ET text block becomes
-    one page; the page text is the concatenation of its Tj / ' / TJ
-    show-text operands in stream order, PDF string escapes decoded.
-    Compressed (/Filter, e.g. FlateDecode) content raises — decoding
-    arbitrary filter chains is exactly what the pypdf/pdfplumber adapters
-    are for; this path exists so the real-%PDF route is executable (and
-    CI-tested) even in containers that ship neither library."""
+    """Built-in minimal extractor for plain and FlateDecode content-stream
+    PDFs (the classes simple report generators and virtually all real-world
+    writers emit): each content stream containing a BT...ET text block
+    becomes one page; the page text is the concatenation of its Tj / ' /
+    TJ show-text operands in stream byte order, PDF string escapes
+    decoded. ``/Filter /FlateDecode`` payloads are inflated with stdlib
+    ``zlib``; streams under any other filter (DCTDecode images, LZW,
+    JBIG2...) are skipped as non-text — a document whose text is only
+    reachable through such filters raises toward the pypdf/pdfplumber
+    adapters."""
     pages = []
-    for m in _STREAM_RE.finditer(b):
-        payload = m.group(1)
+    for dct, payload in _iter_streams(b):
+        m_filt = _FILTER_RE.search(dct)
+        if m_filt:
+            filt = m_filt.group(1)
+            # accept a bare /FlateDecode or a one-element [/FlateDecode]
+            names = re.findall(rb"/(\w+)", filt)
+            if names != [b"FlateDecode"]:
+                continue  # image/other codec stream — not mini-extractable text
+            try:
+                # decompressobj tolerates the spec-permitted trailing EOL
+                payload = zlib.decompressobj().decompress(payload)
+            except zlib.error:
+                continue  # corrupt or mis-split stream: skip, don't crash a task
         if b"BT" not in payload:
             continue  # image/XObject or non-text stream
         try:
             payload.decode("ascii")
         except UnicodeDecodeError:
-            continue  # compressed or binary content stream
-        chunks = [_pdf_unescape(s) for s in _TEXT_SHOW_RE.findall(payload)]
-        for arr in _TJ_ARRAY_RE.findall(payload):
-            chunks.extend(_pdf_unescape(s) for s in _TJ_STRING_RE.findall(arr))
+            continue  # binary content stream
+        chunks = []
+        for m in _SHOW_OP_RE.finditer(payload):
+            if m.group(1) is not None:  # (...)Tj / (...)'
+                chunks.append(_pdf_unescape(m.group(1)))
+            else:  # [...]TJ: emit the array's strings in element order
+                chunks.extend(
+                    _pdf_unescape(s) for s in _TJ_STRING_RE.findall(m.group(2))
+                )
         pages.append("".join(chunks))
     if not pages:
         raise NotImplementedError(
-            "mini PDF extractor found no uncompressed text content streams "
-            "(compressed /Filter streams need the pypdf or pdfplumber adapter)"
+            "mini PDF extractor found no plain or FlateDecode text content "
+            "streams (other /Filter chains need the pypdf or pdfplumber adapter)"
         )
     return pages
 
@@ -140,7 +214,7 @@ def _parse_pdf_real(b: bytes) -> list[str]:
     """Adapter over whichever optional library is installed (pypdf's and
     pdfplumber's page iteration differ only in spelling — reference analogue
     pdf_rag_chatbot.py:12-20), falling back to the built-in mini extractor
-    for uncompressed-stream documents when neither library exists."""
+    for plain / FlateDecode-stream documents when neither library exists."""
     if PDF_BACKEND == "pypdf":
         import pypdf
 

@@ -11,37 +11,34 @@ from yfinance_etl_spark.plans.queries import REGISTRY, _WINDOW_PRIORITY
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# every query absent from CORRECTNESS_r06.json (driver rows 1-50 of the
-# round-6 order) — round 7's rotation must put ALL of them in the window,
-# plus the two never-hash-attested entries, so no query's last driver
-# attestation is more than two rounds old
-_R06_UNCHECKED = {
-    "flagship_risk", "pricing_summary", "top_orders", "revenue_by_region",
-    "orders_with_lineitems_semi", "customers_without_urgent_orders_anti",
-    "sma_min_periods", "cumulative_return", "uptrend_flags",
-    "positional_lookback", "benchmark_ols", "sortino", "dividend_yield",
-    "ema_20", "text_quality", "chunk_stats", "scalar_profile",
-    "events_json_profile", "doc_sentiment", "sink_roundtrip",
-    "datasource_history", "sector_weights", "rag_retrieval", "rag_answers",
-    "multimodal_features", "newsfeed_sentiment", "pdf_page_text",
-    "peer_group_lookup", "sql_top_orders_per_priority", "token_stats",
-    "rolling_fingerprint", "bucketed_join_revenue", "revenue_rollup",
-    "metrics_unpivot",
+# every query whose last driver attestation is r6 or older (r8 skipped the
+# rotation, so CORRECTNESS_r07/r08 re-attested the same 50 names) — round
+# 9's rotation must put ALL 35 of them in the window so no query's last
+# driver attestation falls more than three rounds behind
+_R8_STALE = {
+    "order_value_quantiles", "orders_cube", "pii_redaction",
+    "price_band_join", "price_pivot_wide", "salted_revenue_by_segment",
+    "shard_packing", "stratified_sample", "stream_interval_join",
+    "stream_static_enriched", "symbol_search", "tfidf_top_terms",
+    "ticker_correlation_matrix", "train_split_counts", "tz_normalize",
+    "url_domain_stats", "watchlist_parse", "lang_profile",
+    "stream_dedup_distinct", "stream_session_rollup", "stream_sliding_avg",
+    "stream_tumbling_counts", "asof_click_attribution",
+    "stream_ema_stateful", "stream_parquet_sink_roundtrip",
+    "ann_bucketed_topk", "ann_ivf_topk", "ann_multiprobe_topk",
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_exact_fingerprint",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "knn_cosine_topk",
 }
-
-_NEVER_HASH_ATTESTED = {"funnel_conversions"}
 
 
 def test_priority_names_lead_the_registry():
     assert list(REGISTRY)[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
 
 
-def test_driver_window_covers_all_previously_unchecked_queries():
+def test_driver_window_covers_all_stale_queries():
     window = set(list(REGISTRY)[:50])
-    missing = (_R06_UNCHECKED | _NEVER_HASH_ATTESTED) - window
+    missing = _R8_STALE - window
     assert not missing, f"not in the driver's 50-row window: {sorted(missing)}"
-    # the round-6 red row must lead the window so its fix is attested first
-    assert list(REGISTRY)[0] == "funnel_conversions"
 
 
 def test_oracle_less_queries_do_not_occupy_hash_slots():

@@ -3558,64 +3558,64 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r7 rotation (tools/rotate_window.py, staleness-first): leads with the
-# never-hash-attested funnel fix, then all 34 queries whose last driver
-# attestation predates r6, then r6-attested fillers. sketch_profile is
+# r9 rotation (tools/rotate_window.py, staleness-first): the r8 window was
+# not rotated, so 35 queries' last driver attestation is r6 — all of them
+# lead this window, then r7/r8-attested fillers. sketch_profile is
 # oracle-less by design (opaque HLL/GK state; accuracy pinned by the
 # epsilon test, distinct-count verifiability by kmv_distinct) — it can
-# only ever get the weak rows-only check, so it no longer occupies a
+# only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "funnel_conversions",  # never
-    "audio_features",  # never (new r7)
-    "events_json_profile",  # r3,4,5
-    "scalar_profile",  # r3,4,5
-    "sql_top_orders_per_priority",  # r3,4,5
-    "bucketed_join_revenue",  # r2,3,4,5
-    "chunk_stats",  # r2,3,4,5
-    "datasource_history",  # r2,3,4,5
-    "doc_sentiment",  # r2,3,4,5
-    "metrics_unpivot",  # r2,3,4,5
-    "multimodal_features",  # r2,3,4,5
-    "newsfeed_sentiment",  # r2,3,4,5
-    "pdf_page_text",  # r2,3,4,5
-    "peer_group_lookup",  # r2,3,4,5
-    "rag_answers",  # r2,3,4,5
-    "rag_retrieval",  # r2,3,4,5
-    "revenue_rollup",  # r2,3,4,5
-    "rolling_fingerprint",  # r2,3,4,5
-    "sector_weights",  # r2,3,4,5
-    "sink_roundtrip",  # r2,3,4,5
-    "token_stats",  # r2,3,4,5
-    "benchmark_ols",  # r1,2,3,4,5
-    "cumulative_return",  # r1,2,3,4,5
-    "customers_without_urgent_orders_anti",  # r1,2,3,4,5
-    "dividend_yield",  # r1,2,3,4,5
-    "ema_20",  # r1,2,3,4,5
-    "flagship_risk",  # r1,2,3,4,5
-    "orders_with_lineitems_semi",  # r1,2,3,4,5
-    "positional_lookback",  # r1,2,3,4,5
-    "pricing_summary",  # r1,2,3,4,5
-    "revenue_by_region",  # r1,2,3,4,5
-    "sma_min_periods",  # r1,2,3,4,5
-    "sortino",  # r1,2,3,4,5
-    "text_quality",  # r1,2,3,4,5
-    "top_orders",  # r1,2,3,4,5
-    "uptrend_flags",  # r1,2,3,4,5
-    "cohort_retention",  # r6
-    "compacted_sink_roundtrip",  # r6
-    "contamination_check",  # r6
-    "datasource_monthly_bars",  # r6
-    "dedup_clusters",  # r6
-    "dedup_embedding_banded",  # r6
-    "doc_quality_gopher",  # r6
-    "frame_sample",  # r6
-    "fund_expense_ratio",  # r6
-    "incremental_rollup",  # r6
-    "kmeans_clusters",  # r6
-    "kmv_distinct",  # r6
-    "multimodal_resize",  # r6
-    "order_value_deciles",  # r6
+    "order_value_quantiles",  # r6
+    "orders_cube",  # r6
+    "pii_redaction",  # r6
+    "price_band_join",  # r6
+    "price_pivot_wide",  # r6
+    "salted_revenue_by_segment",  # r6
+    "shard_packing",  # r6
+    "stratified_sample",  # r6
+    "stream_interval_join",  # r6
+    "stream_static_enriched",  # r6
+    "symbol_search",  # r6
+    "tfidf_top_terms",  # r6
+    "ticker_correlation_matrix",  # r6
+    "train_split_counts",  # r6
+    "tz_normalize",  # r6
+    "url_domain_stats",  # r6
+    "watchlist_parse",  # r6
+    "lang_profile",  # r1,6
+    "stream_dedup_distinct",  # r3,5,6
+    "stream_session_rollup",  # r3,5,6
+    "stream_sliding_avg",  # r3,5,6
+    "stream_tumbling_counts",  # r3,5,6
+    "asof_click_attribution",  # r3,4,5,6
+    "stream_ema_stateful",  # r3,4,5,6
+    "stream_parquet_sink_roundtrip",  # r3,4,5,6
+    "ann_bucketed_topk",  # r2,3,4,5,6
+    "ann_ivf_topk",  # r2,3,4,5,6
+    "ann_multiprobe_topk",  # r2,3,4,5,6
+    "dedup_embedding_cosine",  # r2,3,4,5,6
+    "dedup_simhash",  # r2,3,4,5,6
+    "dedup_exact_fingerprint",  # r1,2,3,4,5,6
+    "dedup_minhash_lsh",  # r1,2,3,4,5,6
+    "dedup_ngram_jaccard",  # r1,2,3,4,5,6
+    "knn_cosine_topk",  # r1,2,3,4,5,6
+    "audio_features",  # r7,8
+    "funnel_conversions",  # r7,8
+    "cohort_retention",  # r6,7,8
+    "compacted_sink_roundtrip",  # r6,7,8
+    "contamination_check",  # r6,7,8
+    "datasource_monthly_bars",  # r6,7,8
+    "dedup_clusters",  # r6,7,8
+    "dedup_embedding_banded",  # r6,7,8
+    "doc_quality_gopher",  # r6,7,8
+    "frame_sample",  # r6,7,8
+    "fund_expense_ratio",  # r6,7,8
+    "incremental_rollup",  # r6,7,8
+    "kmeans_clusters",  # r6,7,8
+    "kmv_distinct",  # r6,7,8
+    "multimodal_resize",  # r6,7,8
+    "order_value_deciles",  # r6,7,8
 ]
 
 

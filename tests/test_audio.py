@@ -82,6 +82,34 @@ def test_parse_wav_raises_not_struct_error_on_truncated_fmt():
         A.parse_wav(b)
 
 
+def test_stereo_wav_reports_frames_not_interleaved_samples(spark):
+    # r9 ADVICE fix: a stereo clip must report per-channel FRAME count and
+    # true duration — not 2x, which is what counting interleaved samples
+    # gives. Stdlib wave cross-checks the fixture's frame count.
+    left, right = [1000, -2000, 3000, 32767], [-1000, 2000, -3000, -32768]
+    interleaved = [s for pair in zip(left, right) for s in pair]
+    b = A.wav_bytes(interleaved, rate=8000, channels=2)
+    with wave.open(io.BytesIO(b)) as w:
+        assert w.getnchannels() == 2 and w.getnframes() == 4
+    df = spark.createDataFrame(
+        [(1, b, ("audio", 8000, "audio/wav"))], A.AUDIO_ASSET_SCHEMA
+    )
+    r = A.audio_features(df).collect()[0]
+    assert r.n_channels == 2
+    assert r.n_samples == 4  # frames, not 8 interleaved samples
+    assert r.duration_ms == 4 * 1000 // 8000
+    # RMS stays the cross-channel energy mean over ALL samples; peak global
+    assert r.rms == math.sqrt(sum(s * s for s in interleaved) / 8)
+    assert r.peak == 32768
+
+
+def test_parse_wav_rejects_zero_channel_fmt():
+    b = bytearray(A.wav_bytes([1, 2]))
+    b[22] = 0  # nChannels = 0
+    with pytest.raises(NotImplementedError, match="zero channels"):
+        A.parse_wav(bytes(b))
+
+
 def test_audio_features_end_to_end(spark):
     df = spark.createDataFrame([(3,), (7,)], "doc_id long")
     rows = {

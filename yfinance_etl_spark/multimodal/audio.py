@@ -51,18 +51,19 @@ def _samples(doc_id: int) -> list[int]:
     return [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
 
 
-def wav_bytes(samples: list[int], rate: int = SAMPLE_RATE) -> bytes:
-    """Pack int16 mono samples into a canonical 44-byte-header PCM WAV."""
+def wav_bytes(samples: list[int], rate: int = SAMPLE_RATE, channels: int = 1) -> bytes:
+    """Pack int16 samples (interleaved if multi-channel) into a canonical
+    44-byte-header PCM WAV."""
     data = struct.pack(f"<{len(samples)}h", *samples)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
         b"fmt ", 16,
         1,  # PCM
-        1,  # mono
+        channels,
         rate,
-        rate * 2,  # byte rate (16-bit mono)
-        2,  # block align
+        rate * 2 * channels,  # byte rate (16-bit)
+        2 * channels,  # block align
         16,  # bits per sample
         b"data", len(data),
     )
@@ -95,6 +96,8 @@ def parse_wav(b: bytes) -> tuple[int, int, list[int]]:
                 raise NotImplementedError(
                     f"only 16-bit PCM WAV is supported (fmt={fmt}, bits={bits})"
                 )
+            if channels < 1:
+                raise NotImplementedError("WAV fmt declares zero channels")
         elif tag == b"data":
             data = body
     if rate is None or data is None:
@@ -121,8 +124,15 @@ def synthesize_audio_assets(docs: DataFrame) -> DataFrame:
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
-    """Decode + feature-extract: rate, channel count, sample count,
-    duration, RMS (int64-exact sum of squares), peak amplitude."""
+    """Decode + feature-extract: rate, channel count, per-channel frame
+    count, duration, RMS (int64-exact sum of squares, taken over ALL
+    interleaved samples — the standard cross-channel energy mean), peak
+    amplitude.
+
+    r9 fix (ADVICE): ``n_samples`` and ``duration_ms`` are per-channel
+    FRAMES (interleaved count / channels) — a stereo clip previously
+    reported 2x its true duration because interleaved samples were
+    counted as frames."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,14 +140,15 @@ def audio_features(assets: DataFrame) -> DataFrame:
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 rate, channels, samples = parse_wav(bytes(content))
                 n = len(samples)
+                frames = n // channels
                 sq = sum(s * s for s in samples)  # exact in int64
                 rows.append(
                     (
                         int(doc_id),
                         rate,
                         channels,
-                        n,
-                        n * 1000 // rate,
+                        frames,
+                        frames * 1000 // rate,
                         # math.sqrt, not **0.5: sqrt is IEEE correctly
                         # rounded, pow(x, 0.5) need not be — the oracle's
                         # SQRT must match bit-for-bit

@@ -183,6 +183,50 @@ def test_kmeans_seeds_from_sparse_offset_ids(spark):
     assert {r.cent_id for r in centroids.select("cent_id").collect()} <= {100, 200}
 
 
+def test_kmeans_preserves_k_when_a_cluster_starves(spark):
+    # r9 (ADVICE/verdict): duplicate seed vectors — the two smallest
+    # vec_ids carry IDENTICAL coordinates, so round 1's tie-break sends
+    # EVERY point to cent_id 0 and cluster 1 captures nothing. The old
+    # code silently returned k-1 centroids; the farthest-point reseed must
+    # keep k=2 with the starved id re-used, and the reseeded centroid must
+    # be the max-d2 point (vec_id tie-break)
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # duplicate of seed 0 -> cluster 1 starves
+        (2, [5.0, 5.0]),
+        (3, [6.0, 6.0]),  # farthest from centroid 0 -> the reseed target
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = kmeans(embs, k=2, iters=2)
+    cents = {r.cent_id: list(r.cent) for r in centroids.collect()}
+    assert set(cents) == {0, 1}, f"k collapsed: {cents}"
+    # after the round-2 recompute under reseeded c1=(6,6): c0 captures
+    # {0,1,2}, c1 captures {3} — both clusters populated, k preserved
+    members = {
+        r.cent_id
+        for r in assigned.select("cent_id").distinct().collect()
+    }
+    assert members == {0, 1}
+
+
+def test_kmeans_starvation_reseed_is_deterministic(spark):
+    # same adversarial input twice -> bit-identical centroids (no RNG in
+    # the reseed path)
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [6.0, 6.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    runs = [
+        {r.cent_id: list(r.cent) for r in kmeans(embs, k=2, iters=2)[1].collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+
+
 def test_kmeans_tol_converges_to_the_fixed_iter_answer(spark):
     # two tight, well-separated blobs: Lloyd converges after one round, so
     # tol-mode must stop early AND land on the same centroids the fixed

@@ -137,6 +137,42 @@ def recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     )
 
 
+def _reseed_starved(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    prev_ids: set[int],
+) -> list[tuple[int, list[float]]]:
+    """Deterministic farthest-point reseed for starved clusters (r9).
+
+    ``recompute`` builds centroids only from non-empty clusters, so a
+    cluster that captures zero points would silently vanish and shrink k.
+    Instead, each starved cluster id is reseeded to the coordinates of the
+    point FARTHEST from its assigned centroid (max d2 under the round's
+    assignment, ties broken by smallest vec_id) — the standard
+    empty-cluster repair, fully deterministic, and a TakeOrderedAndProject
+    of at most k rows to the driver (no extra shuffle). Cluster ids are
+    preserved: starved ids are re-used in sorted order, so k and the id
+    space are invariant across rounds. A no-op when nothing starved, which
+    keeps the fixed-iteration oracle replay byte-identical on non-starving
+    data."""
+    missing = sorted(prev_ids - {cid for cid, _ in centroids})
+    if not missing:
+        return centroids
+    far = (
+        assigned.orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+        .limit(len(missing))
+        .collect()
+    )
+    if len(far) < len(missing):
+        raise ValueError(
+            f"k-means cannot preserve k: {len(missing)} starved clusters "
+            f"but only {len(far)} points available to reseed"
+        )
+    return sorted(
+        centroids + [(cid, list(r["vec"])) for cid, r in zip(missing, far)]
+    )
+
+
 def kmeans(
     embs: DataFrame,
     k: int = 8,
@@ -174,8 +210,12 @@ def kmeans(
     ]
     for _ in range(iters):
         prev = dict(centroids)
-        centroids = recompute(assign(vecs, centroids))
-        if tol is not None and {c for c, _ in centroids} == set(prev):
+        assigned = assign(vecs, centroids)
+        centroids = _reseed_starved(assigned, recompute(assigned), set(prev))
+        if tol is not None:
+            # reseeding preserves the id set, so the shift test always
+            # runs; a reseeded centroid's large jump correctly blocks
+            # premature convergence
             shift = max(
                 abs(v - p)
                 for cid, coords in centroids

@@ -176,6 +176,34 @@ def test_ivf_assign_and_probe(spark):
     assert sorted(by_q[0]) == [(1, 1), (2, 5)]
 
 
+def test_ivf_assign_rejects_non_finite_centroid_vectors(spark):
+    # r9 ADVICE: repr(nan)/repr(inf) in the k×dim SQL literal would have
+    # surfaced as an opaque Catalyst parse error — the guard must name the
+    # offending vec_id instead
+    import pytest
+
+    from yfinance_etl_spark.operators.similarity import ivf_assign
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [float("nan"), 1.0]),
+        (2, [0.0, 1.0]), (3, [1.0, float("inf")]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="non-finite"):
+        ivf_assign(emb, k_centroids=4)
+
+
+def test_kmeans_rejects_non_finite_seed_vectors(spark):
+    import pytest
+
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    rows = [(0, [0.0, 0.0]), (1, [float("nan"), 1.0]), (2, [2.0, 2.0])]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="non-finite"):
+        kmeans(embs, k=2, iters=1)
+
+
 def test_multiprobe_recall_at_least_single_probe(spark):
     from yfinance_etl_spark.operators.similarity import (
         ann_bucketed_topk,

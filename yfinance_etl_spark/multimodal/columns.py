@@ -226,10 +226,15 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
                     text = body.decode("utf-8")
                     nbody = text[: (len(text) * nw * nh) // (w * h)].encode("utf-8")
                 elif ch in (1, 2, 3, 4) and nw and nh:  # pixel buffer: resample
+                    # direct off:off+ch slices — body[off:][:ch] copied the
+                    # whole buffer tail per pixel, O(n·len(body)) churn (r9)
                     nbody = b"".join(
-                        body[((y2 * h // nh) * w + (x2 * w // nw)) * ch :][:ch]
-                        for y2 in range(nh)
-                        for x2 in range(nw)
+                        body[off : off + ch]
+                        for off in (
+                            ((y2 * h // nh) * w + (x2 * w // nw)) * ch
+                            for y2 in range(nh)
+                            for x2 in range(nw)
+                        )
                     )
                 else:  # opaque body: keep the deterministic byte cut
                     nbody = body[: (len(body) * nw * nh) // (w * h)]

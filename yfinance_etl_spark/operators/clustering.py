@@ -39,6 +39,8 @@ accumulates and nothing else changes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,6 +87,15 @@ def assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     tree O(1) in k·dim — the unrolled form cost ~3 s of analysis/codegen
     PER ROUND at k=8, dim=64, measured.
     """
+    # same guard as similarity.ivf_assign: a NaN/inf coordinate would turn
+    # the literal below into an opaque Catalyst parse error (r9)
+    bad = [cid for cid, coords in centroids
+           if not all(math.isfinite(float(x)) for x in coords)]
+    if bad:
+        raise ValueError(
+            f"k-means centroids contain non-finite coordinates (cent_id={bad}); "
+            "clean the embedding column before clustering"
+        )
     mat = F.expr(
         "array(" + ",".join(
             "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"

@@ -199,6 +199,17 @@ def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, 
         .limit(k_centroids)
         .collect()
     )
+    # repr(nan)/repr(inf) would silently corrupt the SQL literal below into
+    # a parse error deep inside Catalyst — fail loudly at the source (r9)
+    import math
+
+    bad = [r["vec_id"] for r in cent_rows
+           if not all(math.isfinite(float(x)) for x in r["vec"])]
+    if bad:
+        raise ValueError(
+            f"IVF centroid vectors contain non-finite values (vec_id={bad}); "
+            "clean the embedding column before indexing"
+        )
     mat = F.expr(
         "array(" + ",".join(
             "array(" + ",".join(f"{float(x)!r}D" for x in r["vec"]) + ")"

@@ -92,6 +92,28 @@ def test_dtype_check_accepts_matching_families():
     assert m.dtype_mismatches(spark, duck_cols, duck_types) == []
 
 
+def test_boundary_proximity_flags_near_half_boundary_cells():
+    # r8 verdict item 8: observability for the residual rounding-boundary
+    # exposure. A 6-dp-rounded cell sits ON the 1e-6 grid -> dist ~0.5
+    # (safe); a cell one step from the half boundary must report ~0.
+    m = _mod()
+    assert abs(m.half_boundary_dist(0.123456) - 0.5) < 1e-6
+    assert abs(m.half_boundary_dist(42.0) - 0.5) < 1e-9
+    # 1.0000005 = exactly on a 6-dp half boundary (up to double repr)
+    assert m.half_boundary_dist(1.0000005) < 1e-3
+    assert m.half_boundary_dist(-1.0000005) < 1e-3  # sign-symmetric
+
+
+def test_min_boundary_proximity_picks_the_nearest_cell_and_skips_non_floats():
+    m = _mod()
+    rows = [(1, "a", 0.25, 7.0000004), (2, "b", 3.123456, None)]
+    got = m.min_boundary_proximity(rows, ["k", "s", "v1", "v2"])
+    d, col, val = got
+    assert col == "v2" and val == 7.0000004 and d < 0.11
+    # no float cells -> None
+    assert m.min_boundary_proximity([(1, "x")], ["k", "s"]) is None
+
+
 def test_dtype_check_int_widths_share_a_family():
     # Spark int vs DuckDB INTEGER/BIGINT: the driver compares collected
     # python ints, so width differences inside int64 are not hash-visible

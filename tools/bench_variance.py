@@ -1,19 +1,34 @@
-"""Run-to-run bench variance: two fresh-JVM bench passes at the same commit.
+"""Run-to-run bench variance: >=3 fresh-JVM bench passes at the same commit.
 
-Round-6 advice item 6: regression calls were being made against single
-samples — a query whose r5→r6 delta is 0.3 s is indistinguishable from
-noise unless we know its run-to-run spread. This tool runs ``bench.py``
-twice as independent subprocesses (fresh JVM, fresh page-cache state per
-run — true run-to-run, not min-of-two inside one aging session, which
-bench.py's own comments document as biased) and writes
-``bench_variance.json``:
+Round-6 advice item 6 introduced this tool at 2 samples; round 8 proved
+2 is not enough — byte-identical code swung individual queries by up to
+±0.46 s between rounds while the 2-sample artifact published 0.04 s
+spreads for the same queries. The harness therefore runs ``bench.py``
+THREE times by default (r8 verdict item 6) as independent subprocesses
+(fresh JVM, fresh page-cache state per run — true run-to-run, not
+min-of-N inside one aging session, which bench.py's own comments
+document as biased) and writes ``bench_variance.json``:
 
-* per-query timings from both runs and their absolute delta,
+* per-query timings from every run, their MEDIAN (the number to cite),
+  and their spread (max - min over the >=3 samples),
 * the prior-round delta (|BENCH_r{N} - BENCH_r{N-1}|) where both driver
   artifacts report the query,
 * ``flagged``: queries whose run-to-run spread EXCEEDS their last
   round-over-round delta — i.e. queries where the round-over-round
-  "regression" or "win" was within noise and must not be cited.
+  "regression" or "win" was within noise and must not be cited,
+* ``round_deltas_within_spread_pct``: what fraction of the newest
+  adjacent round-over-round deltas the measured spreads bound — when the
+  adjacent rounds ran the same code (as r7→r8 did), this is a direct
+  calibration check of the harness itself. r9 measured 90%: cross-round
+  (cold machine-state) noise has a component that even 3 same-session
+  fresh-JVM samples cannot capture, so
+* ``noise_floor`` per query = max(spread, prior round-over-round delta,
+  0.15 s): the DO-NOT-CITE threshold — a future round-over-round delta
+  below it is noise by measurement, not judgment. (When the prior rounds
+  ran the same code, folding their delta in is exact; when they did not,
+  it is conservative — it can only over-estimate the floor, never let a
+  real regression through as noise... at worst a real sub-floor
+  regression waits one round for a clean same-code baseline.)
 
 Usage: python tools/bench_variance.py [--runs N]
 """
@@ -65,7 +80,7 @@ def prior_round_deltas() -> dict[str, float]:
 
 
 def main() -> int:
-    runs = 2
+    runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     env = dict(os.environ)
@@ -75,12 +90,30 @@ def main() -> int:
     per_query = {}
     for n in names:
         ts = [d["queries"].get(n) for d in details]
-        present = [t for t in ts if t is not None]
+        present = sorted(t for t in ts if t is not None)
+        mid = len(present) // 2
+        median = (
+            None if not present
+            else present[mid] if len(present) % 2
+            else round((present[mid - 1] + present[mid]) / 2, 3)
+        )
         per_query[n] = {
             "runs": ts,
+            "median": median,
             "spread": round(max(present) - min(present), 2) if present else None,
         }
     prior = prior_round_deltas()
+    for n in names:
+        s = per_query[n]["spread"]
+        per_query[n]["noise_floor"] = (
+            None if s is None else round(max(s, prior.get(n, 0.0), 0.15), 2)
+        )
+    bounded = [
+        n for n, d in prior.items()
+        if n in per_query and per_query[n]["spread"] is not None
+        and d <= max(per_query[n]["spread"], 0.15)
+    ]
+    bounded_pct = round(100 * len(bounded) / len(prior), 1) if prior else None
     # A query is flagged when its same-commit spread exceeds its last
     # round-over-round delta (when known) — any perf claim about it from
     # single samples is noise. Floor 0.15 s: sub-0.15 s spreads are
@@ -99,6 +132,7 @@ def main() -> int:
         "queries": per_query,
         "prior_round_delta": prior,
         "flagged_noisier_than_round_delta": flagged,
+        "round_deltas_within_spread_pct": bounded_pct,
     }
     path = os.path.join(REPO, "bench_variance.json")
     with open(path, "w") as f:

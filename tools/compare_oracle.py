@@ -103,6 +103,37 @@ def dtype_mismatches(spark_dtypes: list[tuple[str, str]],
     return out
 
 
+def half_boundary_dist(v: float) -> float:
+    """Distance — in units of 1e-6, range [0, 0.5] — of a float cell from
+    the nearest 6-dp ROUNDING HALF BOUNDARY (k + 0.5)·1e-6.
+
+    Residual-exposure observability (r8 verdict item 8 / COVERAGE.md): a
+    cell produced by ``round(x, 6)`` (or coarser) sits ON the 1e-6 grid,
+    so its distance is ~0.5 — safely quantized, both engines provably
+    agree. A cell far from the grid relies on BIT-EXACT FP replay between
+    Spark and DuckDB instead of grid quantization; the smaller this
+    distance, the closer that cell sits to the boundary where a 1-ulp
+    cross-engine difference would flip a 6-dp rounding. The gate reports
+    the minimum over all compared float cells per run, naming the cell —
+    a hit near 0 on a ROUNDED column means a quotient landed on the
+    half boundary and the driver's exact hash is one ulp from red."""
+    frac = math.fmod(abs(v) * 1e6, 1.0)
+    return abs(frac - 0.5)
+
+
+def min_boundary_proximity(rows: list[tuple], cols: list[str]):
+    """(dist, col, value) of the float cell nearest a 6-dp half boundary,
+    or None when the result carries no finite float cells."""
+    best = None
+    for row in rows:
+        for col, v in zip(cols, row):
+            if isinstance(v, float) and math.isfinite(v):
+                d = half_boundary_dist(v)
+                if best is None or d < best[0]:
+                    best = (d, col, v)
+    return best
+
+
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(row[i] for i in order) for row in rows]
@@ -156,11 +187,12 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> bool:
     return ok
 
 
-def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
+def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict, dict | None]:
     """Full (or subset) registry-vs-oracle pass at one sf dir."""
     con = duck_connect(sf_dir)
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
+    nearest = None  # (dist, query, col, value): boundary-proximity min
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -174,6 +206,9 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
             results[name] = {"status": "spark_error", "err": str(e)[:200]}
             n_fail += 1
             continue
+        prox = min_boundary_proximity(spark_rows, spark_cols)
+        if prox and (nearest is None or prox[0] < nearest[0]):
+            nearest = (prox[0], name, prox[1], prox[2])
         if q.oracle is None:
             print(f"{name}: rows-only ({len(spark_rows)} rows) — no oracle")
             results[name] = {"status": "rows_only", "spark_rows": len(spark_rows)}
@@ -205,10 +240,24 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict]:
     if not only:
         missing = [n for n in REGISTRY if n not in results]
         assert not missing, f"gate skipped registry entries: {missing}"
-    return n_pass, n_fail, results
+    proximity = None
+    if nearest:
+        d, qname, col, val = nearest
+        print(
+            f"boundary proximity: min dist to a 6-dp half boundary = "
+            f"{d:.3g} (x 1e-6) at {qname}.{col} = {val!r}"
+        )
+        proximity = {
+            "min_dist_1e6": round(d, 6),
+            "query": qname,
+            "col": col,
+            "value": val,
+        }
+    return n_pass, n_fail, results, proximity
 
 
-def write_snapshot(sf_dir: str, n_pass: int, n_fail: int, results: dict) -> None:
+def write_snapshot(sf_dir: str, n_pass: int, n_fail: int, results: dict,
+                   proximity: dict | None = None) -> None:
     import json
 
     out = {
@@ -217,6 +266,7 @@ def write_snapshot(sf_dir: str, n_pass: int, n_fail: int, results: dict) -> None
         "n_pass": n_pass,
         "n_fail": n_fail,
         "results": results,
+        "boundary_proximity": proximity,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "correctness_full.json")
@@ -245,9 +295,9 @@ def main() -> int:
         for sf in ("sf0.001", "sf0.01", "sf0.1"):
             sf_dir = os.path.join(base, sf)
             print(f"\n=== {sf_dir} ===")
-            n_pass, n_fail, results = run_gate(spark, sf_dir, set())
+            n_pass, n_fail, results, proximity = run_gate(spark, sf_dir, set())
             if sf == "sf0.01":  # the driver's gate scale → canonical snapshot
-                write_snapshot(sf_dir, n_pass, n_fail, results)
+                write_snapshot(sf_dir, n_pass, n_fail, results, proximity)
             totals.append((sf, n_pass, n_fail))
             tri_out[sf] = {
                 "n_pass": n_pass,
@@ -256,6 +306,7 @@ def main() -> int:
                                  if r["status"] not in ("pass", "rows_only")),
                 "rows_only": sorted(n for n, r in results.items()
                                     if r["status"] == "rows_only"),
+                "boundary_proximity": proximity,
             }
             print(f"{sf}: {n_pass} pass, {n_fail} fail")
         tri_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -269,9 +320,9 @@ def main() -> int:
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
-    n_pass, n_fail, results = run_gate(spark, sf_dir, only)
+    n_pass, n_fail, results, proximity = run_gate(spark, sf_dir, only)
     if write_json and not only:
-        write_snapshot(sf_dir, n_pass, n_fail, results)
+        write_snapshot(sf_dir, n_pass, n_fail, results, proximity)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

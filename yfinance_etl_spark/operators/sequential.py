@@ -7,9 +7,15 @@ grouped-map pandas UDF (``applyInPandas``): one shuffle on the series key, then
 each group's recursion runs vectorized in Arrow batches.
 
 Scale note: this shuffles whole groups, so a single series must fit in one
-task's memory (a 30-year daily series is ~8k rows — trivial; even tick data at
-1B rows/key would need chunked segment-recursion, documented here as the known
-ceiling). All other window ops in this engine stay JVM-side; this is the
+task's memory. MEASURED ceiling (r9, tools/ema_ceiling.py → ema_ceiling.json,
+COVERAGE.md "EMA applyInPandas group-size ceiling"): per-row cost is flat to
+1e7 rows/key (~229 MiB/group, ~0.74 s per million rows), degrades from
+~3e7 rows (~0.7 GiB, +21%) and reaches +72% at 1e8 rows (2.3 GiB) — still
+completing, but implying several GiB of single-task memory. A 30-year daily
+series is ~8e3 rows, four orders below the plateau edge; the segmented
+linear-recurrence scan (per-segment (decay^len, partial) affine maps,
+composed in order) is the documented follow-up if keys ever exceed ~3e7
+rows. All other window ops in this engine stay JVM-side; this is the
 deliberate slow path, used only where semantics demand it.
 """
 

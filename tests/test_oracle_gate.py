@@ -104,12 +104,80 @@ def test_boundary_proximity_flags_near_half_boundary_cells():
     assert m.half_boundary_dist(-1.0000005) < 1e-3  # sign-symmetric
 
 
-def test_min_boundary_proximity_picks_the_nearest_cell_and_skips_non_floats():
+def test_effective_decimals_reads_shortest_repr():
     m = _mod()
-    rows = [(1, "a", 0.25, 7.0000004), (2, "b", 3.123456, None)]
+    assert m.effective_decimals(1.0922905) == 7      # ROUND(x, 8) output
+    assert m.effective_decimals(0.123456) == 6
+    assert m.effective_decimals(42.0) == 1
+    assert m.effective_decimals(1e20) == 0
+    assert m.effective_decimals(0.1 + 0.2) > m.MAX_ROUND_DP  # raw FP
+    # the leak the 12-dp first guess missed: a raw sqrt of magnitude ~3e4
+    # needs only ~12 fractional digits — it must still classify unquantized
+    assert m.effective_decimals(31426.310338631865) > m.MAX_ROUND_DP
+
+
+def test_max_round_dp_tracks_the_finest_round_in_the_source():
+    # Meta-test: if a future query ROUNDs finer than MAX_ROUND_DP, its
+    # cells would alarm as unquantized (noise); if MAX_ROUND_DP drifts
+    # above the true max, genuinely raw cells near that precision would be
+    # silently excused. Pin the constant to the source.
+    import os
+    import re
+
+    m = _mod()
+
+    def round_precisions(src: str):
+        # walk balanced parens from each ROUND-ish call; last top-level
+        # comma argument, when a bare int, is the precision
+        for match in re.finditer(r"(?:\bROUND|\br6|F\.round)\s*\(", src):
+            depth, i = 1, match.end()
+            last_comma = match.end() - 1
+            while i < len(src) and depth:
+                c = src[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    last_comma = i
+                i += 1
+            arg = src[last_comma + 1:i - 1].strip()
+            if re.fullmatch(r"\d+", arg):
+                yield int(arg)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    precisions = set()
+    pkg = os.path.join(root, "yfinance_etl_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if fn.endswith(".py"):
+                precisions.update(round_precisions(
+                    open(os.path.join(dirpath, fn)).read()))
+    assert precisions, "no ROUND sites found — pattern drift"
+    assert max(precisions) == m.MAX_ROUND_DP
+
+
+def test_quantized_cells_are_excluded_from_the_boundary_alarm():
+    # The r9 tri run's first alarm was this exact aliasing false positive:
+    # sortino.mean_excess = 1.0922905, an 8-dp ROUND whose 7th decimal is
+    # 5 — ON the 6-dp half grid, yet safe by its own quantization. The
+    # scan must not alarm on it.
+    m = _mod()
+    rows = [(1, 1.0922905), (2, 0.123456)]
+    got = m.min_boundary_proximity(rows, ["k", "v"])
+    best, n_unq, unq_cols = got
+    assert best is None and n_unq == 0 and unq_cols == []
+
+
+def test_min_boundary_proximity_picks_the_nearest_unquantized_cell():
+    m = _mod()
+    near_half = 7.000000500000031      # unquantized AND near the half grid
+    rows = [(1, "a", 0.25, near_half), (2, "b", 0.30000000000000004, None)]
     got = m.min_boundary_proximity(rows, ["k", "s", "v1", "v2"])
-    d, col, val = got
-    assert col == "v2" and val == 7.0000004 and d < 0.11
+    best, n_unq, unq_cols = got
+    d, col, val = best
+    assert col == "v2" and val == near_half and d < 1e-3
+    assert n_unq == 2 and unq_cols == ["v1", "v2"]
     # no float cells -> None
     assert m.min_boundary_proximity([(1, "x")], ["k", "s"]) is None
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -113,25 +114,73 @@ def half_boundary_dist(v: float) -> float:
     agree. A cell far from the grid relies on BIT-EXACT FP replay between
     Spark and DuckDB instead of grid quantization; the smaller this
     distance, the closer that cell sits to the boundary where a 1-ulp
-    cross-engine difference would flip a 6-dp rounding. The gate reports
-    the minimum over all compared float cells per run, naming the cell —
-    a hit near 0 on a ROUNDED column means a quotient landed on the
-    half boundary and the driver's exact hash is one ulp from red."""
+    cross-engine difference would flip a 6-dp rounding."""
     frac = math.fmod(abs(v) * 1e6, 1.0)
     return abs(frac - 0.5)
 
 
+def effective_decimals(v: float) -> int:
+    """Decimal digits after the point in the float's SHORTEST repr.
+
+    Python's repr is the shortest decimal string that round-trips, so a
+    cell produced by ``ROUND(x, p)`` reprs with ≤ p decimals; a raw
+    quotient (never rounded) needs ~16-17 significant digits. This is the
+    discriminator the proximity scan needs: the FIRST full-registry run of
+    the r9 boundary metric alarmed dist=0 at sortino.mean_excess =
+    1.0922905 — an 8-dp ROUND whose 7th decimal happens to be 5, aliasing
+    exactly onto the 6-dp half grid (~1-in-10 odds per 7-dp cell; certain
+    to fire somewhere across thousands of cells). That cell is safe by
+    8-dp quantization; the 6-dp boundary never applies to it. Conditioning
+    on shortest-repr decimals scopes the metric to the documented residual
+    class only: never-ROUNDed cells, whose cross-engine hash equality
+    rests on bit-exact FP replay."""
+    exp = Decimal(repr(v)).as_tuple().exponent
+    return max(0, -exp) if isinstance(exp, int) else 0
+
+
+# The finest ROUND anywhere in either engine's query legs is 9 dp (the
+# k-means centroid cval; everything else rounds at 0-8). A cell with more
+# fractional repr digits than MAX_ROUND_DP therefore cannot be the output
+# of any deliberate quantization and is compared on raw FP bits. The
+# threshold must track the source (meta-tested in tests/test_oracle_gate.py):
+# 12 was the first guess and it leaked — a raw sqrt of magnitude ~3e4 needs
+# only ~12 fractional digits (17 significant − 5 integer), so at sf0.01
+# every audio rms cell masqueraded as "quantized" while sf0.1's
+# smaller-magnitude cells flagged. (Residual blind spot, documented: a raw
+# double of magnitude ≥ 1e8 could repr with ≤ 9 fractional digits and be
+# missed; no registry float column reaches that magnitude unrounded.)
+MAX_ROUND_DP = 9
+
+
 def min_boundary_proximity(rows: list[tuple], cols: list[str]):
-    """(dist, col, value) of the float cell nearest a 6-dp half boundary,
-    or None when the result carries no finite float cells."""
+    """Scan float cells, split by inferred quantization (shortest-repr
+    decimals ≤ MAX_ROUND_DP → deliberately ROUNDed → cross-engine safe by
+    grid membership, excluded from the alarm).
+
+    Returns ``(best, n_unquantized, unquantized_cols)`` where ``best`` is
+    the ``(dist, col, value)`` of the UNQUANTIZED cell nearest a 6-dp half
+    boundary (None when every float cell is quantized), ``n_unquantized``
+    counts cells relying on bit-exact replay, and ``unquantized_cols`` is
+    the sorted set of their column names. Returns None when the result
+    carries no finite float cells at all."""
     best = None
+    n_unq = 0
+    unq_cols: set[str] = set()
+    saw_float = False
     for row in rows:
         for col, v in zip(cols, row):
             if isinstance(v, float) and math.isfinite(v):
+                saw_float = True
+                if effective_decimals(v) <= MAX_ROUND_DP:
+                    continue
+                n_unq += 1
+                unq_cols.add(col)
                 d = half_boundary_dist(v)
                 if best is None or d < best[0]:
                     best = (d, col, v)
-    return best
+    if not saw_float:
+        return None
+    return best, n_unq, sorted(unq_cols)
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
@@ -192,7 +241,9 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict, dict |
     con = duck_connect(sf_dir)
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
-    nearest = None  # (dist, query, col, value): boundary-proximity min
+    nearest = None  # (dist, query, col, value): min over UNQUANTIZED cells
+    total_unq = 0
+    unq_sites: set[str] = set()  # "query.col" relying on bit-exact replay
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -207,8 +258,12 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict, dict |
             n_fail += 1
             continue
         prox = min_boundary_proximity(spark_rows, spark_cols)
-        if prox and (nearest is None or prox[0] < nearest[0]):
-            nearest = (prox[0], name, prox[1], prox[2])
+        if prox is not None:
+            best, n_unq, unq_cols = prox
+            total_unq += n_unq
+            unq_sites.update(f"{name}.{c}" for c in unq_cols)
+            if best and (nearest is None or best[0] < nearest[0]):
+                nearest = (best[0], name, best[1], best[2])
         if q.oracle is None:
             print(f"{name}: rows-only ({len(spark_rows)} rows) — no oracle")
             results[name] = {"status": "rows_only", "spark_rows": len(spark_rows)}
@@ -240,19 +295,28 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int, dict, dict |
     if not only:
         missing = [n for n in REGISTRY if n not in results]
         assert not missing, f"gate skipped registry entries: {missing}"
-    proximity = None
+    proximity = {
+        "n_unquantized_cells": total_unq,
+        "unquantized_sites": sorted(unq_sites),
+    }
     if nearest:
         d, qname, col, val = nearest
         print(
-            f"boundary proximity: min dist to a 6-dp half boundary = "
-            f"{d:.3g} (x 1e-6) at {qname}.{col} = {val!r}"
+            f"boundary proximity: {total_unq} unquantized cells (bit-exact "
+            f"replay) across {len(unq_sites)} site(s); min dist to a 6-dp "
+            f"half boundary among them = {d:.3g} (x 1e-6) at "
+            f"{qname}.{col} = {val!r}"
         )
-        proximity = {
+        proximity.update({
             "min_dist_1e6": round(d, 6),
             "query": qname,
             "col": col,
             "value": val,
-        }
+        })
+    else:
+        print("boundary proximity: every compared float cell is quantized "
+              f"(shortest-repr decimals <= {MAX_ROUND_DP}) — no "
+              "bit-exact-replay exposure")
     return n_pass, n_fail, results, proximity
 
 

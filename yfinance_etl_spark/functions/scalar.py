@@ -110,6 +110,36 @@ def coalesce_default(c: Column | str, default) -> Column:
     return F.coalesce(c, F.lit(default))
 
 
+def fmt_num(c: Column | str, places: int = 2) -> Column:
+    """F6: '{:.2f}'-style display formatting (reference
+    streamlit_app.py:846-857's display map), JVM-side via format_string.
+
+    Cross-engine determinism, measured against DuckDB printf before this
+    shipped: (a) the input is rounded to ``places`` FIRST, so the double
+    handed to the formatter sits within ~1e-13 of the k/10^places grid
+    point and Java's HALF_UP decimal formatting agrees with C printf's
+    binary-value rounding on every cell — formatting an unrounded quotient
+    directly reopens the formatter-divergence class; (b) ``+ 0.0``
+    normalizes IEEE negative zero, because Spark's ROUND returns +0.0
+    where DuckDB's keeps -0.0 and printf then renders '-0.00'. The
+    internal round does NOT absolve money inputs from the dsum_r decimal
+    quantization contract: a double crossing a 2-dp half boundary
+    (550831.075 — observed) still splits engines at the ROUND itself."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.format_string(f"%.{places}f", F.round(c, places) + F.lit(0.0))
+
+
+def fmt_pct(c: Column | str, places: int = 2) -> Column:
+    """F6: '{:.2%}'-style percent display — ratio × 100, rounded ONCE at
+    ``places``, then formatted with a literal '%' (same pre-round and
+    negative-zero contract as fmt_num). Single-round on purpose: rounding
+    the ratio at 6 dp first and again at 2 dp after ×100 puts ~1e-4 of
+    cells on an exact double-rounding boundary, vs ~1e-9 for one round of
+    a generic quotient."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.format_string(f"%.{places}f%%", F.round(c * 100, places) + F.lit(0.0))
+
+
 def parse_ticker_list(c: Column | str) -> Column:
     """P11: 'spy, qqq , ,vti' → ['SPY','QQQ','VTI'] — split on comma, trim,
     upper, drop empties, all as HOFs (reference streamlit_app.py:781-782)."""

@@ -136,6 +136,27 @@ def test_salted_join_joins_on_salt(spark):
     assert "__salt" in plan
 
 
+def test_pdf_report_readback_is_map_only(spark):
+    # S11 roundtrip: everything after the k-row driver-side render is a
+    # binaryFile scan → Arrow-batched page extraction → posexplode, with
+    # ZERO exchanges — at a million reports the parse-back scales as a
+    # pure map stage. (The upstream agg is revenue_by_region's audited
+    # broadcast plan; the sink itself is the presentation boundary.)
+    plan = _plan(spark, "pdf_report_roundtrip")
+    assert "Exchange" not in plan, f"report read-back shuffled:\n{plan}"
+    assert "MapInPandas" in plan and "BINARYFILE" in plan.upper()
+
+
+def test_display_formatting_broadcasts_dims(spark):
+    # F6 formatting must stay a projection over the broadcast join agg —
+    # the only exchanges are revenue_by_region's audited agg shuffle and
+    # the trivial 5-row SinglePartition for the global share window
+    plan = _plan(spark, "display_formatting")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "format_string" in plan  # formatting is JVM-side, not a UDF
+
+
 def test_gopher_quality_is_map_only(spark):
     # the repetition-count kernel is per-row Arrow compute: the whole
     # feature projection must stay a single map stage — zero exchanges

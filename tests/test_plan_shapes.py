@@ -157,6 +157,18 @@ def test_display_formatting_broadcasts_dims(spark):
     assert "format_string" in plan  # formatting is JVM-side, not a UDF
 
 
+def test_ema_segmented_is_pure_catalyst(spark):
+    # the registry query runs the catalyst summarizer: collect_list +
+    # aggregate-HOF folds, zero Python operators — a regression to the
+    # pandas path would reintroduce 7000 Python round-trips at sf0.1
+    # (measured 6.8 s vs 0.6 s)
+    plan = _plan(spark, "ema_20_segmented")
+    for py_op in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                  "ArrowEvalPython"):
+        assert py_op not in plan, f"Python operator in the catalyst path:\n{plan}"
+    assert plan.count("Exchange") == 3  # bars agg, (key,seg), key
+
+
 def test_gopher_quality_is_map_only(spark):
     # the repetition-count kernel is per-row Arrow compute: the whole
     # feature projection must stay a single map stage — zero exchanges

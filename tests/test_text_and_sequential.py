@@ -80,6 +80,80 @@ def test_ema_matches_pandas_ewm_long_series(spark):
     assert row.last_ema == pytest.approx(round_half_away(float(expected), 4), abs=1e-12)
 
 
+@pytest.mark.parametrize("summarizer", ["catalyst", "arrow"])
+def test_ema_segmented_matches_whole_key_loop(spark, summarizer):
+    # The tick-scale path (bounded-segment affine scan) must agree with
+    # the whole-key pandas loop — under BOTH summarizer engines (the JVM
+    # HOF fold and the Arrow/pandas loop are pinned to the same IEEE op
+    # order): bit-identical when a key has ONE segment, and within
+    # cross-segment reassociation ulps (absorbed by the 4-dp round) when
+    # it has many — including single-row segments (year boundaries with
+    # one trading day).
+    from yfinance_etl_spark.operators.sequential import ema_last_segmented
+
+    rows = []
+    # key 1: 5 years, ~37 rows/year (multi-segment, uneven sizes)
+    d = dt.date(2019, 6, 1)
+    for i in range(185):
+        rows.append((1, d, 100.0 + (i % 37) * 0.25 + (i % 11) * 0.1, 1.0))
+        d += dt.timedelta(days=10)
+    # key 2: one segment only → must be BIT-identical to ema_last
+    rows += [
+        (2, dt.date(2021, 1, 1) + dt.timedelta(days=i), 50.0 + i * 0.5, 1.0)
+        for i in range(30)
+    ]
+    # key 3: single-row segments (one observation per year)
+    rows += [(3, dt.date(2015 + i, 3, 1), 10.0 * (i + 1), 1.0) for i in range(6)]
+    # key 4: one row total
+    rows += [(4, dt.date(2020, 5, 5), 77.7, 1.0)]
+    bars = spark.createDataFrame(
+        rows, "suppkey bigint, ddate date, price double, qty double"
+    )
+    whole = {r.suppkey: r for r in ema_last(bars, span=20).collect()}
+    seg = {
+        r.suppkey: r
+        for r in ema_last_segmented(bars, span=20, summarizer=summarizer).collect()
+    }
+    assert set(whole) == set(seg) == {1, 2, 3, 4}
+    for k in whole:
+        assert seg[k].n_days == whole[k].n_days
+        assert seg[k].last_ema == pytest.approx(whole[k].last_ema, abs=5e-4)
+    # single-segment keys ride the identical pandas loop: exact equality
+    assert seg[2].last_ema == whole[2].last_ema
+    assert seg[4].last_ema == whole[4].last_ema == 77.7
+    # multi-segment keys against an independent full-series recompute
+    for k in (1, 3):
+        pdf = (
+            pd.DataFrame(
+                [(r[1], r[2]) for r in rows if r[0] == k], columns=["d", "x"]
+            )
+            .sort_values("d")["x"]
+            .ewm(span=20, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
+        assert seg[k].last_ema == round_half_away(float(pdf), 4)
+
+
+def test_ema_segmented_is_partition_count_invariant(spark):
+    # the segment summaries shuffle twice; values must not depend on how
+    # the input was partitioned
+    from yfinance_etl_spark.operators.sequential import ema_last_segmented
+
+    rows = [
+        (k, dt.date(2018, 1, 1) + dt.timedelta(days=7 * i), 20.0 + k + i * 0.3, 1.0)
+        for k in (1, 2, 3)
+        for i in range(260)
+    ]
+    bars = spark.createDataFrame(
+        rows, "suppkey bigint, ddate date, price double, qty double"
+    )
+    a = sorted(map(tuple, ema_last_segmented(bars, span=20).collect()))
+    b = sorted(map(tuple, ema_last_segmented(bars.repartition(7), span=20).collect()))
+    c = sorted(map(tuple, ema_last_segmented(bars.coalesce(1), span=20).collect()))
+    assert a == b == c
+
+
 def test_regex_tokens_bpe_ish(spark):
     from yfinance_etl_spark.operators.text import regex_tokens
 

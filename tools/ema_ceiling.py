@@ -18,6 +18,15 @@ per-row cost rising materially above the large-n plateau (small n is
 dominated by fixed job overhead, so throughput RISES until the plateau;
 the ceiling shows as it FALLING again — spill/GC pressure) or an OOM.
 
+r9 follow-up: the same sweep now ALSO runs ``ema_last_segmented`` (the
+implemented tick-scale path, arrow summarizer — the right engine at
+1e6-row segments; see the operator docstring for the measured
+catalyst/arrow crossover) with 1e6-row segments at every n — its group
+memory is bounded by the segment, so its per-row cost must stay flat
+through the sizes where the whole-key path degrades. The two results are
+cross-checked equal (4-dp) at every n, so the comparison measures the
+same computation.
+
 Usage: python tools/ema_ceiling.py [max_exp]   # sweeps 10^4 .. 10^max_exp
 Writes ema_ceiling.json next to the repo root.
 """
@@ -38,8 +47,10 @@ BYTES_PER_ROW = 24  # bigint key + bigint ordinal + double value
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from yfinance_etl_spark.operators.sequential import ema_last
+    from yfinance_etl_spark.operators.sequential import ema_last, ema_last_segmented
     from yfinance_etl_spark.session import get_spark
+
+    SEG_ROWS = 10**6  # segment width for the scale path: ~23 MiB/group
 
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     spark = get_spark("ema-ceiling")
@@ -70,17 +81,40 @@ def main() -> int:
             print(f"n={n:>12,}  FAILED after {wall:.1f}s: {str(ex)[:120]}")
             break
         per_m = wall / (n / 1e6)
+        # the implemented scale path on the SAME input: segment width
+        # SEG_ROWS bounds each task's Arrow group regardless of n. The
+        # arrow summarizer is the right engine at 1e6-row segments (the
+        # catalyst fold is for the many-small-segments regime — measured
+        # 69 s vs 8 s here, GC-bound in collect_list boxing), and shuffle
+        # partitions must track segment count: at the default 32, one task
+        # would buffer 1/32nd of ALL rows in aggregation state.
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // SEG_ROWS)))
+        t1 = time.monotonic()
+        seg_row = ema_last_segmented(
+            bars, span=20, key="suppkey", date="ddate",
+            segment=(F.col("ddate") / SEG_ROWS).cast("bigint"),
+            summarizer="arrow",
+        ).collect()[0]
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        seg_wall = time.monotonic() - t1
+        same = (seg_row.n_days == row.n_days
+                and abs(seg_row.last_ema - row.last_ema) < 5e-4)
         sweeps.append({
             "n_rows": n,
             "group_mb": round(n * BYTES_PER_ROW / 2**20, 1),
             "wall_sec": round(wall, 2),
             "sec_per_million_rows": round(per_m, 3),
+            "segmented_wall_sec": round(seg_wall, 2),
+            "segmented_sec_per_million_rows": round(seg_wall / (n / 1e6), 3),
+            "segmented_matches": same,
             "ok": ok,
         })
         print(f"n={n:>12,}  group≈{n * BYTES_PER_ROW / 2**20:>8.1f} MiB  "
-              f"wall={wall:>7.2f}s  {per_m:>7.3f} s/Mrow")
+              f"wall={wall:>7.2f}s  {per_m:>7.3f} s/Mrow  "
+              f"segmented={seg_wall:>7.2f}s ({seg_wall / (n / 1e6):.3f} s/Mrow, "
+              f"match={same})")
     out = {"metric": "ema_applyinpandas_ceiling", "bytes_per_row": BYTES_PER_ROW,
-           "sweeps": sweeps}
+           "segment_rows": SEG_ROWS, "sweeps": sweeps}
     path = os.path.join(REPO, "ema_ceiling.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

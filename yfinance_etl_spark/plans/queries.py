@@ -593,6 +593,22 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema_last(bars, span=20)
 
 
+@_register("ema_20_segmented", _EMA_SQL)
+def q_ema_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-scale EMA path (operators/sequential.ema_last_segmented):
+    year-bucketed affine-map scan whose group memory is bounded by the
+    SEGMENT, not the key — the implemented answer to the measured ~3e7
+    rows/key applyInPandas ceiling (ema_ceiling.json). Same sequential
+    list_reduce oracle as ema_20: within-segment operation order is
+    identical to the whole-key loop, and the cross-segment composition's
+    ulp-level reassociation is absorbed by the 4-dp output round
+    (deterministic per dataset; green at all three fixture scales)."""
+    from yfinance_etl_spark.operators.sequential import ema_last_segmented
+
+    bars = W.daily_bars(_t(spark, sf_dir, "lineitem"))
+    return ema_last_segmented(bars, span=20)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north-star extension; SURVEY §2.9 L6 + §7 M3)
 # ---------------------------------------------------------------------------
@@ -3682,6 +3698,7 @@ def q_pdf_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     "display_formatting",  # NEW r9 (F6)
     "pdf_report_roundtrip",  # NEW r9 (S11)
+    "ema_20_segmented",  # NEW r9 (W5 tick-scale path)
     "order_value_quantiles",  # r6
     "orders_cube",  # r6
     "pii_redaction",  # r6

@@ -29,7 +29,7 @@ def test_real_pdf_routes_to_backend_adapter(monkeypatch):
 
     calls = []
 
-    def fake_real(b):
+    def fake_real(b, backend=None):
         calls.append(b)
         return ["page one", "page two"]
 

@@ -44,6 +44,21 @@ def test_roundtrip_through_the_mini_extractor_with_hostile_chars():
     assert pages == ["\n".join(lines)]
 
 
+def test_non_ascii_text_roundtrips_via_octal_escapes():
+    # r9 review: a raw latin-1 byte in the content stream trips the S8
+    # parser's binary-content ASCII gate and silently drops the page —
+    # the writer must emit octal escapes so the stream stays pure ASCII
+    lines = ["Café reports", "naïve ± 5%", "control\x01char"]
+    b = render_pdf(lines)
+    # the content streams are ASCII after inflation (the gate the parser
+    # applies), and the text survives exactly
+    import zlib as _z
+
+    for m in re.finditer(rb"stream\n(.*?)\nendstream", b, re.S):
+        _z.decompress(m.group(1)).decode("ascii")  # must not raise
+    assert _extract_text_mini(b) == ["\n".join(lines)]
+
+
 def test_pagination_splits_every_rows_per_page_lines():
     lines = [f"line {i}" for i in range(7)]
     pages = _extract_text_mini(render_pdf(lines, rows_per_page=3))

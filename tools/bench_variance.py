@@ -108,12 +108,18 @@ def main() -> int:
         per_query[n]["noise_floor"] = (
             None if s is None else round(max(s, prior.get(n, 0.0), 0.15), 2)
         )
-    bounded = [
-        n for n, d in prior.items()
+    # calibration over the ELIGIBLE set only: a prior-delta query absent
+    # from the current runs (renamed/removed, or no spread) can never be
+    # bounded, so counting it in the denominator fakes a calibration
+    # failure the harness never measured
+    eligible = [
+        n for n in prior
         if n in per_query and per_query[n]["spread"] is not None
-        and d <= max(per_query[n]["spread"], 0.15)
     ]
-    bounded_pct = round(100 * len(bounded) / len(prior), 1) if prior else None
+    bounded = [
+        n for n in eligible if prior[n] <= max(per_query[n]["spread"], 0.15)
+    ]
+    bounded_pct = round(100 * len(bounded) / len(eligible), 1) if eligible else None
     # A query is flagged when its same-commit spread exceeds its last
     # round-over-round delta (when known) — any perf claim about it from
     # single samples is noise. Floor 0.15 s: sub-0.15 s spreads are

@@ -90,12 +90,27 @@ def main() -> int:
         # would buffer 1/32nd of ALL rows in aggregation state.
         spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // SEG_ROWS)))
         t1 = time.monotonic()
-        seg_row = ema_last_segmented(
-            bars, span=20, key="suppkey", date="ddate",
-            segment=(F.col("ddate") / SEG_ROWS).cast("bigint"),
-            summarizer="arrow",
-        ).collect()[0]
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            seg_row = ema_last_segmented(
+                bars, span=20, key="suppkey", date="ddate",
+                segment=(F.col("ddate") / SEG_ROWS).cast("bigint"),
+                summarizer="arrow",
+            ).collect()[0]
+        except Exception as ex:  # noqa: BLE001 — record it, keep the sweep
+            seg_wall = time.monotonic() - t1
+            sweeps.append({
+                "n_rows": n,
+                "group_mb": round(n * BYTES_PER_ROW / 2**20, 1),
+                "wall_sec": round(wall, 2),
+                "sec_per_million_rows": round(per_m, 3),
+                "segmented_error": str(ex)[:200],
+                "segmented_wall_sec": round(seg_wall, 2),
+                "ok": ok,
+            })
+            print(f"n={n:>12,}  segmented FAILED after {seg_wall:.1f}s: {str(ex)[:120]}")
+            break
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
         seg_wall = time.monotonic() - t1
         same = (seg_row.n_days == row.n_days
                 and abs(seg_row.last_ema - row.last_ema) < 5e-4)

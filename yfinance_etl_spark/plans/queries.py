@@ -3671,7 +3671,10 @@ def q_pdf_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("yfinance_etl_pdfreport", sf_dir, fresh=True)
     pdf_report_sink(lines, out, title="Revenue by region", rows_per_page=4)
-    pages = read_pdf_pages(spark, out)
+    # backend="mini": the oracle encodes the mini extractor's exact
+    # operand concatenation; pypdf/pdfplumber add their own layout
+    # newlines, so the roundtrip must not depend on installed libraries
+    pages = read_pdf_pages(spark, out, backend="mini")
     return pages.select(
         "page_no", F.posexplode(F.split("page_text", "\n")).alias("line_no", "line")
     )

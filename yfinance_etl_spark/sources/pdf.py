@@ -117,8 +117,29 @@ _SHOW_OP_RE = re.compile(
     re.S,
 )
 _TJ_STRING_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?!\d) pins the match to the WHOLE digit run before testing the
+# indirect-ref lookahead — without it the regex backtracks inside the
+# digits of '/Length 58 0 R' until the lookahead passes, yielding a
+# truncated bogus length (group='5') that silently mis-slices the
+# stream; (?!\s+\d+\s+R) rejects any generation number, not just 0
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+
+
+def _stream_dict(window: bytes) -> bytes:
+    """The OUTERMOST ``<< ... >>`` dictionary preceding ``stream`` in
+    ``window``. A plain ``rfind(b"<<")`` lands on a NESTED sub-dictionary
+    (``/DecodeParms << /Predictor 12 >>`` is routine in real writers) and
+    hides the outer dict's /Filter and /Length — scan the ``<<``/``>>``
+    tokens backward from the end, tracking depth, to find where the dict
+    that closes last actually opens."""
+    tokens = [(m.start(), m.group()) for m in re.finditer(rb"<<|>>", window)]
+    depth = 0
+    for pos, tok in reversed(tokens):
+        depth += 1 if tok == b">>" else -1
+        if depth == 0 and tok == b"<<":
+            return window[pos:]
+    return b""
 
 
 def _iter_streams(b: bytes):
@@ -142,8 +163,7 @@ def _iter_streams(b: bytes):
             pos = s + 6
             continue
         window = b[max(0, s - 512) : s]
-        d_open = window.rfind(b"<<")
-        dct = window[d_open:] if d_open >= 0 else b""
+        dct = _stream_dict(window)
         m_len = _LENGTH_RE.search(dct)
         if m_len:
             n = int(m_len.group(1))
@@ -210,16 +230,19 @@ def _extract_text_mini(b: bytes) -> list[str]:
     return pages
 
 
-def _parse_pdf_real(b: bytes) -> list[str]:
+def _parse_pdf_real(b: bytes, backend: str | None = None) -> list[str]:
     """Adapter over whichever optional library is installed (pypdf's and
     pdfplumber's page iteration differ only in spelling — reference analogue
     pdf_rag_chatbot.py:12-20), falling back to the built-in mini extractor
-    for plain / FlateDecode-stream documents when neither library exists."""
-    if PDF_BACKEND == "pypdf":
+    for plain / FlateDecode-stream documents when neither library exists.
+    ``backend`` overrides the auto-detected route ("mini" forces the
+    built-in extractor even when a library is importable)."""
+    backend = PDF_BACKEND if backend is None else backend
+    if backend == "pypdf":
         import pypdf
 
         return [p.extract_text() or "" for p in pypdf.PdfReader(io.BytesIO(b)).pages]
-    if PDF_BACKEND == "pdfplumber":
+    if backend == "pdfplumber":
         import pdfplumber
 
         with pdfplumber.open(io.BytesIO(b)) as doc:
@@ -227,7 +250,9 @@ def _parse_pdf_real(b: bytes) -> list[str]:
     return _extract_text_mini(b)
 
 
-def _parse_pdf(b: bytes, path: str = "") -> tuple[int, list[str]]:
+def _parse_pdf(
+    b: bytes, path: str = "", backend: str | None = None
+) -> tuple[int, list[str]]:
     """Fake-format parser, with real ``%PDF`` payloads routed to the
     optional-library adapter when one is installed."""
     if b.startswith(MAGIC):
@@ -237,18 +262,27 @@ def _parse_pdf(b: bytes, path: str = "") -> tuple[int, list[str]]:
             text[i : i + PAGE_CHARS] for i in range(0, max(len(text), 1), PAGE_CHARS)
         ]
         return int(doc_id), pages
-    return _doc_id_from_path(path), _parse_pdf_real(b)
+    return _doc_id_from_path(path), _parse_pdf_real(b, backend)
 
 
-def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
-    """binaryFile scan → distributed page extraction."""
+def read_pdf_pages(
+    spark: SparkSession, pdf_dir: str, backend: str | None = None
+) -> DataFrame:
+    """binaryFile scan → distributed page extraction.
+
+    ``backend="mini"`` pins the built-in extractor regardless of which
+    libraries the environment offers. The S11 round-trip query uses it:
+    its oracle encodes the mini extractor's exact operand concatenation,
+    and pypdf/pdfplumber interleave their own layout newlines — the
+    query's correctness must not depend on what happens to be
+    pip-installed."""
     files = spark.read.format("binaryFile").load(os.path.join(pdf_dir, "*.pdf"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                doc_id, pages = _parse_pdf(bytes(content), path)
+                doc_id, pages = _parse_pdf(bytes(content), path, backend)
                 rows.extend((doc_id, i, p) for i, p in enumerate(pages))
             yield pd.DataFrame(rows, columns=["doc_id", "page_no", "page_text"])
 

@@ -36,13 +36,22 @@ _LEADING = 14  # points between baselines
 
 
 def _esc(s: str) -> bytes:
-    """PDF literal-string escaping (ISO 32000-1 §7.3.4.2): backslash,
-    parens; newlines stay raw — legal in literals, and the S8 parser maps
-    the ``\\n`` escape to the same byte anyway."""
-    return (
-        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-        .encode("latin-1", errors="replace")
-    )
+    """PDF literal-string escaping (ISO 32000-1 §7.3.4.2): backslash and
+    parens escaped; every byte outside printable ASCII emitted as a
+    3-digit OCTAL escape. The octal form matters for the roundtrip
+    contract: a raw latin-1 byte (é = 0xE9) in the stream would trip the
+    S8 mini extractor's binary-content ASCII gate and silently drop the
+    whole page, whereas ``\\351`` keeps the stream pure ASCII and the
+    parser's octal unescape restores the exact character."""
+    out = bytearray()
+    for ch in s.encode("latin-1", errors="replace"):
+        if ch in (0x5C, 0x28, 0x29):  # \ ( )
+            out += b"\\" + bytes([ch])
+        elif 0x20 <= ch <= 0x7E:
+            out.append(ch)
+        else:
+            out += b"\\%03o" % ch
+    return bytes(out)
 
 
 def _page_stream(lines: list[str]) -> bytes:

@@ -66,7 +66,7 @@ def test_pagination_splits_every_rows_per_page_lines():
     assert b"/Count 3" in render_pdf(lines, rows_per_page=3)
 
 
-def test_empty_report_is_a_valid_single_page(tmp_path):
+def test_empty_report_is_a_valid_single_page():
     # zero data rows: the title still renders on one page
     b = render_pdf(["Only the title"])
     assert _extract_text_mini(b) == ["Only the title"]

@@ -39,6 +39,18 @@ def round_half_away(x: float, places: int = 4) -> float:
     return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / p
 
 
+def round_half_away_col(c: Column, places: int = 4) -> Column:
+    """Column twin of ``round_half_away`` — the SAME binary-value ops
+    (floor(y + 0.5) on the double), NOT ``F.round``, whose
+    shortest-decimal-repr HALF_UP can differ on boundary doubles."""
+    p = float(10**places)
+    y = c * F.lit(p)
+    return (
+        F.when(c >= 0, F.floor(y + F.lit(0.5))).otherwise(F.ceil(y - F.lit(0.5)))
+        / F.lit(p)
+    )
+
+
 def ema_last(
     bars: DataFrame,
     span: int = 20,
@@ -140,16 +152,6 @@ def ema_last_segmented(
             vals, init, lambda acc, x: F.lit(a) * x + F.lit(one_minus_a) * acc
         )
 
-    def _round4(c: Column) -> Column:
-        # binary-value half-away rounding — same ops as round_half_away
-        # (floor(y+0.5) on the double), NOT F.round, whose
-        # shortest-decimal-repr HALF_UP can differ on boundary doubles
-        y = c * F.lit(1e4)
-        return (
-            F.when(c >= 0, F.floor(y + F.lit(0.5))).otherwise(F.ceil(y - F.lit(0.5)))
-            / F.lit(1e4)
-        )
-
     tagged = bars.select(key, date, value).withColumn("__seg", segment.cast("long"))
     if summarizer == "arrow":
 
@@ -217,7 +219,7 @@ def ema_last_segmented(
         .select(
             key,
             "n_days",
-            _round4(
+            round_half_away_col(
                 F.aggregate(
                     F.slice(
                         F.col("__segs"), 2, F.greatest(F.size("__segs") - 1, F.lit(0))

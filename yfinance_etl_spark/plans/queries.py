@@ -3572,8 +3572,10 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # global share window is one row per region after the agg.
 # ---------------------------------------------------------------------------
 
-_DISPLAY_FMT_SQL = f"""
-WITH rev AS (
+# shared between the F6 and S11 oracles: the region-revenue CTE and the
+# two printf display fragments (duplicating them invites the oracles
+# silently diverging from each other)
+_REV_CTE = f"""rev AS (
   SELECT r_name, {S.dsum_r('l_extendedprice * (1 - l_discount)')} AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -3581,17 +3583,23 @@ WITH rev AS (
   JOIN nation   ON c_nationkey = n_nationkey
   JOIN region   ON n_regionkey = r_regionkey
   GROUP BY r_name
-)
+)"""
+_REV_FMT = "printf('%.2f', ROUND(revenue, 2) + 0.0)"
+_SHARE_FMT = "printf('%.2f%%', ROUND(revenue / SUM(revenue) OVER () * 100, 2) + 0.0)"
+
+_DISPLAY_FMT_SQL = f"""
+WITH {_REV_CTE}
 SELECT r_name,
-       printf('%.2f', ROUND(revenue, 2) + 0.0) AS revenue_disp,
-       printf('%.2f%%', ROUND(revenue / SUM(revenue) OVER () * 100, 2) + 0.0)
-         AS share_disp
+       {_REV_FMT} AS revenue_disp,
+       {_SHARE_FMT} AS share_disp
 FROM rev
 """
 
 
-@_register("display_formatting", _DISPLAY_FMT_SQL)
-def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _region_revenue_display(spark: SparkSession, sf_dir: str):
+    """Shared F6/S11 base: per-region revenue plus its formatted display
+    columns (fmt_num on the decimal-deterministic revenue, fmt_pct on the
+    single-round share — the window is one row per region post-agg)."""
     from pyspark.sql.window import Window
 
     from yfinance_etl_spark.functions.scalar import fmt_num, fmt_pct
@@ -3603,6 +3611,11 @@ def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_num("revenue").alias("revenue_disp"),
         fmt_pct(F.col("revenue") / total).alias("share_disp"),
     )
+
+
+@_register("display_formatting", _DISPLAY_FMT_SQL)
+def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _region_revenue_display(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -3617,20 +3630,10 @@ def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PDF_REPORT_SQL = f"""
-WITH rev AS (
-  SELECT r_name, {S.dsum_r('l_extendedprice * (1 - l_discount)')} AS revenue
-  FROM lineitem
-  JOIN orders   ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation   ON c_nationkey = n_nationkey
-  JOIN region   ON n_regionkey = r_regionkey
-  GROUP BY r_name
-),
+WITH {_REV_CTE},
 body AS (
   SELECT ROW_NUMBER() OVER (ORDER BY r_name) AS i,
-         r_name || ' ' || printf('%.2f', ROUND(revenue, 2) + 0.0) || ' ' ||
-         printf('%.2f%%', ROUND(revenue / SUM(revenue) OVER () * 100, 2) + 0.0)
-           AS line
+         r_name || ' ' || {_REV_FMT} || ' ' || {_SHARE_FMT} AS line
   FROM rev
 ),
 all_lines AS (
@@ -3647,24 +3650,15 @@ FROM all_lines
 
 @_register("pdf_report_roundtrip", _PDF_REPORT_SQL)
 def q_pdf_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from yfinance_etl_spark.functions.scalar import fmt_num, fmt_pct
     from yfinance_etl_spark.scratch import scratch_dir
     from yfinance_etl_spark.sources.pdf import read_pdf_pages
     from yfinance_etl_spark.sources.report import pdf_report_sink
 
-    rev = q_revenue_by_region(spark, sf_dir).select("r_name", "revenue")
-    total = F.sum("revenue").over(Window.partitionBy())
     lines = (
-        rev.select(
+        _region_revenue_display(spark, sf_dir)
+        .select(
             "r_name",
-            F.concat_ws(
-                " ",
-                F.col("r_name"),
-                fmt_num("revenue"),
-                fmt_pct(F.col("revenue") / total),
-            ).alias("line"),
+            F.concat_ws(" ", "r_name", "revenue_disp", "share_disp").alias("line"),
         )
         .orderBy("r_name")
         .select("line")

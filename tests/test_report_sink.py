@@ -59,6 +59,40 @@ def test_non_ascii_text_roundtrips_via_octal_escapes():
     assert _extract_text_mini(b) == ["\n".join(lines)]
 
 
+def test_non_latin1_text_raises_instead_of_silent_replacement():
+    # '€' (U+20AC) has no latin-1 byte; errors="replace" would render '?'
+    # — a silently wrong report. The writer must refuse loudly instead.
+    with pytest.raises(NotImplementedError, match="non-latin-1"):
+        render_pdf(["total €1,000"])
+
+
+def test_property_writer_reader_roundtrip_arbitrary_latin1_reports():
+    # end-to-end property (vs the codec-level escape test in
+    # test_realparse_fixtures): ANY latin-1 report of ANY shape must
+    # survive the FULL pipeline — page-stream assembly, Flate
+    # compression, xref/trailer, pagination — through the S8 mini
+    # extractor, page text equal to the newline-join of that page's rows.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    latin1_line = st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=255),
+        max_size=30,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(latin1_line, min_size=1, max_size=12), st.integers(1, 5))
+    def check(lines, rows_per_page):
+        pages = _extract_text_mini(render_pdf(lines, rows_per_page=rows_per_page))
+        expected = [
+            "\n".join(lines[i : i + rows_per_page])
+            for i in range(0, len(lines), rows_per_page)
+        ]
+        assert pages == expected
+
+    check()
+
+
 def test_pagination_splits_every_rows_per_page_lines():
     lines = [f"line {i}" for i in range(7)]
     pages = _extract_text_mini(render_pdf(lines, rows_per_page=3))

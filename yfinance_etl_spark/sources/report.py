@@ -42,9 +42,22 @@ def _esc(s: str) -> bytes:
     contract: a raw latin-1 byte (é = 0xE9) in the stream would trip the
     S8 mini extractor's binary-content ASCII gate and silently drop the
     whole page, whereas ``\\351`` keeps the stream pure ASCII and the
-    parser's octal unescape restores the exact character."""
+    parser's octal unescape restores the exact character.
+
+    Characters outside latin-1 raise (loud, like every other unsupported
+    format in this engine) instead of being silently replaced with ``?``
+    — a report that says ``?1,000`` where the data said ``€1,000`` is a
+    wrong answer, not a rendering nicety."""
+    try:
+        encoded = s.encode("latin-1")
+    except UnicodeEncodeError as e:
+        raise NotImplementedError(
+            f"report text contains non-latin-1 character {s[e.start]!r} "
+            "(WinAnsi/Type1 Helvetica covers latin-1 only; multi-byte "
+            "fonts need a CID font, out of scope for the minimal writer)"
+        ) from e
     out = bytearray()
-    for ch in s.encode("latin-1", errors="replace"):
+    for ch in encoded:
         if ch in (0x5C, 0x28, 0x29):  # \ ( )
             out += b"\\" + bytes([ch])
         elif 0x20 <= ch <= 0x7E:

@@ -271,3 +271,46 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_salts > 1  # the hot key's rows really do take multiple sub-keys
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    # max_iter=0 used to skip the loop, leave `changed` None, and return
+    # every node as its own component — silently, past the convergence
+    # guard the docstring promises
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(_edges(spark, [(1, 2)]), max_iter=0)
+
+
+def test_null_keys_get_deterministic_buckets_not_silent_drops(spark):
+    # md5(NULL) is NULL, so before the sentinel a NULL-keyed row fell out
+    # of every split and every sample — even at fraction 1.0
+    from yfinance_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (None, "b")], "doc_id bigint, stratum string"
+    )
+    kept = stratified_sample(df, "stratum", {"a": 1.0, "b": 1.0}, "doc_id").collect()
+    assert len(kept) == 3  # fraction 1.0 keeps EVERY row, NULL keys included
+
+    none_dropped = stratified_sample(df, "stratum", {"a": 0.0}, "doc_id",
+                                     default_fraction=0.0).count()
+    assert none_dropped == 0  # and fraction 0 still drops them
+
+    splits = with_split(df, key="doc_id").select("split").collect()
+    assert all(r.split in ("train", "val", "test") for r in splits)
+
+
+def test_pack_shards_exact_past_double_precision(spark):
+    # cumulative weights beyond 2^53: the old float division rounded the
+    # prefix, putting boundary rows one shard off; integer `div` is exact
+    from yfinance_etl_spark.operators.sampling import pack_shards
+
+    big = 1 << 53
+    rows = [(0, big), (1, 1), (2, 1)]  # prefixes: 0, 2^53, 2^53 + 1
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    got = {r.k: r.shard_id for r in pack_shards(df, "w", "k", budget=1).collect()}
+    # float(2^53 + 1) == float(2^53) would collapse rows 1 and 2 into the
+    # same shard; exact arithmetic keeps them distinct
+    assert got == {0: 0, 1: big, 2: big + 1}

@@ -82,3 +82,57 @@ def test_incremental_overwrites_only_delta_partitions(spark, tmp_path):
     got = sorted((r.id, r.m, r.v) for r in read_back(spark, out).collect())
     # 2024-01 untouched; 2024-02 REPLACED (not appended: id 3 gone)
     assert got == [(1, "2024-01", 10.0), (2, "2024-02", 20.0)]
+
+
+def test_compact_recovers_table_stranded_by_crash_between_renames(spark, tmp_path):
+    # simulate a driver death between the two swap renames: the data sits
+    # at path__precompact and nothing is at path. The next compact must
+    # restore it and complete instead of crashing on the missing dir.
+    import os
+
+    from yfinance_etl_spark.sources.sink import compact
+
+    out = str(tmp_path / "t")
+    spark.createDataFrame([(i,) for i in range(100)], "id long").repartition(
+        4
+    ).write.parquet(out)
+    os.rename(out, out + "__precompact")  # the crash window state
+    assert not os.path.exists(out)
+    n = compact(spark, out)
+    assert n == 1
+    assert read_back(spark, out).count() == 100
+    assert glob.glob(str(tmp_path / "t__*")) == []
+
+
+def test_compact_clears_stale_backup_and_staging_dirs(spark, tmp_path):
+    # a crash AFTER the swap leaves path__precompact beside a healthy
+    # path; a crashed rewrite leaves path__compacting. Either used to make
+    # the next compact's os.rename raise ENOTEMPTY / pollute the read.
+    import os
+
+    from yfinance_etl_spark.sources.sink import compact
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    df.repartition(2).write.parquet(out)
+    df.write.parquet(out + "__precompact")  # stale backup (post-swap crash)
+    df.write.parquet(out + "__compacting")  # half-written staging dir
+    n = compact(spark, out)
+    assert n == 1
+    assert read_back(spark, out).count() == 50
+    assert glob.glob(str(tmp_path / "t__*")) == []
+    assert not os.path.exists(out + "__precompact")
+
+
+def test_compact_returns_actual_file_count_under_partition_by(spark, tmp_path):
+    # the old return value was ceil(bytes/target) — a number unrelated to
+    # the partitioned rewrite, which emits one file per key
+    from yfinance_etl_spark.sources.sink import compact
+
+    out = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "id long, grp string"
+    )
+    df.repartition(8).write.partitionBy("grp").parquet(out)
+    n = compact(spark, out, partition_by=("grp",))
+    assert n == 3  # one file per key, and the return value says so

@@ -402,3 +402,46 @@ def test_session_window_state_evicted(spark, tmp_path):
     assert state_rows, "no stateOperators metrics captured"
     assert state_rows[-1] <= 5, f"session state not evicted: {state_rows}"
     assert max(state_rows) <= 100, f"session state grew unboundedly: {state_rows}"
+
+
+def test_stage_dir_refreshes_broken_symlink(tmp_path):
+    # the fixture behind a prior run's symlink can be regenerated at a new
+    # inode/path; exists() follows the link, reads the STALE target as
+    # absent, and the re-symlink used to raise FileExistsError
+    import os
+
+    target = tmp_path / "events.parquet"
+    target.write_bytes(b"x")
+    d = ST._stage_dir(str(target))
+    link = os.path.join(d, "events.parquet")
+    assert os.path.islink(link)
+    target.unlink()  # break the link (fixture regenerated elsewhere)
+    assert os.path.lexists(link) and not os.path.exists(link)
+    target.write_bytes(b"y")
+    d2 = ST._stage_dir(str(target))  # must repair, not raise
+    assert d2 == d
+    assert os.path.exists(os.path.join(d2, "events.parquet"))
+
+
+def test_ema_stream_honors_non_default_alpha(spark, tmp_path):
+    # the fold hardcoded 0.9 as the decay, so alpha=0.5 computed
+    # 0.5*v + 0.9*ema (weights sum 1.4) whenever the guarding assert was
+    # compiled out (python -O); the decay must be 1 - alpha
+    import os
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    rows = [
+        (1, _ts(0, 0), 1, "click", 10.0, "{}"),
+        (2, _ts(0, 1), 1, "click", 20.0, "{}"),
+        (3, _ts(0, 2), 1, "click", 30.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + "/f1")
+    stream = spark.readStream.schema(
+        spark.read.parquet(d + "/f1").schema
+    ).parquet(d + "/*")
+    out = ST.run_to_memory(ST.ema_stream(stream, alpha=0.5), "update").collect()
+    final = max(out, key=lambda r: r.n_events)
+    # fold: 10 -> 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
+    assert final.ema_value == pytest.approx(22.5, abs=1e-12)

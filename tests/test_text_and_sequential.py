@@ -193,3 +193,19 @@ def test_rolling_hash_udf_matches_hof(spark):
     ).collect()
     for r in rows:
         assert r.hof == r.udf
+
+
+def test_chunk_text_null_and_empty_yield_no_chunks(spark):
+    # greatest(NULL,1)/greatest(0,1) used to mint ONE chunk whose text was
+    # NULL/'' — which then flowed into embedding as if it were a document
+    from yfinance_etl_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x" * 250)], "doc_id bigint, text string"
+    )
+    out = df.select(
+        "doc_id", F.explode(chunk_text("text", size=200, overlap=50)).alias("c")
+    )
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {3}  # NULL and '' produce zero rows
+    assert len(rows) == 2  # 250 chars / stride 150 -> 2 chunks

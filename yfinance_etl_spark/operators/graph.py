@@ -39,6 +39,11 @@ def connected_components(
     the result would be silently WRONG (some nodes not yet carrying their
     component's min id), so that raises instead of returning.
     """
+    if max_iter < 1:
+        # with zero iterations the loop never runs, `changed` stays None,
+        # and the convergence check would wave through every-node-its-own-
+        # component — exactly the silent wrongness the docstring forbids
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # materialize the (static) edge set FIRST, then derive labels from the
     # checkpointed frame — deriving them from the raw plan would re-execute
     # the full upstream pair computation inside the first iteration (twice:

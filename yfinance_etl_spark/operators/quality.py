@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from yfinance_etl_spark.operators.text import tokens, word_shingles
+from yfinance_etl_spark.operators.text import token_char_sum, tokens, word_shingles
 
 #: Gopher-shaped thresholds, tuned so the fixture corpus actually splits
 #: (the synthetic docs are heavily repetitive — real Gopher cutoffs would
@@ -184,9 +184,7 @@ def with_repetition_features_hof(docs: DataFrame, text_col: str = "text") -> Dat
     t = tokens(text_col)
     bg = word_shingles(F.col(text_col), 2)
     n_tok = F.size(t)
-    tok_chars = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
+    tok_chars = token_char_sum(t)
     out = (
         docs.withColumn("n_words", n_tok)
         .withColumn(

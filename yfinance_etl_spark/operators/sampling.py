@@ -28,9 +28,17 @@ def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
 
     32 hash bits mod 100 gives bias < 2⁻²⁵ per bucket — unmeasurable at
     any corpus size; md5-on-string is bit-identical in Spark and DuckDB.
+
+    NULL keys hash a NUL-byte sentinel instead of propagating NULL: a
+    NULL bucket makes every downstream range predicate NULL, so NULL-keyed
+    rows would silently fall out of EVERY split and EVERY sample — even at
+    fraction 1.0 — with no error or count. The sentinel keeps them
+    deterministically assigned like any other key (collision would require
+    a real key whose string form is a lone NUL byte).
     """
     key = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    key_s = F.coalesce(key.cast("string"), F.lit("\x00"))
+    h = F.conv(F.substring(F.md5(key_s), 1, 8), 16, 10).cast("long")
     return (h % n_buckets).cast("int")
 
 
@@ -66,8 +74,13 @@ def stratified_sample(
     correlate with 'train'). Per-row Catalyst only; any engine re-derives
     membership from (salt, key) alone.
     """
+    # coalesce BEFORE the salt concat (concat of a NULL is NULL, which
+    # would collapse every salt to the same sentinel hash in hash_bucket)
     b = hash_bucket(
-        F.concat(F.lit(f"{salt}:"), F.col(key).cast("string")), n_buckets
+        F.concat(
+            F.lit(f"{salt}:"), F.coalesce(F.col(key).cast("string"), F.lit("\x00"))
+        ),
+        n_buckets,
     )
     thresh = F.lit(int(round(default_fraction * n_buckets)))
     for name, frac in fractions.items():
@@ -152,11 +165,18 @@ def pack_shards(
     off_df = F.broadcast(
         items.sparkSession.createDataFrame(offsets, f"{pid} int, {off} long")
     )
+    # integer `div`, not double `/`: cumulative weights are longs, and past
+    # 2^53 the long->double conversion is inexact — a row whose exclusive
+    # prefix sits on a shard boundary would land one shard off. Exactly the
+    # regime this operator's 100 TB framing targets; `div` is exact at any
+    # scale (prefixes are non-negative, so div == floor).
     return (
         local.join(off_df, pid)
         .withColumn(
             "shard_id",
-            F.floor((F.col(off) + F.col(lcum) - F.col(weight_col)) / F.lit(float(budget))).cast("long"),
+            F.expr(
+                f"CAST(({off} + {lcum} - `{weight_col}`) div {int(budget)} AS BIGINT)"
+            ),
         )
         .drop(pid, lcum, off)
     )

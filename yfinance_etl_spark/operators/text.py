@@ -27,14 +27,22 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.regexp_replace(F.trim(text), r"\s+", " "), " ")
 
 
+def token_char_sum(t: Column) -> Column:
+    """Sum of token character lengths as an aggregate HOF. Shared by the
+    text features here and the quality module's pure-HOF reference twin —
+    one definition, so a change to length semantics (e.g. code-unit vs
+    code-point) can't silently leave the other computing the old value."""
+    return F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document features: token count, avg token length, stopword ratio,
     quality score (length/stopword heuristics a pretraining pipeline filters on)."""
     t = tokens(text_col)
     n_tok = F.size(t)
-    tok_chars = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
+    tok_chars = token_char_sum(t)
     markers = F.array(*[F.lit(m) for m in EN_MARKERS])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
     return (
@@ -86,19 +94,27 @@ def chunk_text(text: Column | str, size: int = 800, overlap: int = 100) -> Colum
     """L3 chunker (reference RecursiveCharacterTextSplitter(800,100),
     pdf_rag_chatbot.py:218) as a pure HOF: fixed-stride character windows,
     ARRAY<STRUCT<chunk_id,text>> ready for ``explode``. Deterministic, so
-    chunk counts/boundaries are oracle-testable."""
+    chunk counts/boundaries are oracle-testable.
+
+    NULL and empty documents yield an EMPTY array (zero chunks after
+    ``explode``) — the reference splitter returns ``[]`` for empty input.
+    Without the guard, ``greatest(NULL, 1)`` / ``greatest(0, 1)`` minted
+    ONE chunk whose text was NULL/'' , which then flowed into downstream
+    embedding as if it were a document."""
     text = F.col(text) if isinstance(text, str) else text
     stride = size - overlap
     n_chunks = F.greatest(
         F.ceil((F.length(text) - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
     )
-    return F.transform(
+    chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.alias("chunk_id"),
             F.substring(text, (i * stride + 1).cast("int"), size).alias("chunk"),
         ),
     )
+    empty = F.array().cast("array<struct<chunk_id:int,chunk:string>>")
+    return F.when(F.length(text) > 0, chunks).otherwise(empty)
 
 
 def regex_tokens(text: Column | str) -> Column:

@@ -815,7 +815,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SQL = """
 WITH c AS (
   SELECT doc_id, text,
-         greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+              ELSE greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1)
+         END AS n_chunks
   FROM documents
 ),
 ch AS (
@@ -1392,7 +1394,9 @@ def _rag_ranked_ctes() -> str:
     return f"""
 c AS (
   SELECT doc_id, text,
-         greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+              ELSE greatest(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1)
+         END AS n_chunks
   FROM documents
 ),
 ch AS (
@@ -3241,7 +3245,7 @@ cum AS (
   FROM toks
 )
 SELECT doc_id, n_tokens,
-       CAST(FLOOR((c - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+       CAST((c - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
 FROM cum
 """
 

@@ -15,9 +15,11 @@ Spark-first equivalents:
   upstream with many tasks × many keys explodes into millions of tiny
   files. ``write_partitioned`` repartitions BY the partition columns first
   — one task per key — which bounds output to one file per key. For keys
-  too big for one task, ``files_per_partition`` > 1 round-robins rows
-  across that many tasks instead (N files per key, all written in
-  parallel).
+  too big for one task, ``files_per_partition`` > 1 adds a row-hash salt
+  to the repartition keys: every key splits into ≤ N salted sub-keys (≤ N
+  files per key) while DISTINCT (key, salt) pairs still spread over the
+  full shuffle-partition count — total write parallelism stays
+  cluster-wide instead of collapsing to N tasks.
 * zstd over snappy: ~30% smaller at comparable scan speed — at 100 TB the
   scan is IO-bound, so smaller IS faster.
 """
@@ -39,10 +41,24 @@ def write_partitioned(
     out = df
     if partition_by:
         if files_per_partition > 1:
-            # round-robin across N tasks: every task sees every key, so the
-            # writer emits exactly N files per key — the salt-split for keys
-            # too large for a single task's file
-            out = df.repartition(files_per_partition)
+            # salt-split for keys too large for a single task's file: the
+            # deterministic row-hash salt caps files per key at N without
+            # capping TOTAL parallelism at N tasks (which a plain
+            # repartition(N) round-robin would — every key funneled
+            # through the same N tasks, each writing every key's files).
+            # The partition count is passed EXPLICITLY: a bare
+            # repartition(cols) is advisory and AQE may coalesce the tiny
+            # salted splits back into one task, undoing the split.
+            salt = F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            out = df.repartition(
+                max(n_part, files_per_partition),
+                *[F.col(c) for c in partition_by],
+                salt,
+            )
         else:
             out = df.repartition(*partition_by)
     writer = out.write.mode(mode).option("compression", compression)
@@ -92,41 +108,69 @@ def compact(
     compression: str = "zstd",
 ) -> int:
     """Small-file compaction: rewrite a parquet directory so each output
-    file is ~``target_file_bytes``. Returns the output task count.
+    file is ~``target_file_bytes``. Returns the number of data files in
+    the compacted directory (meaningful in both branches — the old
+    "task count" return was fiction under ``partition_by``, where the
+    task count is per-key, not the computed global estimate).
 
     The operational reality behind it: streaming micro-batches, incremental
     partition overwrites, and high-task-count shuffles all accrete files
     far below the ~128 MB-1 GB sweet spot, and at 100 TB the resulting
     listing/open overhead (plus one scheduler task per tiny file) dominates
-    scan time. Compaction = read → repartition to ceil(bytes/target) tasks
-    → rewrite → atomic directory swap. The byte size comes from the file
-    system listing (driver-side metadata, not data); the swap via rename
-    keeps readers from ever seeing a half-written directory.
+    scan time. Compaction = read → repartition → rewrite to a staging dir
+    → directory swap. The byte size comes from the file system listing
+    (driver-side metadata, not data).
 
     With ``partition_by`` the rewrite keys tasks by the partition columns
-    (one file per key, same contract as ``write_partitioned``); without it
-    rows round-robin across the computed task count.
+    (one file per key, same contract as ``write_partitioned``) and
+    ``target_file_bytes`` does not apply — per-key file sizes are whatever
+    the keys weigh; without it rows round-robin across
+    ceil(total_bytes / target) tasks.
+
+    Swap semantics (single-writer): POSIX rename can't exchange two
+    directories atomically, so the swap is two renames — a reader that
+    lists ``path`` in that instant sees it briefly absent. A crash inside
+    the window strands the data at ``path + '__precompact'``; the NEXT
+    ``compact`` call detects that and restores it before doing anything
+    else (and clears a stale backup/staging dir left by a crash after the
+    swap), so no state left behind by a previous run can fail the rename
+    or lose the table.
     """
     import math
     import os
     import shutil
 
+    base = path.rstrip("/")
+    tmp, old = base + "__compacting", base + "__precompact"
+    # crash recovery from a previous invocation, before touching anything
+    if os.path.isdir(old):
+        if os.path.isdir(base):
+            shutil.rmtree(old)  # crashed after the swap: backup is stale
+        else:
+            os.rename(old, base)  # crashed between the renames: restore
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # half-written staging dir from a crashed rewrite
+
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in os.walk(base):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
     n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(base)
     out = df.repartition(*partition_by) if partition_by else df.repartition(n)
     writer = out.write.mode("overwrite").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = path.rstrip("/") + "__precompact"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    n_files = sum(
+        1
+        for root, _dirs, files in os.walk(tmp)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    os.rename(base, old)
+    os.rename(tmp, base)
     shutil.rmtree(old)
-    return n
+    return n_files
 
 
 def write_bucketed(

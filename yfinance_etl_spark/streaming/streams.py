@@ -50,7 +50,13 @@ def _stage_dir(path: str) -> str:
     deployment points the source at the landing directory itself)."""
     d = scratch_dir("yfinance_etl_stream", path)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the symlink, so a BROKEN link
+    # (fixture regenerated/moved since the scratch dir was created) reads
+    # as absent and the re-symlink raises FileExistsError; unlink stale
+    # links first
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     return d
 
@@ -176,20 +182,24 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # computed once, outside the fold. For the registry's alpha=0.1 this is
+    # bit-identical to the oracle lambda's 0.9 literal (1.0 - 0.1 rounds to
+    # exactly the double 0.9), and for any other alpha the weights actually
+    # sum to 1 — the previous hardcoded 0.9 made every non-default alpha a
+    # non-EMA, guarded only by an assert that python -O strips
+    comp = 1.0 - alpha
+
     def update(key, pdfs, state: GroupState):
         ema, n = state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for v in rows["value"]:
-            # 0.9 literal (not 1-alpha) so the fold is bit-identical to the
-            # oracle's lambda
-            ema = float(v) if ema is None else alpha * float(v) + 0.9 * ema
+            ema = float(v) if ema is None else alpha * float(v) + comp * ema
         n += len(rows)
         state.update((ema, n))
         # no Python round() here: banker's rounding differs from SQL ROUND
         # at .5 boundaries — callers round with F.round (HALF_UP, oracle-equal)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema_value": [ema]})
 
-    assert alpha == 0.1, "oracle lambda is specialized to alpha=0.1"
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         "user_id long, n_events long, ema_value double",

@@ -114,3 +114,21 @@ def test_asof_join_matches_duckdb_native_asof(spark, lefts, rights):
     }
     con.close()
     assert got == want
+
+
+def test_asof_tied_right_rows_resolve_deterministically(spark):
+    # two clicks at the identical (key, ts) used to race: last(ignorenulls)
+    # took whichever the shuffle ordered later. The payload struct is now
+    # the tie-break — largest payload wins, stable under repartitioning.
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(5))], "trade_id long, sym string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(4), 100.0), ("A", _ts(4), 101.0)],
+        "sym string, ts timestamp, px double",
+    )
+    for n in (1, 3, 7):
+        out = asof_join(
+            trades, quotes.repartition(n), "sym", "ts", ["px"]
+        ).collect()
+        assert out[0].asof_px == 101.0

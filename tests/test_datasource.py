@@ -183,3 +183,28 @@ def test_live_http_fetch_smoke(registered):
     assert len(rows) > 0
     assert {r.ticker for r in rows} == {"AAPL", "MSFT"}
     assert all(r.price > 0 for r in rows)
+
+
+def test_newsfeed_page_fetch_binds_path_as_parameter(spark, tmp_path):
+    # a path containing a quote broke the interpolated SQL (and was an
+    # injection surface); the path must bind as a prepared-statement
+    # parameter like every other value (datasource.py convention)
+    import os
+
+    from yfinance_etl_spark.sources.rest import _fetch_page
+
+    d = str(tmp_path / "o'brien data")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "en", "s", "alpha match"), (2, "en", "s", "no hit")],
+        "doc_id bigint, lang string, source string, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as g
+    import shutil
+
+    src = g.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "documents.parquet"))
+
+    batches = list(_fetch_page(d, "match", page=0, page_size=10))
+    rows = [row for b in batches for row in b.to_pylist()]
+    assert [r["doc_id"] for r in rows] == [1]

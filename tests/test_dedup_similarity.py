@@ -267,3 +267,50 @@ def test_banded_neardup_is_superset_of_single_band(spark):
     assert all(banded[k] == v for k, v in single.items())
     # and no pair below the threshold leaks through the extra bands
     assert all(c >= 0.95 for c in banded.values())
+
+
+def test_exact_dedup_stats_null_text_is_not_a_duplicate(spark):
+    # fingerprint(NULL) is NULL: countDistinct skips it but count(*)
+    # doesn't, so the old minuend reported every null-text doc as a dupe
+    from yfinance_etl_spark.operators.dedup import exact_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "unique text"), (3, "s", "unique text")],
+        "doc_id bigint, source string, text string",
+    )
+    row = exact_dedup_stats(docs).collect()[0]
+    assert row.n_docs == 3
+    assert row.n_dupes == 1  # only the genuine text duplicate
+
+
+def test_cosine_zero_norm_vector_yields_null_not_abort(spark):
+    # ANSI-on Spark aborts the job on /0; a single all-zero embedding in
+    # the candidate set must score NULL (DuckDB parity), not kill top-k
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0].c is None
+    assert got[1].c == 1.0
+
+
+def test_check_finite_vectors_names_offending_ids(spark):
+    import pytest
+
+    from yfinance_etl_spark.operators.clustering import kmeans
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)] + [(99, [float("nan"), 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # the NaN row is NOT among the k seed rows the literal guard collects
+    with pytest.raises(ValueError, match="99"):
+        kmeans(emb, k=2, iters=1)
+    # pre-cleaned corpora can skip the scan
+    ok, _ = kmeans(emb.filter("vec_id < 20"), k=2, iters=1)
+    assert ok.count() == 20

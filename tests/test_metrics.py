@@ -154,3 +154,52 @@ def test_kmv_estimator_error_bound_and_small_group_exactness(spark):
     for p, n in small_exact.items():
         if n < 256:
             assert small_est[p] == float(n), (p, small_est[p], n)
+
+
+def test_ansi_zero_divisors_yield_null_not_job_abort(spark):
+    # this session runs Spark 4's ANSI default, where x/0 aborts the whole
+    # job; each shape below has a genuinely-zero divisor on real data and
+    # must yield NULL (what the DuckDB oracle computes for x/0) instead
+    # one return only (two bars): n-1 == 0 for volatility
+    one_ret = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 10.0, None, 0.0),
+         (1, dt.date(2024, 1, 2), 11.0, 0.1, 0.0)],
+        "suppkey bigint, ddate date, price double, r double, drawdown double",
+    )
+    row = M.risk_metrics(one_ret).collect()[0]
+    assert row.volatility is None and row.sharpe is None
+    assert row.ann_return is not None  # the mean itself is fine
+
+    # constant series: variance exactly 0 -> sharpe NULL, volatility 0
+    const = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1 + i), 10.0, 0.0, 0.0) for i in range(5)],
+        "suppkey bigint, ddate date, price double, r double, drawdown double",
+    )
+    row = M.risk_metrics(const).collect()[0]
+    assert row.volatility == 0.0 and row.sharpe is None
+
+    # constant benchmark: var_b == 0 -> beta/alpha/r2 NULL, te still real
+    joined = spark.createDataFrame(
+        [(1, 0.01, 0.0), (1, -0.02, 0.0), (1, 0.005, 0.0)],
+        "suppkey bigint, r double, b double",
+    )
+    row = M.benchmark_relative_metrics(joined).collect()[0]
+    assert row.beta is None and row.alpha is None and row.r_squared is None
+    assert row.tracking_error is not None
+
+    # single negative excess return: downside variance exactly 0
+    neg_once = spark.createDataFrame(
+        [(1, 0.5), (1, 0.6), (1, -1.0)],
+        "suppkey bigint, r double",
+    )
+    row = M.sortino_metrics(neg_once).collect()[0]
+    assert row.downside_dev == 0.0 and row.sortino is None
+
+    # one ticker constant over the aligned dates: corr with it is NULL
+    rets = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1 + i), 0.01 * (i - 1)) for i in range(3)]
+        + [(2, dt.date(2024, 1, 1 + i), 0.0) for i in range(3)],
+        "suppkey bigint, ddate date, r double",
+    )
+    row = M.pairwise_correlation(rets).collect()[0]
+    assert row.corr is None

@@ -55,3 +55,15 @@ def test_mock_completion_deterministic(spark):
     df = spark.createDataFrame([("p" * 100,)], "p string")
     a1 = df.select(mock_completion_udf("p").alias("a")).collect()[0].a
     assert a1 == "[mock] " + "p" * 40 + " #100"
+
+
+def test_null_text_embeds_to_null_in_both_twins(spark):
+    # size(NULL) under ANSI made the HOF return a non-null array of 16
+    # NULLs for NULL text while the UDF returned NULL — junk embeddings
+    # for null docs and a broken twin equivalence on exactly the input
+    # class the pinned equality exists for
+    df = spark.createDataFrame([(None,), ("real text",)], "t string")
+    rows = df.select(hash_embed("t").alias("hof"), embed_udf("t").alias("udf")).collect()
+    for r in rows:
+        assert r.hof == r.udf
+    assert any(r.hof is None for r in rows)

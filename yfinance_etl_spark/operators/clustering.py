@@ -190,6 +190,7 @@ def kmeans(
     iters: int = 3,
     vec_col: str = "embedding",
     tol: float | None = None,
+    check_finite: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run Lloyd rounds; returns (assignments, centroids).
 
@@ -212,6 +213,15 @@ def kmeans(
     from yfinance_etl_spark.operators.partitioning import spread
 
     vecs = _as_double_vec(spread(embs), vec_col).localCheckpoint(eager=True)
+    if check_finite:
+        # the centroid-literal guard below only sees the k COLLECTED rows;
+        # a NaN/inf in any OTHER row would die rounds later inside the
+        # decimal moment sums with an ANSI cast error naming no vec_id.
+        # One map-only scan over the checkpointed frame; pass
+        # check_finite=False when the corpus is cleaned at ingest.
+        from yfinance_etl_spark.operators.similarity import check_finite_vectors
+
+        check_finite_vectors(vecs, "vec", "vec_id")
     # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows to the
     # driver, still deterministic) — NOT filter(vec_id < k), which silently
     # yields < k centroids when ids are sparse or offset

@@ -43,12 +43,17 @@ MAX_DF_FRAC = 0.5
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
-    """Per-source exact-duplicate profile via normalized-md5 fingerprint."""
+    """Per-source exact-duplicate profile via normalized-md5 fingerprint.
+
+    ``n_dupes`` counts over NON-null fingerprints only: fingerprint(NULL
+    text) is NULL, which countDistinct skips but count(*) includes, so the
+    old ``count(*) - countDistinct`` reported every null-text doc as a
+    duplicate of nothing."""
     fp = docs.select("source", fingerprint("text").alias("fp"))
     return fp.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").alias("n_distinct"),
-        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
+        (F.count("fp") - F.countDistinct("fp")).alias("n_dupes"),
     )
 
 

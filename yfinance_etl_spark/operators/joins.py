@@ -46,6 +46,13 @@ def asof_join(
     (the matched row's NULL must win). A right row whose payload fields
     are all NULL still forms a non-null struct, so it matches and carries
     its NULLs, exactly like DuckDB's ASOF JOIN.
+
+    When several right rows share the same (key, time), the one with the
+    LARGEST payload struct (lexicographic over ``right_payload``) wins —
+    the payload joins the window's orderBy as the tie-break. Without it,
+    ``last(ignorenulls)`` picked whichever tied row the shuffle happened
+    to order later: a run-to-run coin flip. (DuckDB's native ASOF leaves
+    ties unspecified; this operator chooses to be deterministic.)
     """
     tag = "__is_left"
     pay = "__asof_payload"
@@ -64,7 +71,7 @@ def asof_join(
     u = lt.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(time).asc(), F.col(tag).asc())
+        .orderBy(F.col(time).asc(), F.col(tag).asc(), F.col(pay).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

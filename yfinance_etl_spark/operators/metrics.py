@@ -39,8 +39,19 @@ def _moments(x: Column) -> tuple[Column, Column, Column]:
     return dsum(x, STAT_SCALE), dsum(x * x, STAT_SCALE), F.count(x)
 
 
+def _div(num: Column, den: Column) -> Column:
+    """ANSI-safe ratio: NULL on a zero divisor instead of the job-aborting
+    DIVIDE_BY_ZERO this session's ANSI-on Spark 4 default raises. NULL is
+    also exactly what the DuckDB oracle computes for x/0, so the guard
+    IMPROVES parity; for nonzero divisors try_divide is bit-identical to
+    `/` (same result type, decimals included). Zero divisors are real
+    shapes here: a group with one return (n-1 = 0), a constant series
+    (variance 0), a constant benchmark (var_b 0)."""
+    return F.try_divide(num, den)
+
+
 def _var_samp(s1: Column, s2: Column, n: Column) -> Column:
-    return (s2 - s1 * s1 / n) / (n - 1)
+    return _div(s2 - s1 * s1 / n, n - 1)
 
 
 def _var_pop(s1: Column, s2: Column, n: Column) -> Column:
@@ -64,8 +75,8 @@ def risk_metrics(rets: DataFrame, key: str = "suppkey") -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         r6(ann_ret).alias("ann_return"),
         r6(vol).alias("volatility"),
-        r6(ann_ret / vol).alias("sharpe"),
-        r6(last_price / first_price - 1).alias("period_return"),
+        r6(_div(ann_ret, vol)).alias("sharpe"),
+        r6(_div(last_price, first_price) - 1).alias("period_return"),
         r6(F.min("drawdown")).alias("max_drawdown"),
     )
 
@@ -80,12 +91,12 @@ def benchmark_relative_metrics(joined: DataFrame, key: str = "suppkey") -> DataF
     rs1, rs2, n = _moments(F.col("r"))
     bs1, bs2, _ = _moments(F.col("b"))
     srb = dsum(F.col("r") * F.col("b"), STAT_SCALE)
-    cov = (srb - rs1 * bs1 / n) / (n - 1)
+    cov = _div(srb - rs1 * bs1 / n, n - 1)
     var_b = _var_samp(bs1, bs2, n)
     var_r = _var_samp(rs1, rs2, n)
-    beta = cov / var_b
+    beta = _div(cov, var_b)
     alpha = (rs1 / n - beta * (bs1 / n)) * TRADING_DAYS
-    r2 = cov * cov / (var_r * var_b)
+    r2 = _div(cov * cov, var_r * var_b)
     te = F.sqrt(_var_pop(ds1, ds2, dn) * TRADING_DAYS)
     return joined.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -109,7 +120,7 @@ def sortino_metrics(rets: DataFrame, key: str = "suppkey") -> DataFrame:
     return rets.filter(F.col("r").isNotNull()).groupBy(key).agg(
         r6(mean_excess, 8).alias("mean_excess"),
         r6(downside_std, 8).alias("downside_dev"),
-        r6(mean_excess / downside_std * F.sqrt(F.lit(float(TRADING_DAYS)))).alias("sortino"),
+        r6(_div(mean_excess, downside_std) * F.sqrt(F.lit(float(TRADING_DAYS)))).alias("sortino"),
     )
 
 
@@ -136,7 +147,7 @@ def pairwise_correlation(rets: DataFrame, key: str = "suppkey") -> DataFrame:
     ys1, ys2, _ = _moments(F.col("y"))
     sxy = dsum(F.col("x") * F.col("y"), STAT_SCALE)
     cov = sxy - xs1 * ys1 / n
-    corr = cov / F.sqrt((xs2 - xs1 * xs1 / n) * (ys2 - ys1 * ys1 / n))
+    corr = _div(cov, F.sqrt((xs2 - xs1 * xs1 / n) * (ys2 - ys1 * ys1 / n)))
     return pairs.groupBy("t1", "t2").agg(
         n.alias("n_days"), r6(corr).alias("corr")
     )

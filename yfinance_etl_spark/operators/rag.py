@@ -56,14 +56,22 @@ QUESTIONS = [
 
 def hash_embed(c: Column | str) -> Column:
     """L5 embedding as a pure Catalyst expression: 16-dim hashed
-    bag-of-words counts (dim = first md5 hex char of the token)."""
+    bag-of-words counts (dim = first md5 hex char of the token).
+
+    NULL text embeds to NULL, matching the ``embed_udf`` twin: without the
+    guard, ``size(NULL)`` under ANSI is NULL per element, so a NULL doc
+    produced a NON-null array of 16 NULLs — junk that entered top-k
+    windows whenever a bucket ran short of real candidates, and broke the
+    unit-tested twin equivalence on exactly the input class it exists
+    to pin."""
     c = F.col(c) if isinstance(c, str) else c
     toks = F.filter(F.split(c, " "), lambda x: F.length(x) > 0)
     dims = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 1), 16, 10).cast("int"))
-    return F.transform(
+    arr = F.transform(
         F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
         lambda d: F.size(F.filter(dims, lambda x: x == d)).cast("double"),
     )
+    return F.when(c.isNotNull(), arr)
 
 
 @F.pandas_udf(ArrayType(DoubleType()))

@@ -27,9 +27,56 @@ def _dot(a, b):
 
 
 def cosine(a, b):
+    """Cosine similarity, NULL for a zero-norm side: under this session's
+    ANSI-on Spark 4 default a plain `/` raises a job-aborting
+    DIVIDE_BY_ZERO the moment ONE all-zero embedding (e.g. a
+    whitespace-only document through hash_embed) appears among the
+    candidates. try_divide yields NULL instead — which is also exactly
+    what the DuckDB oracle computes for x/0, and bit-identical to `/`
+    whenever the norms are nonzero."""
     na = F.sqrt(_dot(a, a))
     nb = F.sqrt(_dot(b, b))
-    return _dot(a, b) / (na * nb)
+    return F.try_divide(_dot(a, b), na * nb)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query ranking tail for every search variant: row_number
+    over (cos_sim desc, neighbor_id asc), keep top k, emit the scored
+    columns plus ``knn_rank``. One definition so the tie-break and
+    rounding policy can't silently drift between the four variants."""
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*scored.columns, F.col("rank").alias("knn_rank"))
+    )
+
+
+def check_finite_vectors(
+    df: DataFrame, vec_col: str, id_col: str, max_report: int = 3
+) -> None:
+    """Fail loudly, with ids, if any vector contains NaN/±inf. The centroid
+    literals in ivf_assign/clustering guard only the k COLLECTED rows; a
+    non-finite coordinate anywhere else still reaches the decimal moment
+    sums and dies under ANSI with a cast error that names no row. One
+    map-only scan; callers that pre-clean at ingest can skip it."""
+    bad = (
+        df.filter(
+            F.exists(
+                F.col(vec_col),
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
+        )
+        .select(id_col)
+        .limit(max_report)
+        .collect()
+    )
+    if bad:
+        ids = [r[id_col] for r in bad]
+        raise ValueError(
+            f"embedding column {vec_col!r} contains non-finite values "
+            f"(first {id_col}s: {ids}); clean the vectors before indexing"
+        )
 
 
 def knn_topk(
@@ -60,12 +107,7 @@ def knn_topk(
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "label", "cos_sim", F.col("rank").alias("knn_rank"))
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_bucket(
@@ -144,7 +186,7 @@ def ann_bucketed_topk(
     vector width is statically known) fail-fasts degenerate plane configs.
     """
     b = lsh_bucket(embeddings, n_planes, dim=dim).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label", "bucket"
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
     )
     q = F.broadcast(
         b.filter(F.col("vec_id") < 5).select(
@@ -162,15 +204,12 @@ def ann_bucketed_topk(
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
-    )
+    return _rank_topk(scored, k)
 
 
-def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
+def ivf_assign(
+    embeddings: DataFrame, k_centroids: int = 8, check_finite: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic HASH-SPREAD centroids — the
     k_centroids rows with the smallest md5(vec_id), a fixed 'training
     sample' both engines can name that is uniform over the id space. (The
@@ -194,6 +233,11 @@ def ivf_assign(embeddings: DataFrame, k_centroids: int = 8) -> tuple[DataFrame, 
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
+    if check_finite:
+        # the literal guard below covers only the k collected centroid
+        # rows; any OTHER non-finite row crashes downstream with an error
+        # naming no vec_id (map-only scan; skip when cleaned at ingest)
+        check_finite_vectors(emb, "vec", "vec_id")
     cent_rows = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k_centroids)
@@ -269,12 +313,7 @@ def ivf_topk(
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_multiprobe_topk(
@@ -308,9 +347,4 @@ def ann_multiprobe_topk(
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").alias("knn_rank"))
-    )
+    return _rank_topk(scored, k)

@@ -632,7 +632,7 @@ WITH fp AS (
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT fp) AS n_distinct,
-       COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
+       COUNT(fp) - COUNT(DISTINCT fp) AS n_dupes
 FROM fp
 GROUP BY source
 """

@@ -54,9 +54,12 @@ def _fetch_page(path: str, query: str, page: int, page_size: int):
     partitioning instead."""
     import duckdb
 
+    # the path binds as a prepared-statement parameter like everything
+    # else (datasource.py's parameterize-everything convention) — an
+    # interpolated path with a quote in it (/data/o'brien) broke the SQL
     q = f"""
         SELECT doc_id, lang, source, text
-        FROM '{path}/documents.parquet'
+        FROM read_parquet(?)
         WHERE contains(text, ?)
         ORDER BY doc_id
         LIMIT {int(page_size)} OFFSET {int(page) * int(page_size)}
@@ -66,7 +69,11 @@ def _fetch_page(path: str, query: str, page: int, page_size: int):
     con = duckdb.connect()
     try:
         # bounded retry on the page request (streamlit_app.py:300-309 parity)
-        yield from call_with_retries(lambda: con.execute(q, [query]).fetch_record_batch())
+        yield from call_with_retries(
+            lambda: con.execute(
+                q, [f"{path}/documents.parquet", query]
+            ).fetch_record_batch()
+        )
     finally:
         con.close()
 

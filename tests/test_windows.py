@@ -108,3 +108,37 @@ def test_daily_bars_mean_price_per_key_date(spark):
     out = {(r.suppkey, r.ddate): (r.price, r.qty) for r in W.daily_bars(li).collect()}
     assert out[(1, dt.date(2024, 1, 1))] == (15.0, 5.0)
     assert out[(1, dt.date(2024, 1, 2))] == (30.0, 1.0)
+
+
+def test_zero_price_yields_null_return_not_job_abort(spark):
+    # ANSI-on Spark aborts on /0: one zero price in a series must produce
+    # NULL pct-change/drawdown/lookback rows, not kill the job
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.windows import (
+        with_drawdown,
+        with_lookback,
+        with_return,
+    )
+
+    bars = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 0.0), (1, dt.date(2024, 1, 2), 10.0),
+         (1, dt.date(2024, 1, 3), 12.0)],
+        "suppkey bigint, ddate date, price double",
+    )
+    rows = sorted(with_return(bars).collect(), key=lambda r: r.ddate)
+    assert rows[0].r is None      # no lag
+    assert rows[1].r is None      # 10 / 0 -> NULL, not DIVIDE_BY_ZERO
+    assert rows[2].r == pytest.approx(0.2)
+
+    zero_max = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 0.0)], "suppkey bigint, ddate date, price double"
+    )
+    assert with_drawdown(zero_max).collect()[0].drawdown is None
+
+    lb = sorted(
+        with_lookback(bars, {"r_1": 1}).collect(), key=lambda r: r.ddate
+    )
+    assert lb[1].r_1 is None and lb[2].r_1 is not None

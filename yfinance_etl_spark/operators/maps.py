@@ -89,7 +89,11 @@ def sector_weights(
         F.sum(F.col("nrev").cast("decimal(38,12)")).cast("double").alias("rrev")
     )
     shares = rev.join(reg, "region_name").select(
-        "region_name", "nation_name", r6(F.col("nrev") / F.col("rrev")).alias("w")
+        "region_name",
+        "nation_name",
+        # try_divide: a zero-revenue region yields NULL weights (DuckDB
+        # x/0 parity) instead of an ANSI job abort
+        r6(F.try_divide(F.col("nrev"), F.col("rrev"))).alias("w"),
     )
     maps = weights_map(shares, "region_name", "nation_name", "w")
     totals = maps.select("region_name", r6(map_total("weights")).alias("region_total"))

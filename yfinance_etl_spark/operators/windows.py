@@ -51,9 +51,15 @@ def series_window(key: str = "suppkey", date: str = "ddate") -> WindowSpec:
 
 
 def with_return(bars: DataFrame, w: WindowSpec | None = None) -> DataFrame:
-    """W1: pct_change — (x - lag(x)) / lag(x) (reference streamlit_app.py:351)."""
+    """W1: pct_change — (x - lag(x)) / lag(x) (reference streamlit_app.py:351).
+
+    try_divide, not `/`: under the session's ANSI-on default a single
+    zero price would abort the whole job; NULL matches both pandas
+    pct_change-over-zero being inf-free garbage anyway and DuckDB's x/0."""
     w = w or series_window()
-    return bars.withColumn("r", F.col("price") / F.lag("price", 1).over(w) - 1)
+    return bars.withColumn(
+        "r", F.try_divide(F.col("price"), F.lag("price", 1).over(w)) - 1
+    )
 
 
 def with_running_max(bars: DataFrame, w: WindowSpec | None = None) -> DataFrame:
@@ -65,7 +71,8 @@ def with_running_max(bars: DataFrame, w: WindowSpec | None = None) -> DataFrame:
 def with_drawdown(bars: DataFrame) -> DataFrame:
     """W2 + arithmetic: (price - cummax) / cummax (reference streamlit_app.py:357)."""
     return with_running_max(bars).withColumn(
-        "drawdown", (F.col("price") - F.col("run_max")) / F.col("run_max")
+        "drawdown",
+        F.try_divide(F.col("price") - F.col("run_max"), F.col("run_max")),
     )
 
 
@@ -114,5 +121,7 @@ def with_lookback(bars: DataFrame, offsets: dict[str, int], w: WindowSpec | None
     w = w or series_window()
     out = bars
     for name, n in offsets.items():
-        out = out.withColumn(name, F.col("price") / F.lag("price", n).over(w) - 1)
+        out = out.withColumn(
+            name, F.try_divide(F.col("price"), F.lag("price", n).over(w)) - 1
+        )
     return out

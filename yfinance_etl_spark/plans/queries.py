@@ -456,7 +456,9 @@ def _bench_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wb = SW.orderBy("ddate")
-    return bench.withColumn("b", F.col("bprice") / F.lag("bprice", 1).over(wb) - 1).select(
+    return bench.withColumn(
+        "b", F.try_divide(F.col("bprice"), F.lag("bprice", 1).over(wb)) - 1
+    ).select(
         "ddate", "b"
     )
 
@@ -556,7 +558,12 @@ def q_dividend_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppkey",
         F.coalesce(F.col("total_div_r"), F.lit(0.0)).alias("total_div"),
         r6(F.col("last_price")).alias("last_price"),
-        r6(F.coalesce(F.col("total_div_x"), F.lit(0.0)) / F.col("last_price") * 100)
+        r6(
+            F.try_divide(
+                F.coalesce(F.col("total_div_x"), F.lit(0.0)), F.col("last_price")
+            )
+            * 100
+        )
         .alias("div_yield_pct"),
     )
 
@@ -3613,7 +3620,7 @@ def _region_revenue_display(spark: SparkSession, sf_dir: str):
     return rev.select(
         "r_name",
         fmt_num("revenue").alias("revenue_disp"),
-        fmt_pct(F.col("revenue") / total).alias("share_disp"),
+        fmt_pct(F.try_divide(F.col("revenue"), total)).alias("share_disp"),
     )
 
 

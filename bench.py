@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from yfinance_etl_spark.cache import cache_shared_stages  # noqa: E402
+from yfinance_etl_spark.cache import cache_shared_stages, uncache_all  # noqa: E402
 from yfinance_etl_spark.plans.queries import REGISTRY  # noqa: E402
 from yfinance_etl_spark.session import get_spark  # noqa: E402
 
@@ -36,7 +36,14 @@ def materialize(df) -> None:
 
 def fit_line(out: dict, budget: int) -> str:
     """Compact JSON line guaranteed ≤ budget chars: fold the fastest
-    queries into an "omitted" summary until it fits (mutates out)."""
+    queries into an "omitted" summary until it fits (mutates out).
+
+    Errors are bounded too — a mass failure (many queries raising
+    ~200-char messages) would otherwise blow the budget no matter how
+    many timings were folded, truncating the JSON line mid-token: the
+    exact unparseable-BENCH failure mode this function exists to
+    prevent. Messages shorten first; if that's not enough the error dict
+    collapses to a count plus the first message."""
     timings = dict(out["queries"])
     line = json.dumps(out, separators=(",", ":"))
     by_speed = sorted(timings, key=timings.get)
@@ -50,6 +57,14 @@ def fit_line(out: dict, budget: int) -> str:
             "sum_sec": round(sum(timings[n] for n in dropped), 2),
             "max_sec": timings[dropped[-1]],
         }
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget and out.get("errors"):
+        out["errors"] = {k: v[:60] for k, v in out["errors"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget and out.get("errors"):
+        errs = out["errors"]
+        first = next(iter(errs.items()))
+        out["errors"] = {"n_failed": len(errs), first[0]: first[1]}
         line = json.dumps(out, separators=(",", ":"))
     return line
 
@@ -103,8 +118,7 @@ def main() -> int:
             except Exception:  # noqa: BLE001 — keep the first measurement
                 pass
 
-    for df in cached:
-        df.unpersist()
+    uncache_all(cached)
 
     total = round(setup_sec + sum(timings.values()), 2)
     out = {

@@ -62,3 +62,22 @@ def test_real_registry_line_fits():
     line = fit_line(out, 1950)
     assert len(line) <= 1950
     assert json.loads(line)
+
+
+def test_mass_failure_errors_are_bounded_too():
+    # many long error strings used to keep the line over budget no matter
+    # how many timings were folded — the unparseable-BENCH failure mode
+    import bench
+
+    out = {
+        "metric": "suite_wall_sec",
+        "value": 1.0,
+        "queries": {f"q{i}": 0.1 for i in range(30)},
+        "errors": {f"q{i}": "SparkException: " + "x" * 180 for i in range(12)},
+    }
+    line = bench.fit_line(out, budget=1950)
+    assert len(line) <= 1950
+    import json as _json
+
+    parsed = _json.loads(line)  # the line is complete JSON, not a prefix
+    assert parsed["errors"]  # failures still visible (count or messages)

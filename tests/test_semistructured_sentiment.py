@@ -86,3 +86,24 @@ def test_sentiment_udf_matches_hof(spark):
     ).collect()
     for r in both:
         assert r.hof == r.udf
+
+
+def test_multiline_json_extracts_like_the_reference_slice(spark):
+    # the reference slices raw[find('{'):rfind('}')+1], which spans
+    # newlines; without (?s) the regexp returned '' for any pretty-printed
+    # object and the parse silently fell back to the default
+    import duckdb
+
+    raw = 'prefix {\n  "k": 7\n} suffix'
+    df = spark.createDataFrame([(raw,)], "props string")
+    got = df.select(
+        coalesce_default(parse_json("props")["k"], -1).alias("k")
+    ).collect()[0]
+    assert got.k == 7
+    # the DuckDB oracle regex (same (?s) flag) agrees
+    duck = duckdb.sql(
+        "SELECT COALESCE(TRY_CAST(json_extract_string("
+        "regexp_extract(?, '(?s)(\\{.*\\})', 1), '$.k') AS INT), -1) AS k",
+        params=[raw],
+    ).fetchone()[0]
+    assert duck == 7

@@ -445,3 +445,26 @@ def test_ema_stream_honors_non_default_alpha(spark, tmp_path):
     final = max(out, key=lambda r: r.n_events)
     # fold: 10 -> 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
     assert final.ema_value == pytest.approx(22.5, abs=1e-12)
+
+
+def test_session_gap_boundary_event_merges_not_splits(spark, tmp_path):
+    # pin the exact-gap boundary: an event at last_ts + gap MERGES into
+    # the session in Spark's session_window (probed: 1 session), matching
+    # the oracle's strictly-greater gap test — this test freezes that
+    # agreement against Spark semantic drift
+    import os
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    rows = [
+        (1, _ts(0, 0), 1, "click", 1.0, "{}"),
+        (2, _ts(6, 0), 1, "click", 1.0, "{}"),   # exactly 6h later
+        (3, _ts(12, 1), 1, "click", 1.0, "{}"),  # 6h01 after -> new session
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + "/f1")
+    stream = spark.readStream.schema(
+        spark.read.parquet(d + "/f1").schema
+    ).parquet(d + "/*")
+    out = ST.run_to_memory(ST.session_rollup(stream, gap="6 hours"), "complete").collect()
+    assert sorted(r.n_events for r in out) == [1, 2]

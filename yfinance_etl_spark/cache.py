@@ -43,9 +43,10 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     ]
     for df in cached:
         df.cache()
-    # materialize eagerly so queries only ever read memory; submit the four
-    # jobs concurrently — they contend on different inputs (lineitem vs
-    # documents) and local[32] has idle cores during each one's tail stages
+    # materialize eagerly so queries only ever read memory; submit the
+    # jobs concurrently (one per cached frame) — they contend on different
+    # inputs (lineitem vs documents) and local[32] has idle cores during
+    # each one's tail stages
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(cached)) as pool:

@@ -23,9 +23,13 @@ PROPS_SCHEMA = "k INT"
 def extract_json_object(c: Column | str) -> Column:
     """F10: pull the first-'{' .. last-'}' substring out of free text —
     the reference's ``raw[raw.find('{'):raw.rfind('}')+1]``
-    (fund_comp2.py:144-147) as one greedy regexp."""
+    (fund_comp2.py:144-147) as one greedy regexp. ``(?s)`` so ``.``
+    crosses newlines: the reference slice spans them, and
+    pretty-printed/LLM JSON is routinely multiline — without the flag
+    every such object silently extracted as '' and parsed to the
+    fallback default."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_extract(c, r"(\{.*\})", 1)
+    return F.regexp_extract(c, r"(?s)(\{.*\})", 1)
 
 
 def parse_json(c: Column | str, schema: str = PROPS_SCHEMA) -> Column:

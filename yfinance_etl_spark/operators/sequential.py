@@ -74,8 +74,15 @@ def ema_last(
             }
         )
 
-    return bars.select(key, date, value).groupBy(key).applyInPandas(
-        _ema, schema=f"{key} bigint, n_days bigint, last_ema double"
+    # NULL values are dropped up front: the DuckDB list_reduce oracle's
+    # list() aggregate skips NULLs, pandas ewm would instead NaN-infect
+    # or reweight (ignore_na semantics), and the segmented twin's
+    # collect_list drops them — one shared null contract for all three
+    return (
+        bars.select(key, date, value)
+        .where(F.col(value).isNotNull())
+        .groupBy(key)
+        .applyInPandas(_ema, schema=f"{key} bigint, n_days bigint, last_ema double")
     )
 
 
@@ -152,7 +159,17 @@ def ema_last_segmented(
             vals, init, lambda acc, x: F.lit(a) * x + F.lit(one_minus_a) * acc
         )
 
-    tagged = bars.select(key, date, value).withColumn("__seg", segment.cast("long"))
+    # same null contract as ema_last: NULL values never enter the fold.
+    # Beyond consistency this is a crash guard — an all-NULL (key, segment)
+    # group would leave collect_list empty and __vals[0] raises
+    # INVALID_ARRAY_INDEX under the session's ANSI default; filtered, the
+    # group simply doesn't exist (and arrow/catalyst agree on n_days,
+    # where len() counted NaN rows the JVM collect_list dropped)
+    tagged = (
+        bars.select(key, date, value)
+        .where(F.col(value).isNotNull())
+        .withColumn("__seg", segment.cast("long"))
+    )
     if summarizer == "arrow":
 
         def _summarize(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -746,16 +746,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (L6; reference FAISS retriever pdf_rag_chatbot.py:60-61)
 # ---------------------------------------------------------------------------
 
-_KNN_SQL = """
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the ONE cosine
+    text every vector oracle uses (mirrors similarity.cosine; defined
+    before the first use so no oracle can hand-inline a drifting copy)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+_KNN_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
 q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
 scored AS (
   SELECT q.q_id, e.vec_id AS neighbor_id, e.label,
-         ROUND(
-           list_sum(list_transform(range(1, len(e.vec) + 1), i -> q.q_vec[i] * e.vec[i]))
-           / (SQRT(list_sum(list_transform(range(1, len(q.q_vec) + 1), i -> q.q_vec[i] * q.q_vec[i])))
-            * SQRT(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
-           6) AS cos_sim
+         ROUND({_cos_sql('q.q_vec', 'e.vec')}, 6) AS cos_sim
   FROM emb e CROSS JOIN q
   WHERE e.vec_id != q.q_id
 ),
@@ -863,16 +870,6 @@ def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6-plane SimHash bucket (64 buckets → ~1.5% of the corpus scanned per query,
 # vs the crossJoin baseline's 100%)
 # ---------------------------------------------------------------------------
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """DuckDB cosine between two DOUBLE[] expressions — the ONE cosine
-    text every vector oracle uses (mirrors similarity.cosine)."""
-    return (
-        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
-        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
-        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
-    )
 
 
 def _lsh_ctes(n_planes: int, source: str, id_col: str = "vec_id") -> str:
@@ -1006,7 +1003,7 @@ def q_scalar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_JSON_SQL = f"""
 WITH parsed AS (
   SELECT event_type,
-         COALESCE(TRY_CAST(json_extract_string(regexp_extract(props, '(\\{{.*\\}})', 1), '$.k') AS INT), -1) AS k,
+         COALESCE(TRY_CAST(json_extract_string(regexp_extract(props, '(?s)(\\{{.*\\}})', 1), '$.k') AS INT), -1) AS k,
          value
   FROM events
 )
@@ -1419,9 +1416,7 @@ qe AS (
 ),
 scored AS (
   SELECT qid, question, doc_id, chunk_id, chunk,
-         ROUND(list_sum(list_transform(range(1, 17), i -> q_emb[i] * emb[i]))
-           / (SQRT(list_sum(list_transform(range(1, 17), i -> q_emb[i] * q_emb[i])))
-            * SQRT(list_sum(list_transform(range(1, 17), i -> emb[i] * emb[i])))), 6) AS cos_sim
+         ROUND({_cos_sql('q_emb', 'emb')}, 6) AS cos_sim
   FROM emb CROSS JOIN qe
 ),
 ranked AS (
@@ -1921,9 +1916,9 @@ WHERE rn <= 3
 
 @_register("sql_top_orders_per_priority", _SQL_TOPN_TEXT)
 def q_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yfinance_etl_spark.catalog import register_views
-
-    register_views(spark, sf_dir)
+    # register only the one view the SQL reads — register_views loads all
+    # 10 tables (footer reads + ns->us conversions) per invocation
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_TOPN_TEXT)
 
 
@@ -2141,9 +2136,13 @@ def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(dsum("r", STAT_SCALE) / F.count("r") * 252).alias("ann_return"),
         r6(F.count(F.lit(1)) * 1.0).alias("n_days"),
     )
+    # DuckDB's UNPIVOT excludes NULL cells by default while Spark's
+    # unpivot retains them (probed); filter to the relational semantics so
+    # a NULL metric (e.g. ann_return for a single-bar supplier) doesn't
+    # produce a Spark-only row
     return summary.unpivot(
         ids=["suppkey"], values=["ann_return", "n_days"], variableColumnName="metric", valueColumnName="value"
-    )
+    ).where(F.col("value").isNotNull())
 
 
 # ---------------------------------------------------------------------------

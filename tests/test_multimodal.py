@@ -52,6 +52,44 @@ def test_decode_fake_format_never_consults_pil(monkeypatch):
     assert (w, h, body) == (8, 4, b"xyz")  # ...fake magic stays on the stub
 
 
+def test_pil_adapter_body_executes_with_fake_module(monkeypatch):
+    # the PIL branch of _decode_payload never runs in this container
+    # (HAVE_PIL is False); execute its body against a minimal stand-in so
+    # the Image.open → width/height/tobytes wiring is covered, not just
+    # the routing around it. Driver-side by necessity: sys.modules
+    # injection can't reach Spark workers, but the decoder is a plain
+    # function, identical in both places.
+    import sys
+    import types
+
+    import yfinance_etl_spark.multimodal.columns as mm
+
+    seen = []
+
+    class _Im:
+        width, height = 7, 3
+
+        def tobytes(self):
+            return b"p" * (7 * 3)
+
+    image_mod = types.ModuleType("PIL.Image")
+
+    def open_(fh):
+        seen.append(fh.read())
+        return _Im()
+
+    image_mod.open = open_
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(mm, "HAVE_PIL", True)
+
+    payload = b"\xff\xd8\xff\xe0 jpeg-ish"  # non-PNG: only PIL could decode
+    assert mm._decode_payload(payload) == (7, 3, b"p" * 21)
+    assert seen == [payload]  # full bytes reached Image.open
+
+
 def test_sample_frames_stride(spark):
     df = spark.createDataFrame([(1, "f0\x00f1\x00f2\x00f3\x00f4")], "doc_id bigint, text string")
     assets = synthesize_image_assets(df)

@@ -57,6 +57,84 @@ def test_backend_selection_is_importable_everywhere():
     assert PDF_BACKEND in (None, "pypdf", "pdfplumber")
 
 
+class _FakePage:
+    def __init__(self, text):
+        self._text = text
+
+    def extract_text(self):
+        return self._text
+
+
+def _install_fake_pdf_lib(monkeypatch, name, pages_text):
+    """Install a minimal stand-in for pypdf / pdfplumber in sys.modules so
+    the adapter BODY in ``_parse_pdf_real`` executes in this lib-less
+    container (the routing tests above only prove selection). Driver-side
+    by necessity — sys.modules injection cannot reach Spark workers — but
+    the adapter is a plain function, identical in both places."""
+    import sys
+    import types
+
+    mod = types.ModuleType(name)
+    seen = []
+    if name == "pypdf":
+
+        class PdfReader:
+            def __init__(self, fh):
+                seen.append(fh.read())
+                self.pages = [_FakePage(t) for t in pages_text]
+
+        mod.PdfReader = PdfReader
+    else:
+
+        class _Doc:
+            def __init__(self):
+                self.pages = [_FakePage(t) for t in pages_text]
+                self.closed = False
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.closed = True
+                return False
+
+        docs = []
+
+        def open_(fh):
+            seen.append(fh.read())
+            docs.append(_Doc())
+            return docs[-1]
+
+        mod.open = open_
+        mod._docs = docs
+    monkeypatch.setitem(sys.modules, name, mod)
+    return seen
+
+
+def test_pypdf_adapter_body_executes_with_fake_module(monkeypatch):
+    from yfinance_etl_spark.sources.pdf import _parse_pdf_real
+
+    payload = b"%PDF-1.7 fake"
+    # None from extract_text must coerce to "" (pypdf returns None for
+    # image-only pages) -- the `or ""` in the adapter is load-bearing
+    seen = _install_fake_pdf_lib(monkeypatch, "pypdf", ["alpha", None, "gamma"])
+    assert _parse_pdf_real(payload, backend="pypdf") == ["alpha", "", "gamma"]
+    assert seen == [payload]  # full bytes reached the reader
+
+
+def test_pdfplumber_adapter_body_executes_with_fake_module(monkeypatch):
+    import sys
+
+    from yfinance_etl_spark.sources.pdf import _parse_pdf_real
+
+    payload = b"%PDF-1.4 fake"
+    seen = _install_fake_pdf_lib(monkeypatch, "pdfplumber", [None, "beta"])
+    assert _parse_pdf_real(payload, backend="pdfplumber") == ["", "beta"]
+    assert seen == [payload]
+    # the with-block must close the document (pdfplumber holds file state)
+    assert sys.modules["pdfplumber"]._docs[0].closed
+
+
 def test_binaryfile_roundtrip(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "a" * 120), (2, "b" * 30)], "doc_id bigint, text string"

@@ -44,15 +44,31 @@ def _to_batch(recs: list[tuple]):
     )
 
 
+#: daily-bars CSV endpoint (Date,...,Close,...,Volume header row). Any
+#: service speaking this shape works — the template is overridable per
+#: read (see ``fetch_bars_http``), which is also how the CI loopback
+#: test drives the real urllib/CSV/retry path without external network.
+STOOQ_URL = "https://stooq.com/q/d/l/?s={sym}.us&i=d&d1={d1}&d2={d2}"
+
+
 def fetch_bars_http(path, ticker, start, end, interval="1d"):
     """Real-network per-ticker OHLCV fetch: yfinance when installed
-    (optional import), else stooq.com's plain-CSV endpoint via stdlib
-    urllib. ``ticker`` is the real symbol (e.g. ``AAPL``); ``path`` is
-    unused on the live path. Close → price, Volume → qty."""
+    (optional import), else a daily-bars CSV endpoint (stooq.com shape)
+    via stdlib urllib. ``ticker`` is the real symbol (e.g. ``AAPL``).
+    ``path`` is unused on the yfinance leg; on the CSV leg, a ``path``
+    that is itself an http(s) URL overrides ``STOOQ_URL`` as the
+    endpoint template (``{sym}``/``{d1}``/``{d2}`` placeholders) — the
+    seam a self-hosted bar service or the offline loopback test plugs
+    into, reaching the worker through the ordinary option plumbing
+    (driver-side monkeypatching cannot — the reader imports this module
+    in a separate process). Close → price, Volume → qty."""
     import importlib.util
 
     from yfinance_etl_spark.sources.retry import call_with_retries
 
+    url_template = (
+        path if path and path.startswith(("http://", "https://")) else STOOQ_URL
+    )
     if importlib.util.find_spec("yfinance"):
 
         def pull():
@@ -75,9 +91,7 @@ def fetch_bars_http(path, ticker, start, end, interval="1d"):
 
             d1 = (start or "1990-01-01").replace("-", "")
             d2 = (end or dt.date.today().isoformat()).replace("-", "")
-            url = (
-                f"https://stooq.com/q/d/l/?s={ticker.lower()}.us&i=d&d1={d1}&d2={d2}"
-            )
+            url = url_template.format(sym=ticker.lower(), d1=d1, d2=d2)
             with urllib.request.urlopen(url, timeout=30) as resp:
                 text = resp.read().decode()
             return [

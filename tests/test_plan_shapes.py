@@ -353,6 +353,17 @@ def test_ivf_assignment_is_map_only(spark):
     assert "Join" not in plan, f"ivf assignment planned a join:\n{plan}"
 
 
+def test_zorder_curve_is_shuffle_free_topk(spark):
+    # the Morton value must stay a single whole-stage-codegen projection
+    # on the scan (pure bit arithmetic — no UDF, no join against a bit
+    # table) with the top-k as TakeOrderedAndProject: per-partition heaps
+    # + one k-row driver merge, never a full global sort of the fact table
+    plan = _plan(spark, "zorder_curve")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, f"zorder_curve shuffled:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_no_query_plan_contains_antipatterns(spark):
     # suite-wide guard: no registered query may plan a CartesianProduct
     # (an un-broadcast cross join is never acceptable — the brute-force

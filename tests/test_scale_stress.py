@@ -136,6 +136,17 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     peaks = [r["state_rows_max"] for r in stream]
     assert max(vols) >= 4 * min(vols)
     assert max(peaks) <= 1.5 * min(peaks), peaks
+    # heavy hitters: the MG summary volume (rows crossing the merge
+    # shuffle) must respect the tasks x capacity bound at EVERY factor —
+    # never tracking token count — and the sketch must have recovered the
+    # exact top-k at every recorded corpus size
+    fq = [r for r in lines if r.get("kind") == "freq"]
+    assert len(fq) >= 2, "freq sweep not recorded"
+    fq_lo, fq_hi = fq[0], fq[-1]
+    assert fq_hi["n_tokens"] >= 16 * fq_lo["n_tokens"]
+    for r in fq:
+        assert r["summary_rows"] <= r["summary_bound"], r
+        assert r["exact_topk_match"], r
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

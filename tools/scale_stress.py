@@ -419,6 +419,68 @@ def main_streamstate(hours_list: list[int]) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def main_freq(factors: list[int]) -> None:
+    """Heavy-hitters sweep: as the corpus grows, the MG summary volume
+    (rows crossing the one merge shuffle) must stay bounded by
+    tasks x capacity — NOT track the token count — and the reported
+    top-k must stay the exact top-k at every factor (frequencies and the
+    detection threshold n/(capacity+1) scale together, so the detection
+    margin is blow-up-invariant). One JSON line per factor, kind="freq"."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.frequency import (
+        heavy_hitters,
+        misra_gries_partition,
+        word_stream,
+    )
+    from yfinance_etl_spark.operators.partitioning import spread
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-freq")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capacity, k = 64, 10
+
+    # warm-up: one-time codegen/Arrow-init costs would swamp factor 1
+    heavy_hitters(word_stream(docs0.limit(50)), "value", k=3, capacity=8).count()
+
+    for f in factors:
+        docs = blow_up_documents(docs0, f).localCheckpoint(eager=True)
+        words = word_stream(docs)
+        n_tokens = words.count()
+        toks = spread(words)
+        n_tasks = toks.rdd.getNumPartitions()
+        summary_rows = toks.mapInPandas(
+            lambda it: misra_gries_partition(it, capacity), "value string, lb long"
+        ).count()
+        t0 = time.perf_counter()
+        got = [
+            (r.value, r.cnt)
+            for r in heavy_hitters(words, "value", k=k, capacity=capacity).collect()
+        ]
+        wall = round(time.perf_counter() - t0, 2)
+        exact_top = [
+            (r.value, r.cnt)
+            for r in words.groupBy("value")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(k)
+            .collect()
+        ]
+        r = {
+            "kind": "freq",
+            "factor": f,
+            "n_tokens": n_tokens,
+            "n_tasks": n_tasks,
+            "summary_rows": summary_rows,
+            "summary_bound": n_tasks * capacity,
+            "exact_topk_match": got == exact_top,
+            "wall_s": wall,
+        }
+        print(json.dumps(r), flush=True)
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "joins":
@@ -429,5 +491,7 @@ if __name__ == "__main__":
         main_audio([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "streamstate":
         main_streamstate([int(x) for x in argv[1:]] or [50, 100, 200, 400])
+    elif argv and argv[0] == "freq":
+        main_freq([int(x) for x in argv[1:]] or [1, 4, 16])
     else:
         main([int(x) for x in argv] or [1, 5, 20, 50])

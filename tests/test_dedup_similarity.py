@@ -314,3 +314,79 @@ def test_check_finite_vectors_names_offending_ids(spark):
     # pre-cleaned corpora can skip the scan
     ok, _ = kmeans(emb.filter("vec_id < 20"), k=2, iters=1)
     assert ok.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (PassJoin: length band + pigeonhole blocks + verify)
+# ---------------------------------------------------------------------------
+
+
+def _brute_lev_pairs(rows, k):
+    """All-pairs reference: plain DP levenshtein, no filters."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            d = lev(ta, tb)
+            if d <= k:
+                out[(ia, ib)] = d
+    return out
+
+
+def test_editdistance_matches_bruteforce(spark):
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # dist 3 from 0
+        (2, "the quick brown fox jumps over the lazy dog!"),  # dist 1 from 0
+        (3, "a completely different sentence about spark here"),
+        (4, "the quick brown fox leaps over the lazy dog"),  # dist 3 from 0
+        (5, "short one"),
+        (6, "short two"),  # dist 3 from 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in editdistance_neardup(df, k=4).collect()
+    }
+    assert got == _brute_lev_pairs(rows, 4)
+
+
+def test_editdistance_band_boundary_both_directions(spark):
+    """A qualifying pair whose two docs sit in ADJACENT length bands must be
+    found regardless of which doc has the smaller doc_id — the r9 oracle
+    prototype lost 9 of 24 pairs to exactly this (probe fanned up only)."""
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    base = "abcdefghijklmnopqrst"  # len 20 → band 4 (len div 5 at k=4)
+    short = base[:-1]  # len 19 → band 3, dist 1 from base
+    # pair (base, short): bands 4 vs 3, dist 1 <= 4 — test both id orders
+    for rows in (
+        [(0, base), (1, short)],
+        [(0, short), (1, base)],
+    ):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {(r.doc_a, r.doc_b): r.edit_dist for r in editdistance_neardup(df, k=4).collect()}
+        assert got == {(0, 1): 1}, rows
+
+
+def test_editdistance_threshold_cap_excludes_beyond_k(spark):
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    rows = [(0, "aaaaaaaaaa"), (1, "aaaaaaabbb")]  # dist 3
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert editdistance_neardup(df, k=2).count() == 0
+    out = editdistance_neardup(df, k=3).collect()
+    assert [(r.doc_a, r.doc_b, r.edit_dist) for r in out] == [(0, 1, 3)]

@@ -314,3 +314,58 @@ def test_pack_shards_exact_past_double_precision(spark):
     # float(2^53 + 1) == float(2^53) would collapse rows 1 and 2 into the
     # same shard; exact arithmetic keeps them distinct
     assert got == {0: 0, 1: big, 2: big + 1}
+
+
+# ---------------------------------------------------------------------------
+# Weighted deterministic sampling (Efraimidis-Spirakis on md5 uniforms)
+# ---------------------------------------------------------------------------
+
+
+def _es_key(doc_id: int, w: float, salt: str = "ws") -> float:
+    import hashlib
+    import math
+
+    h = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8], 16)
+    return math.log((h + 1) / 4294967296.0) / w
+
+
+def test_weighted_sample_matches_reference_topk(spark):
+    from yfinance_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + 7 * (i % 13))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = [r.doc_id for r in weighted_sample(df, "w", "doc_id", k=20).collect()]
+    want = sorted(rows, key=lambda r: (-_es_key(r[0], r[1]), r[0]))[:20]
+    assert got == [i for i, _ in want]
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from yfinance_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 + (i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    one = [r.doc_id for r in weighted_sample(df.coalesce(1), "w", "doc_id", k=25).collect()]
+    many = [r.doc_id for r in weighted_sample(df.repartition(13), "w", "doc_id", k=25).collect()]
+    assert one == many
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from yfinance_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(0, 5.0), (1, 0.0), (2, -3.0), (3, None), (4, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r.doc_id for r in weighted_sample(df, "w", "doc_id", k=10).collect()}
+    assert got == {0, 4}
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity on the A-ES math itself: with one doc 50× the
+    weight of the rest, it must appear in a small sample (its inclusion
+    probability ≈ 1), and a k=n sample returns everything."""
+    from yfinance_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50.0 if i == 7 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    top5 = {r.doc_id for r in weighted_sample(df, "w", "doc_id", k=5).collect()}
+    assert 7 in top5
+    assert weighted_sample(df, "w", "doc_id", k=40).count() == 40

@@ -377,3 +377,75 @@ def test_no_query_plan_contains_antipatterns(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_weighted_sample_is_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "weighted_sample_topk")
+    # A-ES top-k must plan the per-partition k-heap + k-row driver merge,
+    # never a global Exchange rangepartitioning + Sort materialization
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_editdistance_is_band_equi_join(spark):
+    plan = _plan(spark, "dedup_editdistance")
+    # the length-band join must be a hash/merge EQUI join on `band` —
+    # a theta-join on |len diff| would plan BroadcastNestedLoop/Cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan
+
+
+def test_char_entropy_partial_aggregates_before_exchange(spark):
+    plan = _plan(spark, "char_entropy")
+    # the (doc_id, char) count must partial-agg map-side so the exchange
+    # carries alphabet-sized groups, not one row per character of corpus
+    import re
+
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1
+    # executedPlan prints top-down: the FINAL agg appears before the
+    # exchange, and a partial agg must appear after it (below = upstream)
+    assert "partial_count" in plan or re.search(r"HashAggregate.*partial", plan, re.S)
+
+
+def test_runtime_bloom_filter_injects_for_nonbroadcast_selective_join(spark, tmp_path):
+    """session.get_spark enables Spark's runtime bloom-filter injection; at
+    repo test scale it is inert (dims broadcast), so pin the behavior it
+    buys at cluster scale explicitly: with broadcast off and the size
+    thresholds lowered to toy scale, a selective creation side must inject
+    bloom_filter_agg + a might_contain() pre-filter on the fact side, and
+    the filtered join must return exactly the plain join's rows."""
+    fact = spark.range(0, 20000).selectExpr("id % 500 AS k", "id AS v")
+    dim = spark.range(0, 500).selectExpr("id AS k").filter("k % 50 = 0")
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter("k % 50 = 0")
+        j = f.join(d, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        got = sorted((r.k, r.v) for r in j.collect())
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = sorted((r.k, r.v) for r in
+                  spark.read.parquet(str(tmp_path / "fact"))
+                  .join(spark.read.parquet(str(tmp_path / "dim")).filter("k % 50 = 0"), "k")
+                  .collect())
+    assert got == want and len(got) == 20000 // 500 * 10  # 10 dim keys × 40 fact rows each

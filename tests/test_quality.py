@@ -81,3 +81,50 @@ def test_repetition_features_on_fixture_corpus(spark):
     assert out.n > 0
     assert 0.0 < out.lo <= out.hi <= 1.0
     assert 0 <= out.n_keep <= out.n
+
+
+# ---------------------------------------------------------------------------
+# Character entropy (char_entropy + its map-only Arrow twin)
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    from yfinance_etl_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aabb"), (1, "aaaa"), (2, "abcd")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    # 2 symbols, uniform → exactly 1 bit; 1 symbol → 0; 4 uniform → 2 bits
+    assert got[0].entropy_bits == 1.0
+    assert got[1].entropy_bits == 0.0
+    assert got[2].entropy_bits == 2.0
+    assert (got[0].n_chars_counted, got[0].distinct_chars) == (4, 2)
+    assert (got[2].n_chars_counted, got[2].distinct_chars) == (4, 4)
+
+
+def test_char_entropy_kernel_pins_catalyst(spark):
+    """Map-only Arrow twin == shuffle-form Catalyst entropy at 6dp on a
+    messy corpus (skewed distributions, long text, single char)."""
+    from yfinance_etl_spark.operators.quality import char_entropy, char_entropy_kernel
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog " * 7),
+        (1, "aaaaaaaaaaaaaaaaaaaaab"),
+        (2, "z"),
+        (3, "abab cdcd efef 1212 !?!? " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cat = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+    ker = {r.doc_id: r.entropy_bits for r in char_entropy_kernel(df).collect()}
+    assert cat == ker
+
+
+def test_char_entropy_skips_empty_and_null(spark):
+    from yfinance_etl_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "ok")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id for r in char_entropy(df).collect()}
+    assert got == {2}  # no chars → no row, not a NaN/zero row

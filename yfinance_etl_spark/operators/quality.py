@@ -38,7 +38,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from yfinance_etl_spark.operators.text import token_char_sum, tokens, word_shingles
 
@@ -196,3 +196,80 @@ def with_repetition_features_hof(docs: DataFrame, text_col: str = "text") -> Dat
         .withColumn("mean_word_len", F.round(tok_chars / n_tok, 6))
     )
     return out.withColumn("keep", _keep_verdict())
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in bits:
+    (doc_id, n_chars_counted, distinct_chars, entropy_bits). Low-entropy
+    documents (repeated boilerplate, padding, single-char floods) are a
+    standard pretraining quality cut alongside the Gopher repetition rules
+    above — entropy catches degenerate content the word-level fractions
+    miss (e.g. no word boundaries at all).
+
+    Shape: explode to (doc_id, char) → hash agg counts → same-key window
+    for the per-doc total → one decimal-summed agg. The explode itself is
+    free (no exchange); the (doc_id, char) hash agg partially aggregates
+    MAP-SIDE, so the one shuffle carries at most |alphabet| rows per doc
+    per input partition — corpus-sized input, alphabet-sized exchange.
+    The per-char terms -p·ln(p) are plain IEEE doubles (bit-equal across
+    engines, same contract as tfidf's idf); their sum goes through
+    DECIMAL(38,18) so it is order-insensitive, then a single round at 6dp.
+
+    ``char_entropy_kernel`` below is the map-only Arrow twin (no exchange
+    at all — the right call when the downstream consumer is per-doc
+    anyway); unit tests pin the two equal at 6dp. This Catalyst form is
+    the oracle-gated one.
+    """
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("doc_id"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    term = (-p * F.log(p)).cast("decimal(38,18)")
+    return (
+        counts.withColumn("tot", tot)
+        .groupBy("doc_id")
+        .agg(
+            F.max("tot").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+            F.round(
+                F.sum(term).cast("double") / F.log(F.lit(2.0)), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _entropy_bits_udf(texts: pd.Series) -> pd.Series:
+    """Arrow kernel: per-doc char entropy in bits. ``np.unique`` counts are
+    O(n log n) per document; ``math.fsum`` makes the term sum exactly
+    rounded, so the only divergence from the decimal-summed Catalyst form
+    is when the EXACT sum sits within one double ulp of a 6dp half
+    boundary — pinned equal at 6dp in tests."""
+    import math
+
+    import numpy as np
+
+    def one(t):
+        if t is None or len(t) == 0:
+            return None
+        _, n = np.unique(np.frombuffer(t.encode("utf-8"), dtype=np.uint8), return_counts=True)
+        tot = n.sum()
+        return round(
+            math.fsum(-(c / tot) * math.log(c / tot) for c in n) / math.log(2.0), 6
+        )
+
+    return texts.map(one)
+
+
+def char_entropy_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only twin of ``char_entropy`` (ASCII corpora: the uint8 view of
+    the utf-8 encoding IS the char distribution; multi-byte text would
+    need a codepoint decode first): zero exchanges, one Arrow batch pass.
+    Returns the same (doc_id, entropy_bits) pairs."""
+    return docs.select(
+        "doc_id", _entropy_bits_udf(F.col(text_col)).alias("entropy_bits")
+    )

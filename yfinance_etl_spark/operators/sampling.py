@@ -180,3 +180,41 @@ def pack_shards(
         )
         .drop(pid, lcum, off)
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, key: str, k: int, salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows without
+    replacement — Efraimidis-Spirakis (A-ES, IPL 2006): each row draws a
+    uniform u ∈ (0, 1] and the k LARGEST values of u^(1/w) win, which is
+    exactly weight-proportional inclusion. Ordering by ln(u)/w descending
+    is the same order (ln is monotone, w > 0) without the pow.
+
+    The training-data use: sample documents proportional to length/quality
+    weight for mixture tuning or eval-set draws, with the same contract as
+    ``with_split``: u comes from md5(salt:key), NOT ``rand()``, so the
+    sample is reproducible across runs, engines, and partition layouts,
+    and any engine can re-derive membership from the key alone.
+
+    Scale: the per-row key is pure Catalyst (no shuffle); the top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject, a per-
+    partition k-heap plus a k-row driver merge, never a global sort.
+    Rows with NULL or non-positive weight are excluded by contract (their
+    inclusion probability is 0; keeping them would divide by zero).
+    Ties (two keys binary-equal) break by ``key`` for cross-engine
+    determinism — reachable only by md5 collision, but the ORDER must be
+    total for the oracle to hash-match.
+    """
+    key_s = F.col(key).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key_s)), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)  # (0, 1]
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
+        .limit(k)
+    )

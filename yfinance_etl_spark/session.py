@@ -32,6 +32,17 @@ def get_spark(app_name: str = "yfinance-etl-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter injection (off by default in Spark): when a
+        # selective dimension is too big to BROADCAST, the shuffle join's
+        # creation side aggregates a bloom filter (bloom_filter_agg) that is
+        # injected as a might_contain() pre-filter on the fact side — fact
+        # rows that can't join die BEFORE the fact shuffle, the 100 TB
+        # shuffle-volume lever for the non-broadcastable-dim case. Inert at
+        # the scales this repo tests (every dim fits the 10 MB broadcast
+        # threshold, and the default creation/application size thresholds
+        # don't trip); injection itself is pinned by
+        # tests/test_plan_shapes.py::test_runtime_bloom_filter_injects...
+        .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert in catalog.load_table (µs truncation = DuckDB)

@@ -344,7 +344,8 @@ def _brute_lev_pairs(rows, k):
     return out
 
 
-def test_editdistance_matches_bruteforce(spark):
+@pytest.mark.parametrize("method", ["band", "passjoin"])
+def test_editdistance_matches_bruteforce(spark, method):
     from yfinance_etl_spark.operators.dedup import editdistance_neardup
 
     rows = [
@@ -359,12 +360,13 @@ def test_editdistance_matches_bruteforce(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
         (r.doc_a, r.doc_b): r.edit_dist
-        for r in editdistance_neardup(df, k=4).collect()
+        for r in editdistance_neardup(df, k=4, method=method).collect()
     }
     assert got == _brute_lev_pairs(rows, 4)
 
 
-def test_editdistance_band_boundary_both_directions(spark):
+@pytest.mark.parametrize("method", ["band", "passjoin"])
+def test_editdistance_band_boundary_both_directions(spark, method):
     """A qualifying pair whose two docs sit in ADJACENT length bands must be
     found regardless of which doc has the smaller doc_id — the r9 oracle
     prototype lost 9 of 24 pairs to exactly this (probe fanned up only)."""
@@ -378,7 +380,10 @@ def test_editdistance_band_boundary_both_directions(spark):
         [(0, short), (1, base)],
     ):
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
-        got = {(r.doc_a, r.doc_b): r.edit_dist for r in editdistance_neardup(df, k=4).collect()}
+        got = {
+            (r.doc_a, r.doc_b): r.edit_dist
+            for r in editdistance_neardup(df, k=4, method=method).collect()
+        }
         assert got == {(0, 1): 1}, rows
 
 
@@ -390,3 +395,40 @@ def test_editdistance_threshold_cap_excludes_beyond_k(spark):
     assert editdistance_neardup(df, k=2).count() == 0
     out = editdistance_neardup(df, k=3).collect()
     assert [(r.doc_a, r.doc_b, r.edit_dist) for r in out] == [(0, 1, 3)]
+
+
+@pytest.mark.parametrize("method", ["band", "passjoin"])
+def test_editdistance_short_doc_regime(spark, method):
+    """Docs shorter than k+1 chars void the pigeonhole guarantee (some
+    block would be empty) — the passjoin path must route them through the
+    band fallback and still find every pair, including short×long ones
+    near the regime boundary and identical docs (dist 0)."""
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    rows = [
+        (0, "ab"),            # len 2 (short regime at k=4)
+        (1, "abc"),           # dist 1 from 0
+        (2, "abcdef"),        # len 6 (long regime), dist 4 from 0, 3 from 1
+        (3, "ab"),            # identical to 0 → dist 0
+        (4, "zzzzzzzzzzzz"),  # unrelated long doc
+        (5, "abcdefg"),       # long×long: dist 1 from 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in editdistance_neardup(df, k=4, method=method).collect()
+    }
+    assert got == _brute_lev_pairs(rows, 4)
+
+
+def test_editdistance_methods_agree_on_fixture_corpus(spark):
+    """band vs passjoin on the real sf0.001 documents table: identical
+    pair sets (the two complete-filter strategies must converge)."""
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.doc_a, r.doc_b, r.edit_dist)
+         for r in editdistance_neardup(docs, k=4, method="band").collect()}
+    b = {(r.doc_a, r.doc_b, r.edit_dist)
+         for r in editdistance_neardup(docs, k=4, method="passjoin").collect()}
+    assert a == b

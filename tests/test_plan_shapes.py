@@ -387,10 +387,27 @@ def test_weighted_sample_is_take_ordered_not_full_sort(spark):
     assert "rangepartitioning" not in plan
 
 
-def test_editdistance_is_band_equi_join(spark):
+def test_editdistance_passjoin_is_equi_join_on_block_index(spark):
     plan = _plan(spark, "dedup_editdistance")
-    # the length-band join must be a hash/merge EQUI join on `band` —
-    # a theta-join on |len diff| would plan BroadcastNestedLoop/Cartesian
+    # the PassJoin candidate join must be an EQUI join on the
+    # (blk, plen, h) inverted-index key — a theta-join on |len diff| or a
+    # contains() join condition would plan BroadcastNestedLoop/Cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for key in ("blk", "plen", "h#"):
+        assert key in plan, key
+
+
+def test_editdistance_band_method_is_equi_join(spark):
+    from yfinance_etl_spark.operators.dedup import editdistance_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        editdistance_neardup(docs, k=4, method="band")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the length-band join is an EQUI join on `band`; the pigeonhole
+    # contains-OR rides the join condition, never a nested-loop plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan

@@ -81,6 +81,26 @@ AUDITS: dict[str, str] = {
         "wire. (The per-round plans are separate tiny jobs; this dump shows "
         "the final assignment + profile.)"
     ),
+    "dedup_editdistance": (
+        "The length-band join is an EQUI join on `band` (hash/broadcast-"
+        "hash, never BroadcastNestedLoop/Cartesian — a theta-join on the "
+        "raw |len diff| predicate would be); the pigeonhole contains-OR "
+        "and the |len diff| check ride the join condition, and the "
+        "threshold-capped levenshtein runs only on surviving candidates."
+    ),
+    "char_entropy": (
+        "The (doc_id, char) count partial-aggregates map-side BEFORE its "
+        "Exchange (partial_count under the exchange), so the shuffle "
+        "carries alphabet-sized groups per doc, not one row per corpus "
+        "character; the per-doc total reuses the doc_id partitioning "
+        "(window + final agg after one re-key)."
+    ),
+    "weighted_sample_topk": (
+        "TakeOrderedAndProject on the A-ES key — per-partition k-heap + "
+        "k-row driver merge; no Exchange rangepartitioning, no global "
+        "Sort materialization. The key itself is pure per-row Catalyst "
+        "(md5 → conv → ln), zero shuffle before the top-k."
+    ),
 }
 
 

@@ -481,9 +481,94 @@ def main_freq(factors: list[int]) -> None:
         print(json.dumps(r), flush=True)
 
 
+def main_editdist(sf_dirs: list[str]) -> None:
+    """Edit-distance join sweep ACROSS the sf fixtures (independent
+    corpora of growing density — the regime where pure length-banding
+    degrades: candidates ∝ Σ_L n_L² grows ~quadratically with docs-per-
+    length, while PassJoin's content-keyed candidates track true near-dup
+    density). One JSON line per corpus, kind="editdist", then log-log
+    growth exponents for both candidate sets."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        _ed_band_candidates,
+        _ed_passjoin_candidates,
+        editdistance_neardup,
+    )
+
+    spark = get_spark("scale-stress-editdist")
+    spark.sparkContext.setLogLevel("ERROR")
+    k = 4
+
+    # warm-up: one-time codegen costs would swamp the smallest corpus
+    w = spark.read.parquet(f"{sf_dirs[0]}/documents.parquet").limit(20)
+    editdistance_neardup(w, k).count()
+
+    rows = []
+    for sf_dir in sf_dirs:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            32
+        ).localCheckpoint(eager=True)
+        n = docs.count()
+        base = docs.select("doc_id", "text", F.length("text").alias("len"))
+        band_cand = _ed_band_candidates(base, k).count()
+        pj_cand = _ed_passjoin_candidates(base.filter(F.col("len") >= k + 1), k).count()
+        t0 = time.perf_counter()
+        n_true_b = editdistance_neardup(docs, k, method="band").count()
+        t_band = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_true = editdistance_neardup(docs, k, method="passjoin").count()
+        t_pj = round(time.perf_counter() - t0, 2)
+        assert n_true == n_true_b, (n_true, n_true_b)
+        r = {
+            "kind": "editdist",
+            "sf_dir": sf_dir,
+            "n_docs": n,
+            "brute_force_pairs": n * (n - 1) // 2,
+            "band_candidates": band_cand,
+            "passjoin_candidates": pj_cand,
+            "true_pairs": n_true,
+            "sec_band": t_band,
+            "sec_passjoin": t_pj,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str) -> float:
+            return round(
+                math.log(max(b[metric], 1) / max(a[metric], 1))
+                / math.log(b["n_docs"] / a["n_docs"]),
+                2,
+            )
+
+        print(
+            json.dumps(
+                {
+                    "kind": "editdist_summary",
+                    "growth_exponent_vs_corpus": {
+                        "band_candidates": slope("band_candidates"),
+                        "passjoin_candidates": slope("passjoin_candidates"),
+                        "true_pairs": slope("true_pairs"),
+                    },
+                    "note": "1.0 = linear, 2.0 = quadratic (brute force); "
+                    "band tracks docs-per-length density, passjoin tracks "
+                    "true-pair density + block-hash collisions",
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "joins":
+    if argv and argv[0] == "editdist":
+        main_editdist(
+            argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+        )
+    elif argv and argv[0] == "joins":
         main_joins([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "kmeans":
         main_kmeans([int(x) for x in argv[1:]] or [1, 4, 16])

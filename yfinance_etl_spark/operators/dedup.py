@@ -400,57 +400,27 @@ def contamination_overlap(
     )
 
 
-def editdistance_neardup(docs: DataFrame, k: int = 4) -> DataFrame:
-    """Edit-distance near-duplicates: (doc_a, doc_b, edit_dist) for every
-    unordered pair with ``levenshtein(text_a, text_b) <= k`` — the
-    PassJoin shape (Li et al., VLDB 2011): two provably COMPLETE cheap
-    filters in front of the O(len²) verify, so the quadratic step runs
-    on candidates only, never on |docs|².
+def _edlen(col: str = "text"):
+    from pyspark.sql import functions as F
 
-    1. **Length band** (equi-join, one shuffle): ``k`` edits change the
-       length by at most ``k``, so a pair within threshold sits within
-       ``±k`` in length. Banding by ``len div (k+1)`` (band width k+1 >
-       k) puts every qualifying pair within ONE band of each other; the
-       probe side fans each doc to bands {b-1, b, b+1} and the equi-join
-       on ``band`` is a plain hash join — no theta-join, no cartesian.
-       A band-diff-1 pair matches at exactly one probe copy and a
-       band-diff-0 pair at exactly one, so no post-join dedup is needed.
-    2. **Pigeonhole block filter** (per-pair, no extra shuffle): split
-       ``text_a`` into ``k+1`` contiguous blocks; at most ``k`` edit
-       operations each touch one block, so at least one block survives
-       untouched and appears VERBATIM (contiguously, at some shift) in
-       ``text_b`` — any pair failing all ``k+1`` ``contains`` probes is
-       provably beyond ``k`` and never reaches the verify.
-    3. **Threshold-capped verify**: ``levenshtein(a, b, k)`` early-exits
-       the moment the running distance exceeds ``k`` (O(k·len), not
-       O(len²), on the reject path).
+    return F.length(col)
 
-    Scale: shuffle volume is one pass over (text, band); per-band work is
-    (docs within ±k of each length)² *before* the block filter — already
-    sub-quadratic for any spread length distribution, and the block
-    filter cuts the verify set to near-true pairs (measured at sf0.01:
-    125k raw pairs → 2.3k length-banded → 25 block-filtered → 24 true).
-    For a corpus whose lengths concentrate on one value, compose the band
-    key with a content prefix bucket (the full PassJoin inverted index)
-    before the join — the verify and filter stages are unchanged.
 
-    Reference parity: no reference analog (its dedup story is pandas
-    index dedup); brief-mandated dedup-family extension.
-    """
+def _ed_band_candidates(d: DataFrame, k: int) -> DataFrame:
+    """Length-band candidate pairs (doc_a, doc_b, ta, tb, la, lb) from a
+    frame ``d`` = (doc_id, text, len): band equi-join (band width k+1,
+    ±1 probe fan — complete for |len diff| <= k in BOTH id orders) +
+    pigeonhole block-contains prefilter. See editdistance_neardup for the
+    completeness argument."""
     n_blocks = k + 1
-    d = docs.select(
-        "doc_id",
-        "text",
-        F.length("text").alias("len"),
-        F.expr(f"length(text) div {n_blocks}").alias("band"),
-    )
-    a = d.select(
+    banded = d.withColumn("band", F.expr(f"len div {n_blocks}"))
+    a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
         F.col("len").alias("la"),
         "band",
     )
-    b = d.select(
+    b = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("tb"),
         F.col("len").alias("lb"),
@@ -468,10 +438,151 @@ def editdistance_neardup(docs: DataFrame, k: int = 4) -> DataFrame:
         length = f"(({i + 1}) * la) div {n_blocks} - ({i} * la) div {n_blocks}"
         cond = F.expr(f"contains(tb, substr(ta, {start}, {length}))")
         block_hit = cond if block_hit is None else (block_hit | cond)
-    cand = pairs.filter(block_hit)
+    return pairs.filter(block_hit).select("doc_a", "doc_b", "ta", "tb", "la", "lb")
+
+
+def _ed_passjoin_candidates(d: DataFrame, k: int) -> DataFrame:
+    """PassJoin inverted-index candidates (Li et al., VLDB 2012) over a
+    frame ``d`` = (doc_id, text, len) where every len >= k+1: candidate
+    pairs come from an EQUI-join on (block_no, partner_len, block_hash) —
+    content-driven, so the volume tracks true near-dup density, not
+    (docs per length band)².
+
+    * INDEX side: each doc emits its k+1 block hashes — (blk, own len,
+      xxhash64(block)) — k+1 rows per doc.
+    * PROBE side: each doc emits, for every partner length L within ±k of
+      its own, every block number, and every start shift in [-k, k], the
+      hash of the substring a matching partner block would occupy:
+      bounded (2k+1)·(k+1)·(2k+1) emissions per doc (405 at k=4; a
+      constant, deduplicated before the join — adjacent L often yield
+      identical substrings).
+
+    Completeness: if lev(a,b) <= k, at least one of a's k+1 blocks is
+    untouched by the <= k edits (pigeonhole) and appears contiguously in
+    b, displaced by at most one position per edit before it, i.e. a shift
+    in [-k, k]; b's probe emission for (L=len(a), that blk, that shift)
+    hashes the identical substring, so the pair joins. Every block is
+    non-empty because len >= k+1, so the hash can't degenerate to ''.
+    xxhash64 collisions only ADD candidates; the verify removes them.
+
+    Hot shared blocks (boilerplate) skew the join key — AQE skew-join
+    splits them; a df-style cutoff (as in jaccard_pairs.MAX_DF_FRAC)
+    would cap the fan-out but trade away exactness, so it is NOT applied.
+    """
+    nb = k + 1
+    idx = d.withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(k)))).select(
+        F.col("doc_id").alias("id_i"),
+        F.col("len").alias("plen"),
+        "blk",
+        F.xxhash64(
+            F.expr(
+                f"substr(text, 1 + (blk * len) div {nb},"
+                f" ((blk + 1) * len) div {nb} - (blk * len) div {nb})"
+            )
+        ).alias("h"),
+    )
+    probe = (
+        d.withColumn("dl", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("plen", F.col("len") + F.col("dl"))
+        .filter(F.col("plen") >= nb)
+        .withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("bstart", F.expr(f"1 + (blk * plen) div {nb}"))
+        .withColumn(
+            "blen",
+            F.expr(f"((blk + 1) * plen) div {nb} - (blk * plen) div {nb}"),
+        )
+        .withColumn("dd", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("pos", F.col("bstart") + F.col("dd"))
+        .filter(
+            (F.col("pos") >= 1)
+            & (F.col("pos") + F.col("blen") - 1 <= F.col("len"))
+            & (F.col("blen") >= 1)
+        )
+        .select(
+            F.col("doc_id").alias("id_p"),
+            "plen",
+            "blk",
+            F.xxhash64(F.expr("substr(text, pos, blen)")).alias("h"),
+        )
+        .distinct()
+    )
+    pairs = (
+        idx.join(probe, ["blk", "plen", "h"])
+        .filter(F.col("id_i") != F.col("id_p"))
+        .select(
+            F.least("id_i", "id_p").alias("doc_a"),
+            F.greatest("id_i", "id_p").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), F.col("len").alias("la")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), F.col("len").alias("lb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= k)
+        .select("doc_a", "doc_b", "ta", "tb", "la", "lb")
+    )
+
+
+def _ed_verify(cand: DataFrame, k: int) -> DataFrame:
+    """Threshold-capped levenshtein verify: O(k·len) on the reject path
+    (early exit the moment the running distance exceeds k)."""
     dist = F.levenshtein("ta", "tb", k)
     return (
         cand.withColumn("edit_dist", dist)
         .filter(F.col("edit_dist") >= 0)  # -1 = beyond the threshold cap
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+def editdistance_neardup(docs: DataFrame, k: int = 4, method: str = "passjoin") -> DataFrame:
+    """Edit-distance near-duplicates: (doc_a, doc_b, edit_dist) for every
+    unordered pair with ``levenshtein(text_a, text_b) <= k``. Two
+    physical strategies, identical results (unit-pinned):
+
+    * ``method="passjoin"`` (default, the scale path): PassJoin
+      inverted-index equi-join on (block_no, partner_len, block_hash) —
+      see ``_ed_passjoin_candidates``. Candidate volume tracks true
+      near-dup density; a corpus whose lengths concentrate on one value
+      costs no more than a spread one. Docs shorter than k+1 chars (whose
+      blocks could be empty, voiding the pigeonhole guarantee) fall back
+      to the band path among themselves — their partners are <= 2k chars,
+      a bounded-size sub-corpus.
+    * ``method="band"``: length-band equi-join (band width k+1, ±1 probe
+      fan) + pigeonhole block ``contains`` prefilter —
+      ``_ed_band_candidates``. Simpler, one shuffle, complete; but its
+      candidate count is Σ_L (docs within ±k of L)², which degrades to
+      quadratic when the length histogram peaks. Kept as the semantic
+      reference and the small-corpus fast path.
+
+    Both filters are provably complete for dist <= k (length: k edits
+    change length by <= k; pigeonhole: k edits over k+1 contiguous blocks
+    leave one block verbatim, shifted by <= k), so the final
+    threshold-capped ``levenshtein(a, b, k)`` verify decides membership
+    exactly. Measured at sf0.01: 125k raw pairs → 2.3k band candidates /
+    24 passjoin candidates (zero false positives) → 24 true pairs.
+
+    Reference parity: no reference analog (its dedup story is pandas
+    index dedup); brief-mandated dedup-family extension.
+    """
+    base = docs.select("doc_id", "text", _edlen().alias("len"))
+    if method == "band":
+        return _ed_verify(_ed_band_candidates(base, k), k)
+    if method != "passjoin":
+        raise ValueError(f"unknown method {method!r}")
+    nb = k + 1
+    # short regime: any pair involving a doc with len <= k (some block
+    # would be empty); partners are within +k, so the whole sub-corpus
+    # the band path must see is len <= 2k
+    short_plus = base.filter(F.col("len") <= 2 * k)
+    short_cand = _ed_band_candidates(short_plus, k).filter(
+        F.least("la", "lb") <= k
+    )
+    long_side = base.filter(F.col("len") >= nb)
+    cand = _ed_passjoin_candidates(long_side, k).unionByName(short_cand)
+    return _ed_verify(cand, k)

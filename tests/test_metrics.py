@@ -203,3 +203,38 @@ def test_ansi_zero_divisors_yield_null_not_job_abort(spark):
     )
     row = M.pairwise_correlation(rets).collect()[0]
     assert row.corr is None
+
+
+def test_winsorized_stats_hand_computed(spark):
+    from yfinance_etl_spark.operators.metrics import winsorized_stats
+
+    # group g: values 0..10 plus an outlier 1000. p05/p95 (linear interp
+    # over sorted 12 values): lo = 0.55, hi = 505.49999999999966 — the
+    # outlier clips to hi, the 0 clips to lo
+    rows = [("g", float(v)) for v in range(11)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = winsorized_stats(df, "grp", "x", 0.05, 0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_rows, r.n_clipped_low, r.n_clipped_high) == (12, 1, 1)
+    lo = 0.05 * 11  # interpolated p05 over 0..10,1000
+    hi = sorted([float(v) for v in range(11)] + [1000.0])[10] + 0.45 * (1000.0 - 10.0)
+    vals = [min(max(float(v), lo), hi) for v in range(11)] + [hi]
+    import math
+    assert r.robust_mean == round(math.fsum(vals) / 12, 6)
+
+
+def test_winsorized_stats_broadcasts_bounds(spark):
+    from yfinance_etl_spark.operators.metrics import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)] + [("b", float(i * 2)) for i in range(50)],
+        "grp string, x double",
+    )
+    plan = (
+        winsorized_stats(df, "grp", "x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the bounds join must be broadcast — a shuffled join would move the
+    # fact table an extra time for a group-cardinality-sized dimension
+    assert "BroadcastHashJoin" in plan

@@ -147,6 +147,21 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     for r in fq:
         assert r["summary_rows"] <= r["summary_bound"], r
         assert r["exact_topk_match"], r
+    # edit-distance join: PassJoin candidates must sit ORDERS below brute
+    # force at every recorded corpus, track the true-pair count closely
+    # (near-zero false-candidate rate is the whole point of the content-
+    # keyed index), and grow ~linearly across the 10x corpus spread
+    ed = [r for r in lines if r.get("kind") == "editdist"]
+    assert len(ed) >= 2, "editdist sweep not recorded"
+    ed_lo, ed_hi = ed[0], ed[-1]
+    assert ed_hi["n_docs"] >= 10 * ed_lo["n_docs"]
+    for r in ed:
+        assert r["passjoin_candidates"] * 1000 <= r["brute_force_pairs"], r
+        assert r["passjoin_candidates"] <= 2 * r["true_pairs"] + 10, r
+        assert r["true_pairs"] <= r["passjoin_candidates"], r
+    growth = ed_hi["passjoin_candidates"] / max(ed_lo["passjoin_candidates"], 1)
+    corpus_growth = ed_hi["n_docs"] / ed_lo["n_docs"]
+    assert growth <= 2 * corpus_growth, (growth, corpus_growth)
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

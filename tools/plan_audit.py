@@ -101,6 +101,12 @@ AUDITS: dict[str, str] = {
         "Sort materialization. The key itself is pure per-row Catalyst "
         "(md5 → conv → ln), zero shuffle before the top-k."
     ),
+    "winsorized_order_value": (
+        "Two-pass quantile clip: the bounds aggregate is group-cardinality"
+        "-sized and joins back via BroadcastHashJoin (the fact side never "
+        "shuffles for the join); the clip is a pure greatest/least "
+        "projection; the only exchanges are the two same-key hash aggs."
+    ),
 }
 
 

@@ -151,3 +151,47 @@ def pairwise_correlation(rets: DataFrame, key: str = "suppkey") -> DataFrame:
     return pairs.groupBy("t1", "t2").agg(
         n.alias("n_days"), r6(corr).alias("corr")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group: str,
+    col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Winsorized (quantile-clipped) robust mean per group: values below
+    the group's ``lo_p`` quantile or above its ``hi_p`` quantile are
+    clipped to the bound before averaging — the standard outlier-resistant
+    aggregate for long-tailed money/metric columns.
+
+    Two-pass shape: pass 1 is an exact ``percentile`` aggregate producing
+    ONE (lo, hi) row per group — group-cardinality-sized, so it BROADCASTS
+    back to the fact side (no fact shuffle for the join); pass 2 clips
+    per-row (``greatest``/``least``, pure Catalyst) and aggregates with
+    the exact-decimal sum. Total cost: two hash aggs on the same key + a
+    broadcast — the fact table crosses the wire once per pass, never for
+    the join. (Single-pass approximation with mergeable GK sketches is the
+    ``sketch_profile`` family; this operator is the exact tier.)
+
+    Exact ``percentile`` buffers each GROUP's values; with group counts in
+    the millions use the sketch tier first to pre-clip. Bounds are used
+    RAW (unrounded) for clipping — both engines interpolate quantiles
+    bit-identically (linear interpolation, same as DuckDB quantile_cont;
+    the order_value_quantiles precedent) — so the clipped per-row doubles
+    are bit-equal and the decimal sum is order-insensitive.
+    """
+    x = F.col(col)
+    bounds = df.groupBy(group).agg(
+        F.percentile(x, F.lit(lo_p)).alias("__lo"),
+        F.percentile(x, F.lit(hi_p)).alias("__hi"),
+    )
+    clipped = df.join(F.broadcast(bounds), group).withColumn(
+        "__clip", F.least(F.greatest(x, F.col("__lo")), F.col("__hi"))
+    )
+    return clipped.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((x < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((x > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+        F.round(dsum(F.col("__clip")) / F.count(F.lit(1)), 6).alias("robust_mean"),
+    )

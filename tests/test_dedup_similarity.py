@@ -432,3 +432,87 @@ def test_editdistance_methods_agree_on_fixture_corpus(spark):
     b = {(r.doc_a, r.doc_b, r.edit_dist)
          for r in editdistance_neardup(docs, k=4, method="passjoin").collect()}
     assert a == b
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Planted two-group fixture: seeds (the two smallest vec_ids) land in
+    different groups, so k=2 separates them in one iteration; every
+    within-group pair is a near-dup at tau=0.99 while cross-group cosine
+    is 0 — counts and max_dup_sim are hand-derivable."""
+    import math
+
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [0.0, 10.0]),
+        (2, [10.0, 0.1]),
+        (3, [0.0, 9.9]),
+        (4, [9.9, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.cluster_id: r
+        for r in semantic_dedup(embs, k=2, iters=1, tau=0.99, probes=1).collect()
+    }
+    assert set(out) == {0, 1}
+    a, b = out[0], out[1]
+    # group A = {0, 2, 4}: 2 pruned by 0 (and by each other), 4 pruned by 0
+    assert (a.n_vecs, a.n_pruned, a.n_kept) == (3, 2, 1)
+    # group B = {1, 3}: 3 pruned by 1
+    assert (b.n_vecs, b.n_pruned, b.n_kept) == (2, 1, 1)
+    # max_dup_sim: colinear pairs (0,4) and (1,3) have exact cosine 1.0
+    assert a.max_dup_sim == 1.0
+    assert b.max_dup_sim == 1.0
+    # and with tau above every within-group similarity, nothing prunes
+    lone = semantic_dedup(embs, k=2, iters=1, tau=1.1, probes=1).collect()
+    assert all(r.n_pruned == 0 and r.max_dup_sim is None for r in lone)
+    assert sum(r.n_kept for r in lone) == len(rows)
+    # cosine of the (0, 2) pair, for the record: hand value survives the
+    # rounding policy (round BEFORE the tau comparison)
+    cos_02 = 100.0 / (10.0 * math.sqrt(10.0**2 + 0.1**2))
+    assert 0.99 <= round(cos_02, 6) < 1.0
+
+
+def test_semantic_dedup_multiprobe_monotone(spark):
+    """More probes can only surface MORE qualifying pairs (OR-
+    amplification), so total pruned count is monotone in `probes` and
+    total n_vecs is probe-invariant (primary assignment only)."""
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+    from yfinance_etl_spark.operators.rag import doc_embeddings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = doc_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    totals = {}
+    for probes in (1, 2):
+        rows = semantic_dedup(embs, k=4, iters=1, probes=probes).collect()
+        totals[probes] = (
+            sum(r.n_vecs for r in rows), sum(r.n_pruned for r in rows)
+        )
+    assert totals[1][0] == totals[2][0] == docs.count()
+    assert totals[2][1] >= totals[1][1]
+
+
+def test_probe_assign_primary_matches_hard_assign(spark):
+    from yfinance_etl_spark.operators.clustering import assign, probe_assign
+
+    import pytest
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(40)],
+        "vec_id bigint, vec array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [6.0, 0.0]), (2, [0.0, 4.0])]
+    hard = {r.vec_id: r.cent_id for r in assign(vecs, cents).collect()}
+    probed = probe_assign(vecs, cents, probes=2).collect()
+    prim = {r.vec_id: r.cent_id for r in probed if r.probe_rank == 1}
+    assert prim == hard
+    # the carried primary_cent column agrees on EVERY probed row
+    assert all(r.primary_cent == hard[r.vec_id] for r in probed)
+    # each vector appears exactly `probes` times with distinct clusters
+    from collections import Counter
+
+    c = Counter(r.vec_id for r in probed)
+    assert set(c.values()) == {2}
+    with pytest.raises(ValueError, match="probes"):
+        probe_assign(vecs, cents, probes=4)

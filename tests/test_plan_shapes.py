@@ -466,3 +466,18 @@ def test_runtime_bloom_filter_injects_for_nonbroadcast_selective_join(spark, tmp
                   .join(spark.read.parquet(str(tmp_path / "dim")).filter("k % 50 = 0"), "k")
                   .collect())
     assert got == want and len(got) == 20000 // 500 * 10  # 10 dim keys × 40 fact rows each
+
+
+def test_semantic_dedup_pair_join_is_equi_join_no_python(spark):
+    # the within-cluster pair join must key on (cent_id, salt) — a real
+    # equi-join, never an all-pairs product — and the whole operator is
+    # pure Catalyst: no Python eval anywhere in the plan
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                  "MapInPandas"):
+        assert py_op not in plan, py_op
+    # probe assignment stays the map-only literal-matrix shape: the only
+    # exchanges are the pair join's and the k-cell aggregates'
+    assert "BroadcastHashJoin" in plan  # the k-row summary join

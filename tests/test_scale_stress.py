@@ -162,6 +162,23 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     growth = ed_hi["passjoin_candidates"] / max(ed_lo["passjoin_candidates"], 1)
     corpus_growth = ed_hi["n_docs"] / ed_lo["n_docs"]
     assert growth <= 2 * corpus_growth, (growth, corpus_growth)
+    # SemDeDup: the probes knob must buy recall monotonically, candidates
+    # must stay under brute force at every operating point, and the
+    # engine's registered operating point (p=2) must beat hard assignment
+    # by a wide margin on the worst-case-dense fixture
+    sd = [r for r in lines if r.get("kind") == "semdedup"]
+    assert len(sd) >= 6, "semdedup sweep not recorded"
+    by_corpus: dict = {}
+    for r in sd:
+        by_corpus.setdefault(r["sf_dir"], []).append(r)
+    for corpus, rows in by_corpus.items():
+        rows.sort(key=lambda r: r["probes"])
+        for r in rows:
+            assert r["cand_pairs"] < r["brute_force_pairs"], r
+            assert r["found_pairs"] <= r["true_pairs"], r
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls), (corpus, recalls)
+        assert recalls[-1] >= 0.7, (corpus, recalls)
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

@@ -101,6 +101,14 @@ AUDITS: dict[str, str] = {
         "Sort materialization. The key itself is pure per-row Catalyst "
         "(md5 → conv → ln), zero shuffle before the top-k."
     ),
+    "semantic_dedup": (
+        "Cluster-blocked near-dup: kmeans is the map-only/driver-centroid "
+        "loop (see kmeans_clusters), probe assignment is one projection "
+        "against the k-by-dim centroid literal, and the pair join is an "
+        "equi-join on (cent_id, salt) with norms hoisted per row — one "
+        "dot product per candidate pair, never all-pairs, aggregates "
+        "collapse to k cells before the final broadcast join."
+    ),
     "winsorized_order_value": (
         "Two-pass quantile clip: the bounds aggregate is group-cardinality"
         "-sized and joins back via BroadcastHashJoin (the fact side never "

@@ -562,9 +562,103 @@ def main_editdist(sf_dirs: list[str]) -> None:
         )
 
 
+def main_semdedup(sf_dirs: list[str]) -> None:
+    """SemDeDup sweep: for each corpus and probes p ∈ {1,2,3}, the
+    within-probed-cluster candidate volume, the near-dup pairs actually
+    found there, and recall vs the brute-force all-pairs truth at the
+    same tau — the measured basis for the operator's recall-knob
+    docstring (clustering.semantic_dedup). One JSON line per (corpus, p),
+    kind="semdedup"."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.clustering import kmeans, probe_assign
+    from yfinance_etl_spark.operators.rag import doc_embeddings
+
+    spark = get_spark("scale-stress-semdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    tau, k, iters = 0.95, 8, 2
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def dup_pairs(side):
+        a, b = side.alias("a"), side.alias("b")
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+        if "cent_id" in side.columns:
+            cond = (F.col("a.cent_id") == F.col("b.cent_id")) & cond
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.vec_id").alias("i"),
+                F.col("b.vec_id").alias("j"),
+                F.round(
+                    F.try_divide(
+                        dot(F.col("a.vec"), F.col("b.vec")),
+                        F.col("a.norm") * F.col("b.norm"),
+                    ),
+                    6,
+                ).alias("cs"),
+            )
+            .filter(F.col("cs") >= tau)
+            .select("i", "j")
+            .distinct()
+        )
+
+    for sf_dir in sf_dirs:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embs = doc_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+        assigned, cent_df = kmeans(embs, k=k, iters=iters)
+        cents = [(r["cent_id"], list(r["cent"])) for r in cent_df.collect()]
+        vecs = assigned.select(
+            "vec_id", "vec", F.sqrt(dot(F.col("vec"), F.col("vec"))).alias("norm")
+        ).localCheckpoint(eager=True)
+        n = vecs.count()
+        n_true = dup_pairs(vecs).count()
+        for probes in (1, 2, 3):
+            probed = probe_assign(vecs.select("vec_id", "vec"), cents, probes).join(
+                vecs.select("vec_id", "norm"), "vec_id"
+            )
+            t0 = time.perf_counter()
+            cand = (
+                probed.alias("a")
+                .join(
+                    probed.alias("b"),
+                    (F.col("a.cent_id") == F.col("b.cent_id"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(F.col("a.vec_id"), F.col("b.vec_id"))
+                .distinct()
+                .count()
+            )
+            found = dup_pairs(probed).count()
+            print(
+                json.dumps(
+                    {
+                        "kind": "semdedup",
+                        "sf_dir": sf_dir,
+                        "probes": probes,
+                        "n_docs": n,
+                        "brute_force_pairs": n * (n - 1) // 2,
+                        "cand_pairs": cand,
+                        "true_pairs": n_true,
+                        "found_pairs": found,
+                        "recall": round(found / n_true, 3) if n_true else None,
+                        "sec": round(time.perf_counter() - t0, 2),
+                    }
+                ),
+                flush=True,
+            )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "editdist":
+    if argv and argv[0] == "semdedup":
+        main_semdedup(
+            argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.01", "0.1")]
+        )
+    elif argv and argv[0] == "editdist":
         main_editdist(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
         )

@@ -49,6 +49,12 @@ from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
 #: decimals kept for distances and centroid coordinates (cross-engine anchor)
 COORD_DECIMALS = 9
 
+#: blocked-salt width for the within-cluster pair join (semantic_dedup):
+#: k clusters alone would cap the join's shuffle parallelism at k tasks
+#: and concentrate a hot cluster's quadratic pair work on one of them —
+#: the same treatment as the banded-LSH dedup join (plans/queries.py)
+_SALT_BLOCKS = 8
+
 
 def _as_double_vec(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """float[] → double[] once, up front: all distance math in float64."""
@@ -251,6 +257,166 @@ def kmeans(
         "cent_id long, cent array<double>",
     )
     return assigned, cent_df
+
+
+def probe_assign(
+    vecs: DataFrame, centroids: list[tuple[int, list[float]]], probes: int
+) -> DataFrame:
+    """Soft assignment: each vector joins its ``probes`` NEAREST centroids
+    — (vec_id, vec, cent_id, probe_rank) with probe_rank 1 = primary.
+
+    Same map-only shape as ``assign`` (one k×dim literal, candidates
+    ordered by (d2, cent_id) struct comparison), but keeps the first
+    ``probes`` entries of the sorted candidate array instead of the
+    argmin. probe_rank 1 is bit-identical to ``assign``'s choice, so the
+    hard-assignment consumers and the oracle's ROW_NUMBER() replay agree.
+    """
+    if not 1 <= probes <= len(centroids):
+        raise ValueError(f"probes must be in [1, k={len(centroids)}], got {probes}")
+    mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+            for _, coords in centroids
+        ) + ")"
+    )
+    ids = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in centroids) + ")"
+    )
+    candidates = F.transform(
+        mat,
+        lambda cent, i: F.struct(
+            _sqdist(F.col("vec"), cent).alias("d2"), ids[i].alias("cent_id")
+        ),
+    )
+    # sort once, keep the head: element 1 is bit-identical to assign()'s
+    # argmin, and carrying it on every probed row ("primary_cent") is what
+    # lets downstream aggregates group straight to k cells without an
+    # N-row join back to the hard assignment
+    ranked = F.slice(F.array_sort(candidates), 1, probes)
+    return vecs.select(
+        "vec_id",
+        "vec",
+        F.element_at(ranked, 1)["cent_id"].alias("primary_cent"),
+        F.posexplode(ranked).alias("pos", "probe"),
+    ).select(
+        "vec_id",
+        "vec",
+        "primary_cent",
+        F.col("probe.cent_id").alias("cent_id"),
+        (F.col("pos") + 1).alias("probe_rank"),
+    )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.95,
+    probes: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
+    space, then search for near-duplicates WITHIN clusters only — the
+    cluster is the blocking key, so pair work is Σ_c |c|² instead of N².
+    A point is PRUNED iff some lower-id point sharing one of its probed
+    clusters has cosine ≥ ``tau`` (the paper's keep-one-per-dup-group
+    policy with a deterministic lowest-id representative).
+
+    ``probes`` > 1 is the recall knob (this engine's multiprobe-ANN /
+    banded-LSH analog): each point joins its ``probes`` nearest clusters,
+    a pair is a candidate if ANY probed cluster collides
+    (OR-amplification). Measured on the worst-case-dense 16-dim
+    hashed-BoW fixture at sf0.1, k=8/iters=2 (71,197 true pairs in
+    12.5M; scale_stress_results.jsonl kind="semdedup"): recall 0.31
+    (p=1, 1.85M candidates) → 0.64 (p=2, 5.39M) → 0.80 (p=3, 7.91M);
+    at production dimensionality (≥256-d) clusters separate far more
+    cleanly and the same shape prunes by orders of magnitude.
+
+    Scale shape: clustering is ``kmeans``'s map-only/driver-centroid
+    loop; the pair join is an equi-join on (cent_id, salt) — the
+    blocked-salt treatment splits each hot cluster's shuffle key into
+    ``_SALT_BLOCKS`` sub-blocks exactly like the banded-LSH dedup join
+    (plans/queries.py _embed_neardup) — never all-pairs; norms hoisted
+    per row so per-pair work is ONE dot product. At the paper's
+    operating point k scales with N (fixed target cluster size), keeping
+    per-cluster pair work flat as the corpus grows.
+
+    Returns a per-PRIMARY-cluster summary: (cluster_id, n_vecs,
+    n_pruned, n_kept, max_dup_sim) — max_dup_sim is the largest
+    qualifying similarity over the cluster's pruned members, NULL when
+    nothing pruned. Deterministic end-to-end (kmeans determinism +
+    cosine rounded to 6 before the tau comparison), so a DuckDB oracle
+    replays it exactly (plans/queries.py::_SEMDEDUP_SQL).
+    """
+    assigned, cent_df = kmeans(embs, k=k, iters=iters, vec_col=vec_col)
+    centroids = [
+        (r["cent_id"], list(r["cent"])) for r in cent_df.collect()
+    ]  # k rows — same k-scalar driver traffic as kmeans itself
+    # assigned projects off kmeans's internal checkpoint: no re-embed here
+    probed = probe_assign(assigned.select("vec_id", "vec"), centroids, probes)
+    with_norm = probed.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vec"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = with_norm.withColumn(
+        "salt", (F.col("vec_id") % _SALT_BLOCKS).cast("int")
+    ).alias("a")
+    b = with_norm.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BLOCKS - 1)))
+    ).alias("b")
+    # try_divide: a zero-norm embedding (e.g. an all-stopword doc) yields
+    # NULL cosine — never >= tau — matching DuckDB's x/0 = NULL
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.primary_cent").alias("primary_cent"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.round(
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.col("a.norm") * F.col("b.norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    # per-(primary cluster, pruned id) max first — multi-probe surfaces
+    # the same (i, j) pair once per shared cluster and this collapse
+    # absorbs the duplicates — then straight to k cells; no N-row join
+    # back to the hard assignment anywhere
+    pruned = (
+        pairs.filter(F.col("cos_sim") >= tau)
+        .groupBy("primary_cent", "vec_id")
+        .agg(F.max("cos_sim").alias("max_sim"))
+    )
+    pr = pruned.groupBy("primary_cent").agg(
+        F.count(F.lit(1)).alias("n_pruned"),
+        F.round(F.max("max_sim"), 6).alias("max_dup_sim"),
+    )
+    sizes = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    out = sizes.join(
+        F.broadcast(pr), sizes["cent_id"] == pr["primary_cent"], "left"
+    )
+    n_pruned = F.coalesce(F.col("n_pruned"), F.lit(0).cast("long"))
+    return out.select(
+        F.col("cent_id").alias("cluster_id"),
+        "n_vecs",
+        n_pruned.alias("n_pruned"),
+        (F.col("n_vecs") - n_pruned).alias("n_kept"),
+        "max_dup_sim",
+    )
 
 
 def cluster_profile(assigned: DataFrame, centroids: DataFrame) -> DataFrame:

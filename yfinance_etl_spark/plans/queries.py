@@ -2915,7 +2915,14 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
 
-def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+def _kmeans_chain(source: str, k: int, iters: int, dim: int) -> str:
+    """CTE chain replaying operators/clustering.kmeans verbatim: ``vecs``
+    (from ``source``, which must yield (vec_id, vec DOUBLE[])), seed
+    ``c0`` = k smallest vec_ids, then per round scored ``s{i}`` /
+    hard-assigned ``a{i}`` / recomputed ``c{i}``, ending with the final
+    scored ``s{iters+1}`` and assignment ``a{iters+1}``. Shared by the
+    kmeans profile oracle and the semantic-dedup oracle."""
+
     def assign_cte(i: int, cents: str) -> str:
         return f"""
 s{i} AS (
@@ -2941,8 +2948,7 @@ m{i} AS (
 c{i} AS (SELECT cent_id, list(cval ORDER BY pos) AS cent FROM m{i} GROUP BY cent_id)"""
 
     parts = [
-        "WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS vec FROM embeddings),",
+        f"WITH vecs AS ({source}),",
         # k SMALLEST vec_ids, mirroring clustering.kmeans's sparse-id-safe seed
         f"c0 AS (SELECT vec_id AS cent_id, vec AS cent FROM vecs ORDER BY vec_id LIMIT {k})",
     ]
@@ -2950,6 +2956,17 @@ c{i} AS (SELECT cent_id, list(cval ORDER BY pos) AS cent FROM m{i} GROUP BY cent
         parts.append("," + assign_cte(i, f"c{i - 1}"))
         parts.append("," + recompute_cte(i))
     parts.append("," + assign_cte(iters + 1, f"c{iters}"))
+    return "\n".join(parts)
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    parts = [
+        _kmeans_chain(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " AS vec FROM embeddings",
+            k, iters, dim,
+        )
+    ]
     parts.append(f""",
 sizes AS (
   SELECT cent_id, COUNT(*) AS n_vecs,
@@ -2973,6 +2990,86 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
     )
     return cluster_profile(assigned, centroids)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup = k-means the
+# document-embedding space, prune near-dups WITHIN clusters only — the
+# cluster is the blocking key (operators/clustering.py::semantic_dedup).
+# probes=2 soft assignment is the recall knob (measured 0.31 -> 0.63 -> 0.81
+# for p=1/2/3 on the dense 16-dim fixture at sf0.1). The oracle replays the
+# whole thing: the shared k-means CTE chain over hashed-BoW doc embeddings,
+# ROW_NUMBER <= probes soft assignment, within-cluster pair join with
+# hoisted norms, tau filter BEFORE the per-id max (byte-identical policy to
+# the Spark side), per-primary-cluster rollup.
+# ---------------------------------------------------------------------------
+
+_SD_K, _SD_ITERS, _SD_PROBES, _SD_TAU = 8, 2, 2, 0.95
+
+
+def _semdedup_sql(
+    k: int = _SD_K,
+    iters: int = _SD_ITERS,
+    probes: int = _SD_PROBES,
+    tau: float = _SD_TAU,
+    dim: int = 16,
+) -> str:
+    chain = _kmeans_chain(
+        f"SELECT doc_id AS vec_id, {_embed_sql('text')} AS vec FROM documents",
+        k, iters, dim,
+    )
+    fin = iters + 1
+    return f"""{chain},
+probed AS (
+  SELECT vec_id, vec, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn,
+         FIRST_VALUE(cent_id) OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS primary_cent
+  FROM s{fin}
+),
+pp AS (
+  SELECT vec_id, vec, cent_id, primary_cent,
+         SQRT(list_sum(list_transform(vec, x -> x * x))) AS norm
+  FROM probed WHERE rn <= {probes}
+),
+dup AS (
+  SELECT primary_cent, vec_id, MAX(sim) AS max_sim FROM (
+    SELECT b.primary_cent, b.vec_id,
+           ROUND(list_sum(list_transform(range(1, {dim + 1}), i -> a.vec[i] * b.vec[i]))
+                 / (a.norm * b.norm), 6) AS sim
+    FROM pp a JOIN pp b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  ) WHERE sim >= {tau}
+  GROUP BY primary_cent, vec_id
+),
+sizes AS (SELECT cent_id, COUNT(*) AS n_vecs FROM a{fin} GROUP BY cent_id),
+pr AS (
+  SELECT primary_cent, COUNT(*) AS n_pruned, ROUND(MAX(max_sim), 6) AS max_dup_sim
+  FROM dup GROUP BY primary_cent
+)
+SELECT s.cent_id AS cluster_id, s.n_vecs,
+       COALESCE(p.n_pruned, 0) AS n_pruned,
+       s.n_vecs - COALESCE(p.n_pruned, 0) AS n_kept,
+       p.max_dup_sim
+FROM sizes s LEFT JOIN pr p ON s.cent_id = p.primary_cent
+"""
+
+
+@_register("semantic_dedup", _semdedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 6 — semantic: unlike the lexical tiers (exact / n-gram /
+    MinHash / SimHash / edit-distance) and the geometric LSH tiers, the
+    blocking key here is a LEARNED partition of the embedding space, so it
+    prunes paraphrase-level duplicates that share no shingles. Reference
+    analog: none (the reference dedups nothing); this is the
+    training-pipeline extension surface."""
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+    from yfinance_etl_spark.operators.rag import doc_embeddings
+
+    embs = doc_embeddings(_t(spark, sf_dir, "documents")).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return semantic_dedup(
+        embs, k=_SD_K, iters=_SD_ITERS, tau=_SD_TAU, probes=_SD_PROBES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3935,6 +4032,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "semantic_dedup",  # NEW r9 (SemDeDup cluster-blocked near-dup)
     "winsorized_order_value",  # NEW r9 (quantile-clipped robust agg)
     "dedup_editdistance",  # NEW r9 (PassJoin edit-distance near-dup)
     "char_entropy",  # NEW r9 (entropy quality cut)

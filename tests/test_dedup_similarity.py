@@ -516,3 +516,99 @@ def test_probe_assign_primary_matches_hard_assign(spark):
     assert set(c.values()) == {2}
     with pytest.raises(ValueError, match="probes"):
         probe_assign(vecs, cents, probes=4)
+
+
+def _brute_max_common_run(s1: str, s2: str) -> int:
+    """O(n·m) longest-common-substring DP — the independent truth for
+    substring_dup_spans.max_span."""
+    best, prev = 0, [0] * (len(s2) + 1)
+    for a in s1:
+        cur = [0] * (len(s2) + 1)
+        for j, b in enumerate(s2, 1):
+            if a == b:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    from yfinance_etl_spark.operators.dedup import substring_dup_spans
+
+    shared = "The quick brown fox jumps over the lazy dog once more"  # 54 chars
+    rows = [
+        (0, "AAA " + shared + " tail-zero"),
+        (1, "BBBBBB " + shared + " other-tail"),
+        # two separate >= L runs against doc 0 (distinct diagonals)
+        (2, "xx " + shared[:40] + " yyyyyyyy " + "AAA " + shared[:35]),
+        (3, "completely unrelated text that is long enough to gram"),
+        (4, "short"),          # < L: no grams
+        (5, None),             # NULL text: dropped by the length filter
+        (6, "AAA " + shared + " tail-zero"),  # identical to doc 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.max_span, r.n_spans)
+        for r in substring_dup_spans(docs, min_len=32).collect()
+    }
+    # identical docs: one maximal run = the whole text
+    assert got[(0, 6)] == (len(rows[0][1]), 1)
+    # docs 0/1 share the sentence plus its flanking spaces (' '+shared+' ')
+    assert got[(0, 1)] == (len(shared) + 2, 1)
+    # doc 2 vs doc 0: exactly two maximal runs on different diagonals
+    # (' ' + 40-char prefix, and 'AAA ' + 35-char prefix = 39 chars)
+    assert got[(0, 2)] == (41, 2)
+    assert (1, 2) in got  # via the shared prefix
+    assert not any(3 in p or 4 in p or 5 in p for p in got)
+    # every reported max_span equals the DP longest-common-substring
+    texts = {i: t for i, t, in rows}
+    for (a, b), (span, _) in got.items():
+        assert span == _brute_max_common_run(texts[a], texts[b]), (a, b)
+
+
+def test_substring_winnowed_guarantee_and_subset(spark):
+    """Winnowing detection bound: every pair with a shared run of
+    >= L + w - 1 chars MUST appear in the winnowed tier, and the winnowed
+    output is a subset of the exact tier with identical span values."""
+    from yfinance_etl_spark.operators.dedup import (
+        SUBSTR_MIN_LEN,
+        WINNOW_W,
+        substring_dup_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): (r.max_span, r.n_spans)
+        for r in substring_dup_spans(docs).collect()
+    }
+    win = {
+        (r.doc_a, r.doc_b): (r.max_span, r.n_spans)
+        for r in substring_dup_spans(docs, winnow_w=WINNOW_W).collect()
+    }
+    assert set(win) <= set(exact)
+    for pair, v in win.items():
+        assert exact[pair] == v, pair
+    bound = SUBSTR_MIN_LEN + WINNOW_W - 1
+    guaranteed = {p for p, (span, _) in exact.items() if span >= bound}
+    assert guaranteed <= set(win), guaranteed - set(win)
+
+
+def test_winnow_select_is_content_defined(spark):
+    """Two docs whose texts share a long middle with different prefixes
+    must select the same gram CONTENT inside the shared region — the
+    property the candidate join rides on."""
+    from yfinance_etl_spark.operators.dedup import char_grams, winnow_select
+
+    mid = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" * 2
+    docs = spark.createDataFrame(
+        [(0, "PREFIX-ONE " + mid), (1, "A-DIFFERENT-LONGER-PREFIX " + mid)],
+        "doc_id bigint, text string",
+    )
+    grams = char_grams(docs, 32)
+    fp = winnow_select(grams, 8).join(grams, ["doc_id", "pos"])
+    sel = {d: set() for d in (0, 1)}
+    for r in fp.collect():
+        sel[r.doc_id].add(r.gm)
+    shared_sel = sel[0] & sel[1]
+    # grams fully inside the shared middle, selected in BOTH docs
+    assert any(g in mid for g in shared_sel), (sel[0], sel[1])

@@ -481,3 +481,14 @@ def test_semantic_dedup_pair_join_is_equi_join_no_python(spark):
     # probe assignment stays the map-only literal-matrix shape: the only
     # exchanges are the pair join's and the k-cell aggregates'
     assert "BroadcastHashJoin" in plan  # the k-row summary join
+
+
+def test_substring_dedup_match_join_is_equi_join(spark):
+    # the gram match must be a hash equi-join on the gram string — never a
+    # nested-loop/cartesian — and gram generation is a pure projection
+    plan = _plan(spark, "substring_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the posexplode gram fan-out
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op

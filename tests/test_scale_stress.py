@@ -179,6 +179,16 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
         recalls = [r["recall"] for r in rows]
         assert recalls == sorted(recalls), (corpus, recalls)
         assert recalls[-1] >= 0.7, (corpus, recalls)
+    # exact-substring dedup: the winnowing detection bound is a GUARANTEE
+    # (every pair at >= L+w-1 chars found, at every recorded corpus), the
+    # fingerprint volume must be a real reduction, and the winnowed output
+    # never exceeds the exact pair set
+    ss = [r for r in lines if r.get("kind") == "substr"]
+    assert len(ss) >= 3, "substr sweep not recorded"
+    for r in ss:
+        assert r["guaranteed_found"] == r["guaranteed_pairs"], r
+        assert r["n_fingerprints"] * 3 <= r["n_grams"], r
+        assert r["winnowed_pairs"] <= r["exact_pairs"], r
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

@@ -109,6 +109,12 @@ AUDITS: dict[str, str] = {
         "dot product per candidate pair, never all-pairs, aggregates "
         "collapse to k cells before the final broadcast join."
     ),
+    "substring_dup_spans": (
+        "Gram explode is a pure generate projection; the match join keys "
+        "on the gram string itself (equi-join, fan-out proportional to "
+        "shared text); the diagonal merge window and both aggregations "
+        "all hash under (da, db), one partitioning family after the join."
+    ),
     "winsorized_order_value": (
         "Two-pass quantile clip: the bounds aggregate is group-cardinality"
         "-sized and joins back via BroadcastHashJoin (the fact side never "

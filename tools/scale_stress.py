@@ -652,9 +652,71 @@ def main_semdedup(sf_dirs: list[str]) -> None:
             )
 
 
+def main_substr(sf_dirs: list[str]) -> None:
+    """Exact-substring dedup sweep: gram volume vs winnowing-fingerprint
+    volume, candidate pairs vs exact pairs, and the recall split at the
+    detection bound (pairs >= L + w - 1 are guaranteed; shorter ones are
+    best-effort). One JSON line per corpus, kind="substr"."""
+    from yfinance_etl_spark.operators.dedup import (
+        SUBSTR_MIN_LEN as L,
+        WINNOW_W as W,
+        char_grams,
+        substring_dup_spans,
+        winnow_select,
+    )
+
+    spark = get_spark("scale-stress-substr")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in sf_dirs:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+            eager=True
+        )
+        grams = char_grams(docs, L)
+        n_grams = grams.count()
+        n_fp = winnow_select(grams, W).count()
+        t0 = time.perf_counter()
+        exact = {
+            (r.doc_a, r.doc_b): r.max_span
+            for r in substring_dup_spans(docs, L).collect()
+        }
+        t_exact = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        win = {
+            (r.doc_a, r.doc_b) for r in substring_dup_spans(docs, L, winnow_w=W).collect()
+        }
+        t_win = round(time.perf_counter() - t0, 2)
+        bound = L + W - 1
+        guaranteed = {p for p, s in exact.items() if s >= bound}
+        print(
+            json.dumps(
+                {
+                    "kind": "substr",
+                    "sf_dir": sf_dir,
+                    "n_docs": docs.count(),
+                    "n_grams": n_grams,
+                    "n_fingerprints": n_fp,
+                    "fp_reduction": round(n_grams / max(n_fp, 1), 2),
+                    "exact_pairs": len(exact),
+                    "winnowed_pairs": len(win),
+                    "guaranteed_pairs": len(guaranteed),
+                    "guaranteed_found": len(guaranteed & win),
+                    "overall_recall": round(len(win & set(exact)) / len(exact), 3)
+                    if exact else None,
+                    "sec_exact": t_exact,
+                    "sec_winnowed": t_win,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "semdedup":
+    if argv and argv[0] == "substr":
+        main_substr(
+            argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+        )
+    elif argv and argv[0] == "semdedup":
         main_semdedup(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.01", "0.1")]
         )

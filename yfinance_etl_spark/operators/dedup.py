@@ -23,7 +23,7 @@ bookkeeping only.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -586,3 +586,161 @@ def editdistance_neardup(docs: DataFrame, k: int = 4, method: str = "passjoin") 
     long_side = base.filter(F.col("len") >= nb)
     cand = _ed_passjoin_candidates(long_side, k).unionByName(short_cand)
     return _ed_verify(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr") +
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+#: default minimum shared-run length in CHARACTERS (Lee et al. use 50 BPE
+#: tokens; 32 chars is the analogous operating point for the fixture corpus)
+SUBSTR_MIN_LEN = 32
+
+#: winnowing window in grams: any shared run of >= SUBSTR_MIN_LEN + w - 1
+#: chars contains a full window of w shared grams, whose (hash, pos)-min is
+#: selected identically in both documents -> guaranteed shared fingerprint
+WINNOW_W = 8
+
+
+def char_grams(docs: DataFrame, L: int = SUBSTR_MIN_LEN) -> DataFrame:
+    """(doc_id, pos, gm): every length-L character gram of every document
+    long enough to hold one (0-based pos). One generate-per-row projection
+    — no shuffle; output volume is ~corpus-chars rows (each carrying an
+    L-char gram), the linear blow-up the ExactSubstr join pays for
+    exactness. The filter drops NULL and too-short texts in one predicate
+    (NULL length compares to nothing)."""
+    return docs.filter(F.length("text") >= L).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, length(text) - {L}),"
+                   f" i -> substring(text, i + 1, {L}))")
+        ).alias("pos", "gm"),
+    )
+
+
+def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint positions: for every window of ``w``
+    consecutive grams of a document, select the gram with the smallest
+    (md5(gram), pos) key — the SIGMOD'03 document-fingerprinting scheme.
+    Selection is content-defined (depends only on gram hashes inside the
+    window), so two documents sharing a run of >= w grams select the SAME
+    gram somewhere inside it: any shared substring of
+    >= L + w - 1 characters is GUARANTEED a shared fingerprint.
+
+    The (hash, pos) argmin travels as one lexicographic string key
+    (fixed-width md5 hex + ':' + zero-padded pos) so a single windowed
+    MIN computes it — the identical expression runs in DuckDB, which is
+    what keeps the winnowed tier oracle-replayable. Cost: one window per
+    document ordered by pos (a doc-partitioned sort, no cross-doc
+    shuffle beyond the doc_id hash), output ~2/(w+1) of the grams."""
+    key = F.concat(
+        F.md5(F.col("gm")), F.lit(":"), F.lpad(F.col("pos").cast("string"), 10, "0")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = grams.select(
+        "doc_id", F.min(key).over(win).alias("mk")
+    ).distinct()
+    return sel.select(
+        "doc_id", F.substring("mk", 34, 10).cast("bigint").alias("pos")
+    )
+
+
+def _merge_diagonal_spans(matches: DataFrame, L: int) -> DataFrame:
+    """(doc_a, doc_b, max_span, n_spans) from raw gram matches
+    (da, db, pa, pb): consecutive gram matches on the same diagonal
+    (pa - pb constant, pa incrementing) are ONE maximal shared run of
+    count + L - 1 characters — the classic gaps-and-islands merge, as a
+    window + two aggregations all keyed under (da, db), so everything
+    after the match join is a single partitioning family."""
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = matches.select(
+        "da", "db", "pa", diag
+    ).withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("da", "db", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(L - 1)).alias("span_len")
+    )
+    return spans.groupBy("da", "db").agg(
+        F.max("span_len").alias("max_span"),
+        F.count(F.lit(1)).alias("n_spans"),
+    ).select(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+        "max_span", "n_spans",
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = SUBSTR_MIN_LEN,
+    winnow_w: int | None = None,
+) -> DataFrame:
+    """Exact-substring near-dup (Lee et al.'s ExactSubstr, re-expressed
+    relationally): (doc_a, doc_b, max_span, n_spans) for every document
+    pair sharing a verbatim character run of >= ``min_len`` — max_span is
+    the longest such run, n_spans the number of maximal runs. Unlike the
+    shingle/MinHash tiers this is positional: it reports WHERE-sized
+    overlap (the quantity Lee et al. cut at 50 tokens), not set
+    similarity, and catches the boilerplate/quotation class of dups that
+    survive whole-document fingerprints.
+
+    Shape: gram generation is a map-only explode; the match join is an
+    equi-join ON THE GRAM ITSELF (grams shared by zero pairs never fan
+    out — cost tracks shared text, not |docs|²; at true scale the join
+    key would be a 64-bit gram hash with an equality verify, the same
+    payload-narrowing trade as the PassJoin index); the span merge is
+    one (da, db)-keyed window + aggregation family.
+
+    ``winnow_w`` = the scale tier: only winnowing-selected fingerprint
+    grams (~2/(w+1) of all grams — measured 7.7× fewer at w=8 on the
+    fixture) enter a candidate join; the exact gram join then runs only
+    over documents appearing in some candidate pair, and the pair filter
+    keeps exactly the candidate pairs. Every pair sharing a run of
+    >= min_len + w - 1 chars is guaranteed found (winnowing's detection
+    bound); shorter runs may drop — the measured trade is in the
+    kind="substr" scale sweep.
+    """
+    grams = char_grams(docs, min_len)
+    a, b = grams.alias("a"), grams.alias("b")
+    pair_cond = (F.col("a.gm") == F.col("b.gm")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if winnow_w is None:
+        matches = a.join(b, pair_cond).select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+        )
+        return _merge_diagonal_spans(matches, min_len)
+    fp = winnow_select(grams, winnow_w).join(grams, ["doc_id", "pos"])
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    cand = (
+        fa.join(
+            fb,
+            (F.col("fa.gm") == F.col("fb.gm"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("da"), F.col("fb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    docs_in = (
+        cand.select(F.col("da").alias("doc_id"))
+        .unionByName(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    g2 = grams.join(docs_in, "doc_id", "left_semi")
+    a2, b2 = g2.alias("a"), g2.alias("b")
+    matches = (
+        a2.join(b2, pair_cond)
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+        )
+        .join(cand, ["da", "db"], "left_semi")
+    )
+    return _merge_diagonal_spans(matches, min_len)

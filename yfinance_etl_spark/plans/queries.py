@@ -3903,6 +3903,98 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup (operators/dedup.py::substring_dup_spans — Lee et
+# al.'s ExactSubstr re-expressed relationally, + the Schleimer/Wilkerson/
+# Aiken winnowing fingerprint tier). Oracles replay the whole pipeline:
+# gram explode, gram-equality match join, gaps-and-islands diagonal merge;
+# the winnowed tier adds the identical lexicographic (md5, pos)-min window
+# selection, candidate pair join, and pair-restricted exact verify.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_L, _SUBSTR_W = 32, 8
+
+_SUBSTR_GRAMS_CTE = f"""
+g AS (
+  SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), {_SUBSTR_L}) AS gm
+  FROM documents, unnest(range(0, greatest(length(text) - {_SUBSTR_L} + 1, 0))) AS t(i)
+  WHERE length(text) >= {_SUBSTR_L}
+)"""
+
+
+def _substr_span_tail(match_cte: str) -> str:
+    return f"""
+runs AS (
+  SELECT da, db, pa, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+  FROM {match_cte}
+),
+spans AS (
+  SELECT da, db, CAST(COUNT(*) + {_SUBSTR_L} - 1 AS BIGINT) AS span_len
+  FROM runs GROUP BY da, db, diag, grp
+)
+SELECT da AS doc_a, db AS doc_b, MAX(span_len) AS max_span, COUNT(*) AS n_spans
+FROM spans GROUP BY da, db
+"""
+
+
+_SUBSTR_SQL = f"""
+WITH {_SUBSTR_GRAMS_CTE},
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+),
+{_substr_span_tail('m')}
+"""
+
+_SUBSTR_WINNOW_SQL = f"""
+WITH {_SUBSTR_GRAMS_CTE},
+keyed AS (
+  SELECT doc_id, pos,
+         MIN(md5(gm) || ':' || lpad(CAST(pos AS VARCHAR), 10, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {_SUBSTR_W - 1} PRECEDING AND CURRENT ROW) AS mk
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, CAST(substr(mk, 34, 10) AS BIGINT) AS pos FROM keyed),
+fp AS (SELECT g.doc_id, g.pos, g.gm FROM sel JOIN g USING (doc_id, pos)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM fp a JOIN fp b ON a.gm = b.gm AND a.doc_id < b.doc_id
+),
+docs_in AS (SELECT da AS doc_id FROM cand UNION SELECT db FROM cand),
+g2 AS (SELECT * FROM g WHERE doc_id IN (SELECT doc_id FROM docs_in)),
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM g2 a JOIN g2 b ON a.gm = b.gm AND a.doc_id < b.doc_id
+  WHERE (a.doc_id, b.doc_id) IN (SELECT (da, db) FROM cand)
+),
+{_substr_span_tail('m')}
+"""
+
+
+@_register("substring_dup_spans", _SUBSTR_SQL)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tier: every pair sharing a verbatim >= 32-char run, with the
+    longest-run length and maximal-run count (positional overlap — the
+    quantity Lee et al. threshold at 50 tokens)."""
+    from yfinance_etl_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_t(spark, sf_dir, "documents"), _SUBSTR_L)
+
+
+@_register("substring_dup_winnowed", _SUBSTR_WINNOW_SQL)
+def q_substring_dup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed scale tier: candidate pairs from fingerprint grams only
+    (~2/(w+1) of the gram volume), exact span verify restricted to them;
+    pairs sharing >= L + w - 1 chars are guaranteed found."""
+    from yfinance_etl_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), _SUBSTR_L, winnow_w=_SUBSTR_W
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy quality score (operators/quality.py::char_entropy):
 # alphabet-sized exchange after map-side partial agg; decimal-summed
 # -p·ln(p) terms so the float sum is order-insensitive cross-engine (the
@@ -4032,6 +4124,8 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "substring_dup_spans",  # NEW r9 (ExactSubstr positional dedup)
+    "substring_dup_winnowed",  # NEW r9 (winnowing fingerprint tier)
     "semantic_dedup",  # NEW r9 (SemDeDup cluster-blocked near-dup)
     "winsorized_order_value",  # NEW r9 (quantile-clipped robust agg)
     "dedup_editdistance",  # NEW r9 (PassJoin edit-distance near-dup)

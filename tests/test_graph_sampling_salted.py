@@ -369,3 +369,66 @@ def test_weighted_sample_is_weight_proportional(spark):
     top5 = {r.doc_id for r in weighted_sample(df, "w", "doc_id", k=5).collect()}
     assert 7 in top5
     assert weighted_sample(df, "w", "doc_id", k=40).count() == 40
+
+
+def test_temperature_rates_hand_computed(spark):
+    """Skewed two-strata fixture at T=2, budget 0.8N: rates follow
+    B·sqrt(n)/Z/n with the tail stratum boosted past the cap."""
+    import math
+
+    from yfinance_etl_spark.operators.sampling import temperature_rates
+
+    counts = spark.createDataFrame(
+        [("head", 900), ("tail", 100)], "stratum string, n_docs long"
+    )
+    got = {
+        r.stratum: (r.n_docs, r.rate_ppm)
+        for r in temperature_rates(counts, "stratum").collect()
+    }
+    z = math.sqrt(900) + math.sqrt(100)
+    b = 0.8 * 1000
+    exp_head = round(1e6 * b * math.sqrt(900) / z / 900)
+    exp_tail = min(1_000_000, round(1e6 * b * math.sqrt(100) / z / 100))
+    assert got == {"head": (900, exp_head), "tail": (100, exp_tail)}
+    assert got["tail"][1] == 1_000_000  # boosted past the cap
+    assert got["head"][1] < 1_000_000
+
+
+def test_temperature_one_is_uniform_downsample(spark):
+    # T=1: q_s = p_s, so every stratum gets the same per-row rate B/N
+    from yfinance_etl_spark.operators.sampling import temperature_rates
+
+    counts = spark.createDataFrame(
+        [("a", 700), ("b", 200), ("c", 100)], "stratum string, n_docs long"
+    )
+    rates = {
+        r.stratum: r.rate_ppm
+        for r in temperature_rates(counts, "stratum", temperature=1.0,
+                                   budget_frac=0.5).collect()
+    }
+    assert len(set(rates.values())) == 1
+    assert abs(next(iter(rates.values())) - 500_000) <= 1
+
+
+def test_temperature_mix_partition_invariant_and_tail_boosted(spark):
+    from yfinance_etl_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    base = {r.doc_id for r in temperature_mix(docs, "lang", "doc_id").collect()}
+    re = {
+        r.doc_id
+        for r in temperature_mix(docs.repartition(17), "lang", "doc_id").collect()
+    }
+    assert base == re  # membership derives from (salt, key) alone
+    # flattening must lift the tail's sampled SHARE above its natural share
+    import collections
+
+    nat = collections.Counter(r.lang for r in docs.collect())
+    samp = collections.Counter(
+        r.lang for r in temperature_mix(docs, "lang", "doc_id").collect()
+    )
+    tail = min(nat, key=nat.get)
+    head = max(nat, key=nat.get)
+    assert samp[tail] / nat[tail] > samp[head] / nat[head]

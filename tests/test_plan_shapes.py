@@ -492,3 +492,21 @@ def test_substring_dedup_match_join_is_equi_join(spark):
     assert "Generate" in plan  # the posexplode gram fan-out
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
+
+
+def test_temperature_mix_fact_never_shuffles_for_the_join(spark):
+    # rates broadcast back (stratum-cardinality rows): the fact side
+    # reaches its membership filter through a BroadcastHashJoin, never a
+    # shuffle. Hash exchanges: the stratum-count aggregate appears in BOTH
+    # rate branches (identical subplans — AQE's exchange reuse collapses
+    # them at runtime) plus the final summary agg — every one of them
+    # map-side combined down to stratum-cardinality rows before moving.
+    # The 1-row normalizer joins via the standard 1-row broadcast BNLJ.
+    plan = _plan(spark, "temperature_mix_lang")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
+    # the fact scan feeds the join directly: no exchange between the
+    # documents scan and the BroadcastHashJoin probe side
+    probe = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe, probe

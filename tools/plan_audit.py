@@ -115,6 +115,13 @@ AUDITS: dict[str, str] = {
         "shared text); the diagonal merge window and both aggregations "
         "all hash under (da, db), one partitioning family after the join."
     ),
+    "temperature_mix_lang": (
+        "Mixture sampling never shuffles the fact: stratum counts map-side "
+        "combine to stratum-cardinality rows, rates broadcast back, and "
+        "membership is a per-row md5-bucket filter under the "
+        "BroadcastHashJoin; the 1-row normalizer rides the standard 1-row "
+        "broadcast nested-loop."
+    ),
     "winsorized_order_value": (
         "Two-pass quantile clip: the bounds aggregate is group-cardinality"
         "-sized and joins back via BroadcastHashJoin (the fact side never "

@@ -218,3 +218,85 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def temperature_rates(
+    counts: DataFrame,
+    strata_col: str,
+    n_col: str = "n_docs",
+    temperature: float = 2.0,
+    budget_frac: float = 0.8,
+) -> DataFrame:
+    """Per-stratum acceptance rates for temperature-flattened mixture
+    sampling (the multilingual pretraining rule — mC4 / XLM-R style
+    alpha-sampling): stratum s with share p_s = n_s/N is drawn with
+    probability q_s ∝ p_s^(1/T), which flattens the head and boosts the
+    tail as T rises (T=1 keeps natural proportions; T→∞ equalizes mass
+    per stratum). With a total budget of ``budget_frac``·N rows, the
+    per-ROW acceptance rate is r_s = B·q_s/n_s, capped at 1 (a stratum
+    too small for its boosted share contributes everything it has — the
+    shortfall is visible as rate_ppm = 1e6).
+
+    Input is the per-stratum count frame (strata_col, n_col) — stratum
+    cardinality rows, so everything here is driver-trivial and the
+    result broadcasts. Rates are emitted as INTEGER parts-per-million
+    (``rate_ppm``) so the membership predicate and the final counts are
+    integer-exact cross-engine. Float exposure: T=2.0 routes through
+    SQRT (IEEE-correctly-rounded in BOTH engines — bit-identical); other
+    temperatures ride pow(), where Java vs libm agreement is ULP-level —
+    a flip requires r_s·1e6 to land within an ULP of a .5 boundary
+    (the oracle gate's boundary-proximity alarm quantifies exposure).
+    The normalizer Z = Σ w_s is an order-insensitive exact decimal sum.
+    """
+    from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
+
+    n = F.col(n_col)
+    w = F.sqrt(n) if temperature == 2.0 else F.pow(n, F.lit(1.0 / temperature))
+    weighted = counts.select(strata_col, n.alias(n_col), w.alias("__w"))
+    z = weighted.agg(
+        dsum("__w", STAT_SCALE).alias("__z"), F.sum(n_col).alias("__N")
+    )
+    rate = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.round(
+            F.lit(1e6) * (F.lit(budget_frac) * F.col("__N")) * F.col("__w")
+            / F.col("__z") / n,
+            0,
+        ).cast("bigint"),
+    )
+    return weighted.crossJoin(F.broadcast(z)).select(
+        strata_col, n_col, rate.alias("rate_ppm")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    temperature: float = 2.0,
+    budget_frac: float = 0.8,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened mixture sample of ``df`` (see
+    ``temperature_rates``): keep a row iff its salted md5 bucket (out of
+    1e6) falls under its stratum's rate_ppm. Same determinism contract
+    as the split/stratified family — reproducible across runs, engines,
+    and partition layouts from (salt, key) alone.
+
+    Scale shape: one count aggregate over the fact (map-side combined to
+    stratum cardinality), a stratum-sized broadcast back, and a pure
+    per-row filter — the fact never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = temperature_rates(
+        counts, strata_col, "n_docs", temperature, budget_frac
+    )
+    b = hash_bucket(
+        F.concat(
+            F.lit(f"{salt}:"), F.coalesce(F.col(key).cast("string"), F.lit("\x00"))
+        ),
+        1_000_000,
+    )
+    # rates travels whole (stratum, n_docs, rate_ppm): downstream summaries
+    # group on the carried columns instead of re-scanning the fact
+    return df.join(F.broadcast(rates), strata_col).filter(b < F.col("rate_ppm"))

@@ -3328,6 +3328,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling (operators/sampling.py::
+# temperature_mix — the mC4/XLM-R multilingual alpha-sampling rule): stratum
+# share p_s is flattened to q_s ∝ p_s^(1/T); per-row acceptance r_s =
+# budget·q_s/n_s capped at 1, emitted as INTEGER ppm so membership and
+# counts are integer-exact. T=2 → SQRT (bit-identical cross-engine); the
+# normalizer is an exact decimal sum. Budget 0.8·N deliberately drives the
+# smallest stratum past the cap so the LEAST branch is exercised.
+# ---------------------------------------------------------------------------
+
+_TMIX_T, _TMIX_FRAC = 2.0, 0.8
+
+_TMIX_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+z AS (
+  SELECT {S.dsum('SQRT(n_docs)', S.STAT_SCALE)} AS zz, SUM(n_docs) AS nn FROM c
+),
+r AS (
+  SELECT lang, n_docs,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(ROUND(1e6 * ({_TMIX_FRAC} * nn) * SQRT(n_docs) / zz / n_docs, 0)
+                    AS BIGINT)) AS rate_ppm
+  FROM c CROSS JOIN z
+),
+s AS (
+  SELECT d.lang, r.n_docs, r.rate_ppm
+  FROM documents d JOIN r USING (lang)
+  WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000000 < r.rate_ppm
+)
+SELECT lang, n_docs, rate_ppm, COUNT(*) AS n_sampled
+FROM s GROUP BY lang, n_docs, rate_ppm
+"""
+
+
+@_register("temperature_mix_lang", _TMIX_SQL)
+def q_temperature_mix_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = temperature_mix(
+        docs, "lang", "doc_id", temperature=_TMIX_T, budget_frac=_TMIX_FRAC
+    )
+    return sampled.groupBy("lang", "n_docs", "rate_ppm").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing (training-data sharding): documents in doc_id
 # order packed into ~2000-token shards via the DISTRIBUTED prefix-sum
 # (range partition → per-range window → k-scalar offset broadcast) — never
@@ -4124,6 +4172,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "temperature_mix_lang",  # NEW r9 (mC4-style alpha-sampling)
     "substring_dup_spans",  # NEW r9 (ExactSubstr positional dedup)
     "substring_dup_winnowed",  # NEW r9 (winnowing fingerprint tier)
     "semantic_dedup",  # NEW r9 (SemDeDup cluster-blocked near-dup)

@@ -432,3 +432,67 @@ def test_temperature_mix_partition_invariant_and_tail_boosted(spark):
     tail = min(nat, key=nat.get)
     head = max(nat, key=nat.get)
     assert samp[tail] / nat[tail] > samp[head] / nat[head]
+
+
+def test_dsir_log_weights_hand_computed(spark):
+    """Tiny two-vocabulary corpus: replicate the hashed-unigram DSIR
+    formula in Python (same md5 buckets, Laplace smoothing, 6dp
+    quantization) and check values + ordering."""
+    import hashlib
+    import math
+
+    from yfinance_etl_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        (0, "en", "alpha alpha alpha"),
+        (1, "en", "alpha beta"),
+        (2, "de", "beta beta beta beta"),
+        (3, "de", "alpha beta beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.n_toks, r.logw)
+        for r in dsir_log_weights(docs, F.col("lang") == "en").collect()
+    }
+
+    def f(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+
+    c_raw, c_tgt = {}, {}
+    for _, lang, text in rows:
+        for tok in text.split():
+            c_raw[f(tok)] = c_raw.get(f(tok), 0) + 1
+            if lang == "en":
+                c_tgt[f(tok)] = c_tgt.get(f(tok), 0) + 1
+    t_raw, t_tgt = sum(c_raw.values()), sum(c_tgt.values())
+    lr = {
+        k: round(
+            math.log(((c_tgt.get(k, 0) + 1) / (t_tgt + 256))
+                     / ((c_raw[k] + 1) / (t_raw + 256))), 6)
+        for k in c_raw
+    }
+    for doc_id, lang, text in rows:
+        n, w = got[doc_id]
+        assert n == len(text.split())
+        exp = round(sum(lr[f(tok)] for tok in text.split()), 6)
+        assert abs(w - exp) < 1e-6, (doc_id, w, exp)
+    # the all-target-vocabulary doc outranks the all-raw-vocabulary doc
+    assert got[0][1] > got[2][1]
+
+
+def test_dsir_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    a = {(r.doc_id, r.n_toks, r.logw)
+         for r in dsir_log_weights(docs, F.col("lang") == "en").collect()}
+    b = {(r.doc_id, r.n_toks, r.logw)
+         for r in dsir_log_weights(
+             docs.repartition(13), F.col("lang") == "en").collect()}
+    assert a == b

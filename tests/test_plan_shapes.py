@@ -510,3 +510,14 @@ def test_temperature_mix_fact_never_shuffles_for_the_join(spark):
     # documents scan and the BroadcastHashJoin probe side
     probe = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe, probe
+
+
+def test_dsir_topk_broadcasts_ratio_table_and_heaps(spark):
+    # the 256-row log-ratio table must broadcast into the per-doc scoring
+    # join, and the top-20 must plan the k-heap TakeOrderedAndProject,
+    # never a global sort of the scored corpus
+    plan = _plan(spark, "dsir_importance_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

@@ -122,6 +122,12 @@ AUDITS: dict[str, str] = {
         "BroadcastHashJoin; the 1-row normalizer rides the standard 1-row "
         "broadcast nested-loop."
     ),
+    "dsir_importance_topk": (
+        "The 256-row log-ratio table (target and raw counted in one "
+        "conditional-sum pass) broadcasts into the per-doc scoring join; "
+        "the top-20 is TakeOrderedAndProject — per-partition k-heaps plus "
+        "a k-row driver merge, never a global sort of the scored corpus."
+    ),
     "winsorized_order_value": (
         "Two-pass quantile clip: the bounds aggregate is group-cardinality"
         "-sized and joins back via BroadcastHashJoin (the fact side never "

@@ -300,3 +300,84 @@ def temperature_mix(
     # rates travels whole (stratum, n_docs, rate_ppm): downstream summaries
     # group on the carried columns instead of re-scanning the fact
     return df.join(F.broadcast(rates), strata_col).filter(b < F.col("rate_ppm"))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-unigram bag is under the
+    TARGET distribution (rows matching ``target_pred``) than under the
+    raw corpus — log w(x) = Σ_t log(p_tgt(f_t) / p_raw(f_t)) over the
+    doc's token features, with Laplace smoothing on both sides. High-
+    scoring raw docs are the ones to up-sample when fitting a pretraining
+    mixture to a target domain; the resample step composes with
+    ``weighted_sample`` (weight = exp(logw)).
+
+    Returns (id_col, n_toks, logw), logw rounded to 6dp.
+
+    Determinism: features are md5-hash buckets (first 2 hex chars →
+    256 bins — the hashed-ngram generative model of the paper, which is
+    what makes DSIR corpus-scale: the "model" is one n_features-row
+    count table, not a trained network); counts are integers; each
+    feature's log-ratio is rounded to 6dp BEFORE use (quantizing away
+    ln()'s cross-engine ULP exposure), and the per-doc sum of
+    count × ratio runs through the exact decimal sum.
+
+    Scale shape: one token explode + (feature)-keyed count aggregate
+    (map-side combined to n_features cells, target and raw counted in
+    the SAME pass via a conditional sum); the n_features-row ratio table
+    broadcasts; per-doc scoring is a (doc, feature)-grouped count joined
+    against the broadcast — the corpus crosses the wire once, for the
+    doc-keyed aggregate.
+    """
+    from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
+
+    toks = docs.select(
+        id_col,
+        target_pred.cast("int").alias("__tgt"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+        ).alias("__tok"),
+    ).select(
+        id_col,
+        "__tgt",
+        F.conv(F.substring(F.md5("__tok"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("__f"),
+    )
+    feat = toks.groupBy("__f").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum("__tgt").alias("__c_tgt"),
+    )
+    tot = feat.agg(
+        F.sum("__c_raw").alias("__t_raw"), F.sum("__c_tgt").alias("__t_tgt")
+    )
+    # Laplace-smoothed log ratio, quantized per feature: integer counts in,
+    # one ln() out, snapped to the 6dp grid both engines agree on
+    ratio = F.round(
+        F.log(
+            ((F.col("__c_tgt") + 1).cast("double") / (F.col("__t_tgt") + n_features))
+            / ((F.col("__c_raw") + 1).cast("double") / (F.col("__t_raw") + n_features))
+        ),
+        6,
+    )
+    table = F.broadcast(
+        feat.crossJoin(F.broadcast(tot)).select("__f", ratio.alias("__lr"))
+    )
+    per_doc = toks.groupBy(id_col, "__f").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_doc.join(table, "__f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_toks"),
+            F.round(
+                dsum(F.col("__c") * F.col("__lr"), STAT_SCALE), 6
+            ).alias("logw"),
+        )
+    )

@@ -3376,6 +3376,46 @@ def q_temperature_mix_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/sampling.py::dsir_log_weights —
+# Xie et al. 2023, arXiv:2302.03169): hashed-unigram bag log-likelihood
+# ratio of target (lang='en') vs raw corpus, Laplace-smoothed, per-feature
+# log-ratio quantized at 6dp before the exact-decimal per-doc sum. Query =
+# the top-20 docs a target-fitting mixture would up-sample.
+# ---------------------------------------------------------------------------
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS f
+  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t(tok)
+),
+feat AS (SELECT f, COUNT(*) AS c_raw, SUM(tgt) AS c_tgt FROM toks GROUP BY f),
+tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM feat),
+tbl AS (
+  SELECT f, ROUND(LN(((c_tgt + 1) / CAST(t_tgt + 256 AS DOUBLE))
+                     / ((c_raw + 1) / CAST(t_raw + 256 AS DOUBLE))), 6) AS lr
+  FROM feat CROSS JOIN tot
+),
+per_doc AS (SELECT doc_id, f, COUNT(*) AS c FROM toks GROUP BY doc_id, f)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+       ROUND({S.dsum('c * lr', S.STAT_SCALE)}, 6) AS logw
+FROM per_doc JOIN tbl USING (f)
+GROUP BY doc_id
+ORDER BY logw DESC, doc_id
+LIMIT 20
+"""
+
+
+@_register("dsir_importance_topk", _DSIR_SQL)
+def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = dsir_log_weights(docs, F.col("lang") == "en")
+    return w.orderBy(F.desc("logw"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing (training-data sharding): documents in doc_id
 # order packed into ~2000-token shards via the DISTRIBUTED prefix-sum
 # (range partition → per-range window → k-scalar offset broadcast) — never
@@ -4172,6 +4212,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "dsir_importance_topk",  # NEW r9 (DSIR importance resampling)
     "temperature_mix_lang",  # NEW r9 (mC4-style alpha-sampling)
     "substring_dup_spans",  # NEW r9 (ExactSubstr positional dedup)
     "substring_dup_winnowed",  # NEW r9 (winnowing fingerprint tier)

@@ -612,3 +612,40 @@ def test_winnow_select_is_content_defined(spark):
     shared_sel = sel[0] & sel[1]
     # grams fully inside the shared middle, selected in BOTH docs
     assert any(g in mid for g in shared_sel), (sel[0], sel[1])
+
+
+def test_substring_contamination_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import substring_contamination
+
+    leak = "this exact benchmark passage leaks into the training corpus verbatim"
+    rows = [
+        (0, "bench doc alpha >> " + leak + " << plus trailing prose"),   # bench
+        (1, "candidate one copies: " + leak),                            # cand, hit
+        (2, "clean candidate with its own long unrelated content here"), # cand
+        (3, "another bench document " + leak),                           # bench
+        (4, "candidate two also quotes " + leak + " at length"),         # cand, hit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.n_bench_docs, r.max_span)
+        for r in substring_contamination(
+            docs, F.col("doc_id").isin(0, 3), min_len=32
+        ).collect()
+    }
+    # both leaking candidates flag against BOTH bench docs; the clean one
+    # and the bench docs themselves never appear
+    assert set(out) == {1, 4}
+    assert out[1][0] == 2 and out[4][0] == 2
+    # the evidence span covers at least the leaked passage (flanked chars
+    # may extend it on matching boundaries)
+    assert out[1][1] >= len(leak)
+    assert out[4][1] >= len(leak)
+    # raising the threshold beyond the leak length clears the drop-list
+    assert (
+        substring_contamination(
+            docs, F.col("doc_id").isin(0, 3), min_len=len(leak) + 20
+        ).count()
+        == 0
+    )

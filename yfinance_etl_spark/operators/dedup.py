@@ -744,3 +744,43 @@ def substring_dup_spans(
         .join(cand, ["da", "db"], "left_semi")
     )
     return _merge_diagonal_spans(matches, min_len)
+
+
+def substring_contamination(
+    docs: DataFrame,
+    bench_pred,
+    min_len: int = SUBSTR_MIN_LEN,
+) -> DataFrame:
+    """Cross-set exact-substring decontamination (the Lee et al. 2021
+    standard: a training doc is contaminated if it shares a verbatim run
+    of >= ``min_len`` chars with ANY benchmark doc — stricter than the
+    shingle-count overlap of ``contamination_overlap``, and positional:
+    the span length is the evidence). ``bench_pred`` is a boolean Column
+    over ``docs`` marking benchmark membership; everything else is a
+    candidate. Returns (doc_id, n_bench_docs, max_span) per contaminated
+    CANDIDATE — its drop-list row.
+
+    Shape: both sides share ONE ``char_grams`` subplan (split by the
+    predicate); the match is an equi-join on the gram. A real benchmark
+    suite is tiny relative to the corpus, so its gram side broadcasts
+    (AQE picks this up from the post-filter size without a hint — and a
+    hint would be wrong for the general case: the join degrades
+    gracefully to a gram-keyed shuffle when the benchmark side is
+    genuinely large, still never all-pairs). The span merge reuses the
+    ExactSubstr diagonal machinery, then collapses to one row per
+    candidate doc.
+    """
+    # split BEFORE gramming: the predicate is a map-side filter on the
+    # doc scan, so neither gram side ever joins back to a doc-level flag
+    bench = char_grams(docs.filter(bench_pred), min_len).select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gm"
+    )
+    cand = char_grams(docs.filter(~bench_pred), min_len).select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gm"
+    )
+    matches = cand.join(bench, "gm").select("da", "db", "pa", "pb")
+    spans = _merge_diagonal_spans(matches, min_len)
+    return spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_bench_docs"),
+        F.max("max_span").alias("max_span"),
+    )

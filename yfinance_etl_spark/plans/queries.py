@@ -4009,7 +4009,10 @@ g AS (
 )"""
 
 
-def _substr_span_tail(match_cte: str) -> str:
+def _substr_span_ctes(match_cte: str) -> str:
+    """CTE fragment (runs, spans) for the gaps-and-islands diagonal merge
+    over a (da, db, pa, pb) match CTE — shared by the self-join dedup
+    oracles and the cross-set contamination oracle."""
     return f"""
 runs AS (
   SELECT da, db, pa, pa - pb AS diag,
@@ -4019,10 +4022,17 @@ runs AS (
 spans AS (
   SELECT da, db, CAST(COUNT(*) + {_SUBSTR_L} - 1 AS BIGINT) AS span_len
   FROM runs GROUP BY da, db, diag, grp
-)
+)"""
+
+
+_SUBSTR_PAIR_SELECT = """
 SELECT da AS doc_a, db AS doc_b, MAX(span_len) AS max_span, COUNT(*) AS n_spans
 FROM spans GROUP BY da, db
 """
+
+
+def _substr_span_tail(match_cte: str) -> str:
+    return f"{_substr_span_ctes(match_cte)}\n{_SUBSTR_PAIR_SELECT}"
 
 
 _SUBSTR_SQL = f"""
@@ -4058,6 +4068,34 @@ m AS (
 ),
 {_substr_span_tail('m')}
 """
+
+
+_SUBSTR_CONTAM_SQL = f"""
+WITH {_SUBSTR_GRAMS_CTE},
+m AS (
+  SELECT c.doc_id AS da, b.doc_id AS db, c.pos AS pa, b.pos AS pb
+  FROM (SELECT * FROM g WHERE doc_id % 7 <> 3) c
+  JOIN (SELECT * FROM g WHERE doc_id % 7 = 3) b USING (gm)
+),
+{_substr_span_ctes('m').lstrip()},
+pairs AS ({_SUBSTR_PAIR_SELECT})
+SELECT doc_a AS doc_id, COUNT(*) AS n_bench_docs, MAX(max_span) AS max_span
+FROM pairs GROUP BY doc_a
+"""
+
+
+@_register("contamination_substring", _SUBSTR_CONTAM_SQL)
+def q_contamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set decontamination at the Lee et al. operating standard:
+    a candidate doc is flagged if it shares a verbatim >= 32-char run
+    with any benchmark doc (here the deterministic doc_id % 7 == 3
+    subset) — the positional-evidence sibling of `contamination_check`'s
+    shingle-count overlap."""
+    from yfinance_etl_spark.operators.dedup import substring_contamination
+
+    return substring_contamination(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") % 7 == 3, _SUBSTR_L
+    )
 
 
 @_register("substring_dup_spans", _SUBSTR_SQL)
@@ -4212,6 +4250,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "contamination_substring",  # NEW r9 (ExactSubstr decontamination)
     "dsir_importance_topk",  # NEW r9 (DSIR importance resampling)
     "temperature_mix_lang",  # NEW r9 (mC4-style alpha-sampling)
     "substring_dup_spans",  # NEW r9 (ExactSubstr positional dedup)

@@ -649,3 +649,43 @@ def test_substring_contamination_hand_computed(spark):
         ).count()
         == 0
     )
+
+
+def test_semantic_dedup_excludes_null_embeddings(spark):
+    """NULL text → NULL embedding: excluded by contract (r9 review — a
+    NULL in the seed window used to die collecting; a NULL member
+    silently fell out of Spark's centroid means while the oracle still
+    counted it)."""
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+    from yfinance_etl_spark.operators.rag import hash_embed
+
+    rows = [(0, None), (1, "alpha beta"), (2, "alpha beta"),
+            (3, "gamma delta"), (4, None)]
+    docs = spark.createDataFrame(rows, "vec_id bigint, text string")
+    embs = docs.select("vec_id", hash_embed("text").alias("embedding"))
+    out = semantic_dedup(embs, k=2, iters=1, tau=0.99, probes=1).collect()
+    assert sum(r.n_vecs for r in out) == 3  # the two NULL docs excluded
+    assert sum(r.n_pruned for r in out) == 1  # doc 2 pruned by doc 1
+
+
+def test_probe_assign_rejects_non_finite_centroids(spark):
+    # the shared literal builder must raise with ids, not a Catalyst
+    # parse error (the guard assign() already had — r9 review found
+    # probe_assign lost it in the copy)
+    from yfinance_etl_spark.operators.clustering import probe_assign
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, vec array<double>"
+    )
+    with pytest.raises(ValueError, match=r"non-finite.*cent_id=\[0\]"):
+        probe_assign(vecs, [(0, [float("nan"), 0.0]), (1, [1.0, 2.0])], 1)
+
+
+def test_check_finite_rejects_null_vectors(spark):
+    from yfinance_etl_spark.operators.similarity import check_finite_vectors
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id bigint, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL or non-finite"):
+        check_finite_vectors(df, "vec", "vec_id")

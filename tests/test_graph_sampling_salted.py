@@ -496,3 +496,21 @@ def test_dsir_partition_invariant(spark):
          for r in dsir_log_weights(
              docs.repartition(13), F.col("lang") == "en").collect()}
     assert a == b
+
+
+def test_temperature_mix_samples_null_strata(spark):
+    """NULL-stratum rows must stay sampleable (r9 review: the plain
+    equi-join silently dropped them while their count still inflated the
+    budget and normalizer)."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mix(df, "lang", "doc_id", budget_frac=0.9)
+    by = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    # both strata (including NULL) contribute sampled rows
+    assert by.get("a", 0) > 0 and by.get(None, 0) > 0
+    # rates carried through are per-stratum: 100 docs each
+    assert {r.n_docs for r in out.select("n_docs").distinct().collect()} == {100}

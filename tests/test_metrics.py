@@ -209,8 +209,8 @@ def test_winsorized_stats_hand_computed(spark):
     from yfinance_etl_spark.operators.metrics import winsorized_stats
 
     # group g: values 0..10 plus an outlier 1000. p05/p95 (linear interp
-    # over sorted 12 values): lo = 0.55, hi = 505.49999999999966 — the
-    # outlier clips to hi, the 0 clips to lo
+    # over sorted 12 values): lo = 0.05*11 = 0.55, hi = values[10] +
+    # 0.45*(1000-10) = 455.5 — the outlier clips to hi, the 0 clips to lo
     rows = [("g", float(v)) for v in range(11)] + [("g", 1000.0)]
     df = spark.createDataFrame(rows, "grp string, x double")
     out = winsorized_stats(df, "grp", "x", 0.05, 0.95).collect()

@@ -77,24 +77,13 @@ def _sqdist(a, b):
     )
 
 
-def assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, vec, cent_id, d2). Map-only.
-
-    ``centroids`` is the driver-side list of (cent_id, coords). The whole
-    grid enters the plan as ONE k×dim array-of-arrays literal (parsed from
-    SQL text with D-suffixed doubles — exact float64 round-trip via repr,
-    and the D suffix stops Spark's parser from typing `0.1` as DECIMAL);
-    a `transform` with index builds the k (d2, cent_id) candidate structs
-    and `array_min` picks the argmin — struct comparison orders by
-    (d2, cent_id), so ties break on the smaller cent_id, identical to the
-    oracle's ORDER BY d2, cent_id LIMIT 1. No join, no shuffle: one
-    projection. Keeping the centroid matrix as a single literal (rather
-    than unrolling k copies of the fold expression) keeps the Catalyst
-    tree O(1) in k·dim — the unrolled form cost ~3 s of analysis/codegen
-    PER ROUND at k=8, dim=64, measured.
-    """
-    # same guard as similarity.ivf_assign: a NaN/inf coordinate would turn
-    # the literal below into an opaque Catalyst parse error (r9)
+def _centroid_candidates(centroids: list[tuple[int, list[float]]]):
+    """(d2, cent_id) candidate-struct array against the k×dim centroid
+    LITERAL — shared by hard ``assign`` and soft ``probe_assign`` so the
+    literal construction, the struct tie-break, and the non-finite guard
+    can't drift apart. A NaN/inf coordinate would turn the literal into
+    an opaque Catalyst parse error; raise with the offending ids instead
+    (same contract as similarity.ivf_assign)."""
     bad = [cid for cid, coords in centroids
            if not all(math.isfinite(float(x)) for x in coords)]
     if bad:
@@ -111,12 +100,31 @@ def assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     ids = F.expr(
         "array(" + ",".join(f"{int(cid)}L" for cid, _ in centroids) + ")"
     )
-    candidates = F.transform(
+    return F.transform(
         mat,
         lambda cent, i: F.struct(
             _sqdist(F.col("vec"), cent).alias("d2"), ids[i].alias("cent_id")
         ),
     )
+
+
+def assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, vec, cent_id, d2). Map-only.
+
+    ``centroids`` is the driver-side list of (cent_id, coords). The whole
+    grid enters the plan as ONE k×dim array-of-arrays literal (parsed from
+    SQL text with D-suffixed doubles — exact float64 round-trip via repr,
+    and the D suffix stops Spark's parser from typing `0.1` as DECIMAL);
+    a `transform` with index builds the k (d2, cent_id) candidate structs
+    and `array_min` picks the argmin — struct comparison orders by
+    (d2, cent_id), so ties break on the smaller cent_id, identical to the
+    oracle's ORDER BY d2, cent_id LIMIT 1. No join, no shuffle: one
+    projection. Keeping the centroid matrix as a single literal (rather
+    than unrolling k copies of the fold expression) keeps the Catalyst
+    tree O(1) in k·dim — the unrolled form cost ~3 s of analysis/codegen
+    PER ROUND at k=8, dim=64, measured.
+    """
+    candidates = _centroid_candidates(centroids)
     return vecs.select(
         "vec_id",
         "vec",
@@ -273,21 +281,7 @@ def probe_assign(
     """
     if not 1 <= probes <= len(centroids):
         raise ValueError(f"probes must be in [1, k={len(centroids)}], got {probes}")
-    mat = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
-            for _, coords in centroids
-        ) + ")"
-    )
-    ids = F.expr(
-        "array(" + ",".join(f"{int(cid)}L" for cid, _ in centroids) + ")"
-    )
-    candidates = F.transform(
-        mat,
-        lambda cent, i: F.struct(
-            _sqdist(F.col("vec"), cent).alias("d2"), ids[i].alias("cent_id")
-        ),
-    )
+    candidates = _centroid_candidates(centroids)
     # sort once, keep the head: element 1 is bit-identical to assign()'s
     # argmin, and carrying it on every probed row ("primary_cent") is what
     # lets downstream aggregates group straight to k cells without an
@@ -348,6 +342,12 @@ def semantic_dedup(
     cosine rounded to 6 before the tau comparison), so a DuckDB oracle
     replays it exactly (plans/queries.py::_SEMDEDUP_SQL).
     """
+    # NULL embeddings (hash_embed of a NULL document) are excluded by
+    # contract, like char_grams' length filter: kmeans cannot place them
+    # (a NULL seed dies collecting, a NULL member silently falls out of
+    # centroid means while the oracle's COUNT(*) still includes it — r9
+    # review), and a NULL vector has no cosine to anything anyway
+    embs = embs.filter(F.col(vec_col).isNotNull())
     assigned, cent_df = kmeans(embs, k=k, iters=iters, vec_col=vec_col)
     centroids = [
         (r["cent_id"], list(r["cent"])) for r in cent_df.collect()

@@ -696,8 +696,8 @@ def substring_dup_spans(
     one (da, db)-keyed window + aggregation family.
 
     ``winnow_w`` = the scale tier: only winnowing-selected fingerprint
-    grams (~2/(w+1) of all grams — measured 7.7× fewer at w=8 on the
-    fixture) enter a candidate join; the exact gram join then runs only
+    grams (~2/(w+1) of all grams — measured 4.4× fewer at w=8 on the
+    fixture, kind=substr sweep) enter a candidate join; the exact gram join then runs only
     over documents appearing in some candidate pair, and the pair filter
     keeps exactly the candidate pairs. Every pair sharing a run of
     >= min_len + w - 1 chars is guaranteed found (winnowing's detection

@@ -287,19 +287,31 @@ def temperature_mix(
     stratum cardinality), a stratum-sized broadcast back, and a pure
     per-row filter — the fact never shuffles.
     """
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    rates = temperature_rates(
-        counts, strata_col, "n_docs", temperature, budget_frac
+    # NULL strata form their own stratum instead of silently dropping: a
+    # plain equi-join never matches NULL keys, so NULL-stratum rows would
+    # count into N and Z yet be unsampleable at any budget (the same
+    # silent-row-drop mode hash_bucket's NUL sentinel exists for). The
+    # sentinel joins them like any other stratum; the output keeps the
+    # original (NULL) stratum value.
+    sk = "__stratum"
+    keyed = df.withColumn(
+        sk, F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
     )
+    counts = keyed.groupBy(sk).agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = temperature_rates(counts, sk, "n_docs", temperature, budget_frac)
     b = hash_bucket(
         F.concat(
             F.lit(f"{salt}:"), F.coalesce(F.col(key).cast("string"), F.lit("\x00"))
         ),
         1_000_000,
     )
-    # rates travels whole (stratum, n_docs, rate_ppm): downstream summaries
-    # group on the carried columns instead of re-scanning the fact
-    return df.join(F.broadcast(rates), strata_col).filter(b < F.col("rate_ppm"))
+    # rates travels whole (n_docs, rate_ppm): downstream summaries group
+    # on the carried columns instead of re-scanning the fact
+    return (
+        keyed.join(F.broadcast(rates), sk)
+        .filter(b < F.col("rate_ppm"))
+        .drop(sk)
+    )
 
 
 def dsir_log_weights(
@@ -350,7 +362,11 @@ def dsir_log_weights(
         F.conv(F.substring(F.md5("__tok"), 1, 2), 16, 10)
         .cast("int")
         .alias("__f"),
-    )
+    # toks feeds two independent aggregates (the feature table and the
+    # per-doc counts): pin it so the tokenize+hash explode — the dominant
+    # map-side cost — runs once, not once per branch (the same
+    # lineage-truncation pattern kmeans uses for its per-round scans)
+    ).localCheckpoint(eager=True)
     feat = toks.groupBy("__f").agg(
         F.count(F.lit(1)).alias("__c_raw"),
         F.sum("__tgt").alias("__c_tgt"),

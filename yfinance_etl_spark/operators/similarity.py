@@ -55,16 +55,20 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 def check_finite_vectors(
     df: DataFrame, vec_col: str, id_col: str, max_report: int = 3
 ) -> None:
-    """Fail loudly, with ids, if any vector contains NaN/±inf. The centroid
-    literals in ivf_assign/clustering guard only the k COLLECTED rows; a
-    non-finite coordinate anywhere else still reaches the decimal moment
-    sums and dies under ANSI with a cast error that names no row. One
-    map-only scan; callers that pre-clean at ingest can skip it."""
+    """Fail loudly, with ids, if any vector is NULL or contains NaN/±inf.
+    The centroid literals in ivf_assign/clustering guard only the k
+    COLLECTED rows; a non-finite coordinate anywhere else still reaches
+    the decimal moment sums and dies under ANSI with a cast error that
+    names no row — and a NULL vector (e.g. a NULL document through
+    hash_embed) would either crash the seed collection with a TypeError
+    naming nothing or silently vanish from centroid means (r9 review).
+    One map-only scan; callers that pre-clean at ingest can skip it."""
     bad = (
         df.filter(
-            F.exists(
+            F.col(vec_col).isNull()
+            | F.exists(
                 F.col(vec_col),
-                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+                lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
             )
         )
         .select(id_col)
@@ -74,7 +78,7 @@ def check_finite_vectors(
     if bad:
         ids = [r[id_col] for r in bad]
         raise ValueError(
-            f"embedding column {vec_col!r} contains non-finite values "
+            f"embedding column {vec_col!r} contains NULL or non-finite values "
             f"(first {id_col}s: {ids}); clean the vectors before indexing"
         )
 

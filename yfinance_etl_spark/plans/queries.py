@@ -2996,8 +2996,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup = k-means the
 # document-embedding space, prune near-dups WITHIN clusters only — the
 # cluster is the blocking key (operators/clustering.py::semantic_dedup).
-# probes=2 soft assignment is the recall knob (measured 0.31 -> 0.63 -> 0.81
-# for p=1/2/3 on the dense 16-dim fixture at sf0.1). The oracle replays the
+# probes=2 soft assignment is the recall knob (measured 0.31 -> 0.64 -> 0.80
+# for p=1/2/3 on the dense 16-dim fixture at sf0.1, kind=semdedup sweep). The oracle replays the
 # whole thing: the shared k-means CTE chain over hashed-BoW doc embeddings,
 # ROW_NUMBER <= probes soft assignment, within-cluster pair join with
 # hoisted norms, tau filter BEFORE the per-id max (byte-identical policy to
@@ -3014,8 +3014,11 @@ def _semdedup_sql(
     tau: float = _SD_TAU,
     dim: int = 16,
 ) -> str:
+    # text IS NOT NULL mirrors semantic_dedup's NULL-embedding exclusion
+    # (hash_embed returns NULL for NULL text; kmeans excludes by contract)
     chain = _kmeans_chain(
-        f"SELECT doc_id AS vec_id, {_embed_sql('text')} AS vec FROM documents",
+        f"SELECT doc_id AS vec_id, {_embed_sql('text')} AS vec FROM documents"
+        " WHERE text IS NOT NULL",
         k, iters, dim,
     )
     fin = iters + 1
@@ -3347,7 +3350,7 @@ z AS (
 r AS (
   SELECT lang, n_docs,
          LEAST(CAST(1000000 AS BIGINT),
-               CAST(ROUND(1e6 * ({_TMIX_FRAC} * nn) * SQRT(n_docs) / zz / n_docs, 0)
+               CAST(ROUND(1e6 * (CAST({_TMIX_FRAC} AS DOUBLE) * nn) * SQRT(n_docs) / zz / n_docs, 0)
                     AS BIGINT)) AS rate_ppm
   FROM c CROSS JOIN z
 ),

@@ -482,6 +482,35 @@ def test_dsir_log_weights_hand_computed(spark):
     assert got[0][1] > got[2][1]
 
 
+def test_dsir_null_predicate_counts_as_nontarget(spark):
+    """r9 advice: `(lang == 'en')` is NULL for NULL lang; a bare
+    .cast('int') propagated that NULL into SUM(__tgt), poisoning every
+    feature bucket the row touches (NULL log-ratio → NULL logw for ALL
+    docs sharing the bucket) while the oracle's CASE WHEN ... ELSE 0
+    stayed finite. NULL-pred rows must count as plain non-target."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        (0, "en", "alpha alpha"),
+        (1, None, "alpha beta"),  # NULL lang shares both vocab buckets
+        (2, "de", "beta beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {r.doc_id: r.logw for r in dsir_log_weights(docs, F.col("lang") == "en").collect()}
+    assert set(got) == {0, 1, 2}
+    assert all(w is not None for w in got.values())
+    # identical weights to an explicitly-false predicate for the NULL row
+    want = {
+        r.doc_id: r.logw
+        for r in dsir_log_weights(
+            docs, F.coalesce(F.col("lang") == "en", F.lit(False))
+        ).collect()
+    }
+    assert got == want
+
+
 def test_dsir_partition_invariant(spark):
     from pyspark.sql import functions as F
 
@@ -514,3 +543,36 @@ def test_temperature_mix_samples_null_strata(spark):
     assert by.get("a", 0) > 0 and by.get(None, 0) > 0
     # rates carried through are per-stratum: 100 docs each
     assert {r.n_docs for r in out.select("n_docs").distinct().collect()} == {100}
+
+
+def test_temperature_mix_oracle_agrees_on_null_strata(spark):
+    """r9 advice: _TMIX_SQL's old `JOIN r USING (lang)` dropped NULL-lang
+    rows from sampling while still counting them into c/z, so operator
+    and oracle diverged the moment a fixture gained a NULL lang. The
+    IS NOT DISTINCT FROM join must replay the operator's \\x00-sentinel
+    semantics exactly — pinned here on a NULL-bearing mini-corpus."""
+    import duckdb
+    import pandas as pd
+
+    from yfinance_etl_spark.operators.sampling import temperature_mix
+    from yfinance_etl_spark.plans.queries import _TMIX_FRAC, _TMIX_SQL, _TMIX_T
+
+    rows = [(i, ["en", "de", None][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    sampled = temperature_mix(
+        docs, "lang", "doc_id", temperature=_TMIX_T, budget_frac=_TMIX_FRAC
+    )
+    got = {
+        (r.lang, r.n_docs, r.rate_ppm, r.n_sampled)
+        for r in sampled.groupBy("lang", "n_docs", "rate_ppm")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "lang"])
+    )
+    want = {tuple(r) for r in con.execute(_TMIX_SQL).fetchall()}
+    con.close()
+    assert got == want
+    assert any(r[0] is None and r[3] > 0 for r in got)  # NULL stratum sampled

@@ -128,3 +128,33 @@ def test_char_entropy_skips_empty_and_null(spark):
     )
     got = {r.doc_id for r in char_entropy(df).collect()}
     assert got == {2}  # no chars → no row, not a NaN/zero row
+
+
+def test_char_entropy_character_unit_contract(spark):
+    """The character-unit contract (r9 advice), made executable: on BMP
+    non-ASCII text the Catalyst form's UTF-16 code-unit split equals the
+    codepoint distribution (== the DuckDB oracle's string_split), while
+    the UTF-8-byte-counting Arrow kernel sees a DIFFERENT distribution —
+    so a multilingual fixture trips the kernel-pin test loudly instead of
+    letting the twins drift apart silently."""
+    import math
+    from collections import Counter
+
+    from yfinance_etl_spark.operators.quality import char_entropy, char_entropy_kernel
+
+    txt = "héllo wörld — café naïve"  # BMP only: 2-/3-byte UTF-8, no astral
+    df = spark.createDataFrame([(0, txt)], "doc_id bigint, text string")
+    cat = char_entropy(df).collect()[0]
+    # codepoint truth (Python str iterates codepoints; == UTF-16 units on BMP)
+    cnt = Counter(txt)
+    tot = sum(cnt.values())
+    want = round(
+        math.fsum(-(n / tot) * math.log(n / tot) for n in cnt.values())
+        / math.log(2.0),
+        6,
+    )
+    assert cat.distinct_chars == len(cnt)
+    assert abs(cat.entropy_bits - want) <= 1e-6
+    # the byte-level kernel counts é/ö/— as 2-3 symbols each → diverges
+    ker = char_entropy_kernel(df).collect()[0].entropy_bits
+    assert abs(ker - cat.entropy_bits) > 1e-3

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum, r6
+from yfinance_etl_spark.functions.scalar import PRODUCT_SCALE, STAT_SCALE, dsum, r6
 
 TRADING_DAYS = 252
 RISK_FREE_DAILY = 0.01 / TRADING_DAYS
@@ -179,7 +179,13 @@ def winsorized_stats(
     RAW (unrounded) for clipping — both engines interpolate quantiles
     bit-identically (linear interpolation, same as DuckDB quantile_cont;
     the order_value_quantiles precedent) — so the clipped per-row doubles
-    are bit-equal and the decimal sum is order-insensitive.
+    are bit-equal. The SUM runs at PRODUCT_SCALE (6), not MONEY_SCALE:
+    the interpolated bounds are not clean decimals and repeat across up
+    to ~(lo_p + 1-hi_p) of each group's rows, so a scale-12 sum would let
+    the engines' double→decimal conversion skew accumulate COHERENTLY
+    (same 1e-12/row sign every time — the dividend_yield failure mode);
+    the coarse grid snaps both engines to the same true decimal per row
+    (scalar.PRODUCT_SCALE rationale; r9 advice).
     """
     x = F.col(col)
     bounds = df.groupBy(group).agg(
@@ -193,5 +199,7 @@ def winsorized_stats(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum((x < F.col("__lo")).cast("long")).alias("n_clipped_low"),
         F.sum((x > F.col("__hi")).cast("long")).alias("n_clipped_high"),
-        F.round(dsum(F.col("__clip")) / F.count(F.lit(1)), 6).alias("robust_mean"),
+        F.round(
+            dsum(F.col("__clip"), PRODUCT_SCALE) / F.count(F.lit(1)), 6
+        ).alias("robust_mean"),
     )

@@ -219,6 +219,15 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     at all — the right call when the downstream consumer is per-doc
     anyway); unit tests pin the two equal at 6dp. This Catalyst form is
     the oracle-gated one.
+
+    Character-unit contract (r9 advice): this form splits on UTF-16 code
+    units (Spark ``split(text, '')``), the DuckDB oracle splits CODE
+    POINTS, and the Arrow kernel counts UTF-8 BYTES — three distributions
+    that coincide only on ASCII, and the first two on the BMP (no
+    astral/surrogate chars). The oracle gate therefore holds for BMP
+    text; the kernel twin is pinned equal for ASCII only (its own
+    docstring) — both pinned by tests/test_quality.py non-ASCII tests,
+    so a multilingual fixture fails loudly instead of silently diverging.
     """
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), "")).alias("c")

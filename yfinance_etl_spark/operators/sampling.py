@@ -352,7 +352,11 @@ def dsir_log_weights(
 
     toks = docs.select(
         id_col,
-        target_pred.cast("int").alias("__tgt"),
+        # NULL predicate rows (e.g. NULL lang under lang=='en') count as
+        # NON-target, matching the oracle's CASE WHEN ... ELSE 0: a bare
+        # cast would propagate NULL into SUM(__tgt) and poison the whole
+        # feature bucket's log-ratio (r9 advice)
+        F.coalesce(target_pred, F.lit(False)).cast("int").alias("__tgt"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
         ).alias("__tok"),

@@ -3355,8 +3355,11 @@ r AS (
   FROM c CROSS JOIN z
 ),
 s AS (
+  -- NOT DISTINCT: NULL-lang rows sample through their own stratum (the
+  -- operator's \\x00 sentinel), instead of counting into c/z yet never
+  -- joining — a plain USING(lang) would drop them here (r9 advice)
   SELECT d.lang, r.n_docs, r.rate_ppm
-  FROM documents d JOIN r USING (lang)
+  FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
   WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
           % 1000000 < r.rate_ppm
 )
@@ -4205,7 +4208,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-equal linear interpolation — the order_value_quantiles precedent)
 # broadcast back to the fact side, per-row clip, decimal-summed mean.
 # Bounds clip RAW (unrounded) so the clipped doubles are bit-equal
-# cross-engine; the sum is order-insensitive by the decimal contract.
+# cross-engine; the sum runs at PRODUCT_SCALE (6) — the bounds are dirty
+# doubles repeated across ~10% of rows, so a scale-12 sum would accumulate
+# the engines' double→decimal conversion skew coherently (r9 advice).
 # ---------------------------------------------------------------------------
 
 _WINSOR_SQL = f"""
@@ -4219,7 +4224,7 @@ SELECT o_orderpriority AS priority,
        COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
        CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-       ROUND({S.dsum('least(greatest(o_totalprice, lo), hi)')} / COUNT(*), 6) AS robust_mean
+       ROUND({S.dsum('least(greatest(o_totalprice, lo), hi)', S.PRODUCT_SCALE)} / COUNT(*), 6) AS robust_mean
 FROM orders JOIN q USING (o_orderpriority)
 GROUP BY o_orderpriority
 """

@@ -474,6 +474,36 @@ def test_semantic_dedup_hand_computed(spark):
     assert 0.99 <= round(cos_02, 6) < 1.0
 
 
+def test_semantic_dedup_target_cluster_size_scales_k(spark):
+    """auto-k (r10): target_cluster_size derives k = max(k, ceil(N/target))
+    from one COUNT — the paper's fixed-E|cluster| operating point. With
+    target far above N the fixed k wins (identical output); with a small
+    target the cluster count grows accordingly."""
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+    from yfinance_etl_spark.operators.rag import doc_embeddings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = doc_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    n = embs.count()
+    # huge target → k stays at the explicit 4: byte-identical output
+    fixed = sorted(
+        tuple(r) for r in semantic_dedup(embs, k=4, iters=1, probes=1).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            embs, k=4, iters=1, probes=1, target_cluster_size=10 * n
+        ).collect()
+    )
+    assert fixed == auto
+    # target N/16 → 16 clusters requested; every vec still accounted for
+    out = semantic_dedup(
+        embs, k=4, iters=1, probes=1, target_cluster_size=max(1, n // 16)
+    ).collect()
+    assert len(out) >= 16
+    assert sum(r.n_vecs for r in out) == n
+
+
 def test_semantic_dedup_multiprobe_monotone(spark):
     """More probes can only surface MORE qualifying pairs (OR-
     amplification), so total pruned count is monotone in `probes` and
@@ -605,7 +635,7 @@ def test_winnow_select_is_content_defined(spark):
         "doc_id bigint, text string",
     )
     grams = char_grams(docs, 32)
-    fp = winnow_select(grams, 8).join(grams, ["doc_id", "pos"])
+    fp = winnow_select(grams, 8)  # carries gm via the struct-min
     sel = {d: set() for d in (0, 1)}
     for r in fp.collect():
         sel[r.doc_id].add(r.gm)

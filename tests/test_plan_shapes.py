@@ -484,14 +484,17 @@ def test_semantic_dedup_pair_join_is_equi_join_no_python(spark):
 
 
 def test_substring_dedup_match_join_is_equi_join(spark):
-    # the gram match must be a hash equi-join on the gram string — never a
-    # nested-loop/cartesian — and gram generation is a pure projection
+    # the gram match must be a hash equi-join — never a nested-loop/
+    # cartesian — and gram generation is a pure projection
     plan = _plan(spark, "substring_dup_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the posexplode gram fan-out
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
+    # r10: the match join keys on xxhash64(gm), so the corpus-sized gram
+    # frame crosses the shuffle with an 8-byte key, never the L-char gram
+    assert "xxhash64" in plan, plan[:2000]
 
 
 def test_temperature_mix_fact_never_shuffles_for_the_join(spark):

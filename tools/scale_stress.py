@@ -710,12 +710,282 @@ def main_substr(sf_dirs: list[str]) -> None:
         )
 
 
+def main_substr_blowup(factors: list[int]) -> None:
+    """Winnowed-tier crossover measurement (r9 verdict item 2): blow the
+    $SPARK_GRAFT_SF_DIR corpus up ×factor (operators/synth.py — linear
+    dup structure) and, per factor, measure BOTH tiers' wall time plus
+    the decomposed volumes each pays:
+
+      * gram_match_volume — Σ_gm c·(c-1)/2, the comparisons the exact
+        tier's hash match join performs;
+      * fp_cand_volume — the same sum over winnowing-selected
+        fingerprints only (the winnowed tier's candidate join);
+      * g2_gram_frac — fraction of all grams surviving the candidate
+        doc-set semi-filter (the second exact join's input).
+
+    The crossover question: does fp_cand_volume's ~(w+1)/2 reduction ever
+    outweigh the tier's extra costs (per-doc winnow window sort over
+    EVERY gram + the second exact join)? One JSON line per factor,
+    kind="substr_blowup", then a summary naming the crossover factor or
+    its measured absence."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        SUBSTR_MIN_LEN as L,
+        WINNOW_W as W,
+        char_grams,
+        substring_dup_spans,
+        winnow_select,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-substr-blowup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # warm-up: one-time codegen costs would swamp factor 1
+    substring_dup_spans(docs0.limit(30), L).count()
+
+    def match_volume(g):
+        return int(
+            g.groupBy("gm").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v"))
+            .collect()[0]["v"] or 0
+        )
+
+    rows = []
+    for f in factors:
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        grams = char_grams(docs, L)
+        n_grams = grams.count()
+        fp = winnow_select(grams, W)
+        n_fp = fp.count()
+        gmv = match_volume(grams)
+        fpv = match_volume(fp)
+        t0 = time.perf_counter()
+        exact = {
+            (r.doc_a, r.doc_b): r.max_span
+            for r in substring_dup_spans(docs, L).collect()
+        }
+        t_exact = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        win = {
+            (r.doc_a, r.doc_b)
+            for r in substring_dup_spans(docs, L, winnow_w=W).collect()
+        }
+        t_win = round(time.perf_counter() - t0, 2)
+        # g2 input share: grams of docs appearing in some candidate pair
+        cand_docs = (
+            fp.alias("fa")
+            .join(
+                fp.alias("fb"),
+                (F.col("fa.gm") == F.col("fb.gm"))
+                & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+            )
+            .select(
+                F.explode(
+                    F.array(F.col("fa.doc_id"), F.col("fb.doc_id"))
+                ).alias("doc_id")
+            )
+            .distinct()
+        )
+        g2_grams = grams.join(cand_docs, "doc_id", "left_semi").count()
+        bound = L + W - 1
+        guaranteed = {p for p, s in exact.items() if s >= bound}
+        r = {
+            "kind": "substr_blowup",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": n_docs,
+            "n_grams": n_grams,
+            "n_fingerprints": n_fp,
+            "gram_match_volume": gmv,
+            "fp_cand_volume": fpv,
+            "g2_gram_frac": round(g2_grams / max(n_grams, 1), 4),
+            "exact_pairs": len(exact),
+            "winnowed_pairs": len(win),
+            "guaranteed_found_frac": round(
+                len(guaranteed & win) / len(guaranteed), 3
+            ) if guaranteed else None,
+            "overall_recall": round(len(win & set(exact)) / len(exact), 3)
+            if exact else None,
+            "sec_exact": t_exact,
+            "sec_winnowed": t_win,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str) -> float:
+            return round(
+                math.log(max(b[metric], 1) / max(a[metric], 1))
+                / math.log(b["n_docs"] / a["n_docs"]),
+                2,
+            )
+
+        cross = next(
+            (r["factor"] for r in rows if r["sec_winnowed"] < r["sec_exact"]), None
+        )
+        print(
+            json.dumps(
+                {
+                    "kind": "substr_blowup_summary",
+                    "crossover_factor": cross,
+                    "crossover_found": cross is not None,
+                    "growth_exponent_vs_corpus": {
+                        "gram_match_volume": slope("gram_match_volume"),
+                        "fp_cand_volume": slope("fp_cand_volume"),
+                        "sec_exact": slope("sec_exact"),
+                        "sec_winnowed": slope("sec_winnowed"),
+                    },
+                    "note": "crossover_factor = first blow-up where the winnowed "
+                    "tier's wall beats the exact tier's; null = no crossover at "
+                    "any measured scale",
+                }
+            ),
+            flush=True,
+        )
+
+
+def main_semdedup_scaledk(factors: list[int]) -> None:
+    """SemDeDup k∝N sweep (r9 verdict item 1): the paper's operating
+    point holds E|cluster| FIXED as the corpus grows (k scales with N),
+    which is what keeps Σ_c |c|² — the candidate pair work — linear in N.
+    r9 measured only fixed k=8, where candidates grew quadratically; this
+    sweep runs BOTH policies on the same blown-up corpora so the
+    exponents sit side by side: k_fixed = 8 vs
+    k_scaled = max(8, round(N / TARGET)) with TARGET = 62.5 docs/cluster
+    (the fixture's N=500, k=8 density). probes=2 throughout (the
+    operator's measured recall knee). One JSON line per (factor, policy),
+    kind="semdedup_scaledk", then the two exponents."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.clustering import kmeans, probe_assign
+    from yfinance_etl_spark.operators.rag import doc_embeddings
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("scale-stress-semdedup-scaledk")
+    spark.sparkContext.setLogLevel("ERROR")
+    tau, iters, probes, target = 0.95, 2, 2, 62.5
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def dup_pairs(side):
+        a, b = side.alias("a"), side.alias("b")
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+        if "cent_id" in side.columns:
+            cond = (F.col("a.cent_id") == F.col("b.cent_id")) & cond
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.vec_id").alias("i"),
+                F.col("b.vec_id").alias("j"),
+                F.round(
+                    F.try_divide(
+                        dot(F.col("a.vec"), F.col("b.vec")),
+                        F.col("a.norm") * F.col("b.norm"),
+                    ),
+                    6,
+                ).alias("cs"),
+            )
+            .filter(F.col("cs") >= tau)
+            .select("i", "j")
+            .distinct()
+        )
+
+    rows = []
+    for f in factors:
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        embs = doc_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+        base = embs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        ).withColumn(
+            "norm", F.sqrt(dot(F.col("vec"), F.col("vec")))
+        ).localCheckpoint(eager=True)
+        n = base.count()
+        n_true = dup_pairs(base).count()
+        for policy, k in (("fixed", 8), ("scaled", max(8, round(n / target)))):
+            assigned, cent_df = kmeans(embs, k=k, iters=iters)
+            cents = [(r["cent_id"], list(r["cent"])) for r in cent_df.collect()]
+            probed = probe_assign(base.select("vec_id", "vec"), cents, probes).join(
+                base.select("vec_id", "norm"), "vec_id"
+            )
+            t0 = time.perf_counter()
+            cand = (
+                probed.alias("a")
+                .join(
+                    probed.alias("b"),
+                    (F.col("a.cent_id") == F.col("b.cent_id"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(F.col("a.vec_id"), F.col("b.vec_id"))
+                .distinct()
+                .count()
+            )
+            found = dup_pairs(probed).count()
+            r = {
+                "kind": "semdedup_scaledk",
+                "sf_dir": sf_dir,
+                "factor": f,
+                "policy": policy,
+                "k": k,
+                "probes": probes,
+                "n_docs": n,
+                "brute_force_pairs": n * (n - 1) // 2,
+                "cand_pairs": cand,
+                "true_pairs": n_true,
+                "found_pairs": found,
+                "recall": round(found / n_true, 3) if n_true else None,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+    for policy in ("fixed", "scaled"):
+        pts = [r for r in rows if r["policy"] == policy]
+        if len(pts) >= 2:
+            a, b = pts[0], pts[-1]
+            exp = round(
+                math.log(max(b["cand_pairs"], 1) / max(a["cand_pairs"], 1))
+                / math.log(b["n_docs"] / a["n_docs"]),
+                2,
+            )
+            print(
+                json.dumps(
+                    {
+                        "kind": "semdedup_scaledk_summary",
+                        "policy": policy,
+                        "cand_growth_exponent": exp,
+                        "recall_first": pts[0]["recall"],
+                        "recall_last": pts[-1]["recall"],
+                        "note": "k scaled to N/62.5 must hold the candidate "
+                        "exponent near 1 (fixed-k is the ~2.0 contrast)",
+                    }
+                ),
+                flush=True,
+            )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "substr":
         main_substr(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
         )
+    elif argv and argv[0] == "substr_blowup":
+        main_substr_blowup([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "semdedup_scaledk":
+        main_semdedup_scaledk([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup":
         main_semdedup(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.01", "0.1")]

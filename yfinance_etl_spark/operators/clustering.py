@@ -308,6 +308,7 @@ def semantic_dedup(
     tau: float = 0.95,
     probes: int = 1,
     vec_col: str = "embedding",
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
     space, then search for near-duplicates WITHIN clusters only — the
@@ -331,9 +332,18 @@ def semantic_dedup(
     blocked-salt treatment splits each hot cluster's shuffle key into
     ``_SALT_BLOCKS`` sub-blocks exactly like the banded-LSH dedup join
     (plans/queries.py _embed_neardup) — never all-pairs; norms hoisted
-    per row so per-pair work is ONE dot product. At the paper's
-    operating point k scales with N (fixed target cluster size), keeping
-    per-cluster pair work flat as the corpus grows.
+    per row so per-pair work is ONE dot product.
+
+    k MUST scale with N: with k fixed, cluster sizes grow linearly and
+    Σ_c |c|² — the candidate pair work — grows QUADRATICALLY (measured:
+    fixed k=8 candidate exponent ≈2.0 over a 10× corpus growth,
+    scale_stress_results.jsonl kind=semdedup). The paper's operating
+    point holds E|cluster| fixed instead; pass ``target_cluster_size``
+    to get k = max(k, ceil(N / target)) from one COUNT job — the
+    kind=semdedup_scaledk sweep is the measured evidence for the
+    resulting candidate exponent and recall. The oracle-gated query
+    keeps the fixed (k=8, iters=2) config on the fixed-size fixture,
+    where the distinction is moot.
 
     Returns a per-PRIMARY-cluster summary: (cluster_id, n_vecs,
     n_pruned, n_kept, max_dup_sim) — max_dup_sim is the largest
@@ -348,6 +358,10 @@ def semantic_dedup(
     # centroid means while the oracle's COUNT(*) still includes it — r9
     # review), and a NULL vector has no cosine to anything anyway
     embs = embs.filter(F.col(vec_col).isNotNull())
+    if target_cluster_size is not None:
+        # one scalar COUNT job — the same k-scalar driver-traffic budget
+        # as the kmeans loop itself
+        k = max(k, math.ceil(embs.count() / target_cluster_size))
     assigned, cent_df = kmeans(embs, k=k, iters=iters, vec_col=vec_col)
     centroids = [
         (r["cent_id"], list(r["cent"])) for r in cent_df.collect()

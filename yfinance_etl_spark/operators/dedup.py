@@ -620,7 +620,7 @@ def char_grams(docs: DataFrame, L: int = SUBSTR_MIN_LEN) -> DataFrame:
 
 
 def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
-    """Winnowing fingerprint positions: for every window of ``w``
+    """Winnowing fingerprints (doc_id, pos, gm): for every window of ``w``
     consecutive grams of a document, select the gram with the smallest
     (md5(gram), pos) key — the SIGMOD'03 document-fingerprinting scheme.
     Selection is content-defined (depends only on gram hashes inside the
@@ -631,9 +631,11 @@ def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
     The (hash, pos) argmin travels as one lexicographic string key
     (fixed-width md5 hex + ':' + zero-padded pos) so a single windowed
     MIN computes it — the identical expression runs in DuckDB, which is
-    what keeps the winnowed tier oracle-replayable. Cost: one window per
-    document ordered by pos (a doc-partitioned sort, no cross-doc
-    shuffle beyond the doc_id hash), output ~2/(w+1) of the grams."""
+    what keeps the winnowed tier oracle-replayable; the gram itself rides
+    the same struct-min, so no join back to the gram frame is needed to
+    recover fingerprint content. Cost: one window per document ordered by
+    pos (a doc-partitioned sort, no cross-doc shuffle beyond the doc_id
+    hash), output ~2/(w+1) of the grams."""
     key = F.concat(
         F.md5(F.col("gm")), F.lit(":"), F.lpad(F.col("pos").cast("string"), 10, "0")
     )
@@ -642,11 +644,48 @@ def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(-(w - 1), Window.currentRow)
     )
+    # struct min orders field-by-field; mk embeds pos so it is unique per
+    # row and the gm field never participates in the comparison
     sel = grams.select(
-        "doc_id", F.min(key).over(win).alias("mk")
+        "doc_id",
+        F.min(F.struct(key.alias("mk"), F.col("gm"))).over(win).alias("s"),
     ).distinct()
     return sel.select(
-        "doc_id", F.substring("mk", 34, 10).cast("bigint").alias("pos")
+        "doc_id",
+        F.substring("s.mk", 34, 10).cast("bigint").alias("pos"),
+        F.col("s.gm").alias("gm"),
+    )
+
+
+def _hashed_gram_matches(grams: DataFrame, docs: DataFrame, L: int) -> DataFrame:
+    """Verified intra-corpus gram matches (da, db, pa, pb) via the
+    NARROW-key join: the corpus-chars-sized gram frame crosses the match
+    shuffle as (doc_id, pos, xxhash64(gm)) — an 8-byte key instead of the
+    L-char gram string (~5x payload cut at L=32, the engine's heaviest
+    join family) — exactly the payload-narrowing trade the PassJoin index
+    already makes (``_ed_passjoin_candidates``). Exactness is restored by
+    a VERIFY pass over match volume only: each candidate (da, db, pa, pb)
+    re-derives both grams from the original texts (two doc_id-keyed joins
+    against ``docs`` — text-sized, i.e. ~40x lighter than re-shuffling
+    the gram frame) and keeps the row iff they are equal, so an xxhash64
+    collision can only ever ADD work, never a wrong span."""
+    hg = grams.select("doc_id", "pos", F.xxhash64("gm").alias("h"))
+    a, b = hg.alias("a"), hg.alias("b")
+    cand = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+    )
+    ta = docs.select(F.col("doc_id").alias("da"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("db"), F.col("text").alias("__tb"))
+    return (
+        cand.join(ta, "da")
+        .withColumn("__ga", F.expr(f"substring(__ta, pa + 1, {L})"))
+        .drop("__ta")
+        .join(tb, "db")
+        .filter(F.expr(f"substring(__tb, pb + 1, {L})") == F.col("__ga"))
+        .select("da", "db", "pa", "pb")
     )
 
 
@@ -689,11 +728,12 @@ def substring_dup_spans(
     survive whole-document fingerprints.
 
     Shape: gram generation is a map-only explode; the match join is an
-    equi-join ON THE GRAM ITSELF (grams shared by zero pairs never fan
-    out — cost tracks shared text, not |docs|²; at true scale the join
-    key would be a 64-bit gram hash with an equality verify, the same
-    payload-narrowing trade as the PassJoin index); the span merge is
-    one (da, db)-keyed window + aggregation family.
+    equi-join on the 64-bit GRAM HASH — grams shared by zero pairs never
+    fan out, so cost tracks shared text, not |docs|², and the shuffle
+    payload is (doc_id, pos, xxhash64) instead of the L-char gram string
+    (``_hashed_gram_matches``: ~5x narrower at L=32, with a match-volume
+    text-fetch verify restoring exactness); the span merge is one
+    (da, db)-keyed window + aggregation family.
 
     ``winnow_w`` = the scale tier: only winnowing-selected fingerprint
     grams (~2/(w+1) of all grams — measured 4.4× fewer at w=8 on the
@@ -705,17 +745,14 @@ def substring_dup_spans(
     kind="substr" scale sweep.
     """
     grams = char_grams(docs, min_len)
-    a, b = grams.alias("a"), grams.alias("b")
-    pair_cond = (F.col("a.gm") == F.col("b.gm")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
     if winnow_w is None:
-        matches = a.join(b, pair_cond).select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
-            F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+        return _merge_diagonal_spans(
+            _hashed_gram_matches(grams, docs, min_len), min_len
         )
-        return _merge_diagonal_spans(matches, min_len)
-    fp = winnow_select(grams, winnow_w).join(grams, ["doc_id", "pos"])
+    # fingerprint candidate join stays ON THE GRAM: the set is already
+    # ~2/(w+1) of all grams, and a hash-only key would admit collision
+    # pairs the md5-selection oracle replay does not
+    fp = winnow_select(grams, winnow_w)
     fa, fb = fp.alias("fa"), fp.alias("fb")
     cand = (
         fa.join(
@@ -734,14 +771,8 @@ def substring_dup_spans(
         .distinct()
     )
     g2 = grams.join(docs_in, "doc_id", "left_semi")
-    a2, b2 = g2.alias("a"), g2.alias("b")
-    matches = (
-        a2.join(b2, pair_cond)
-        .select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
-            F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
-        )
-        .join(cand, ["da", "db"], "left_semi")
+    matches = _hashed_gram_matches(g2, docs, min_len).join(
+        cand, ["da", "db"], "left_semi"
     )
     return _merge_diagonal_spans(matches, min_len)
 
@@ -761,24 +792,40 @@ def substring_contamination(
     CANDIDATE — its drop-list row.
 
     Shape: both sides share ONE ``char_grams`` subplan (split by the
-    predicate); the match is an equi-join on the gram. A real benchmark
-    suite is tiny relative to the corpus, so its gram side broadcasts
-    (AQE picks this up from the post-filter size without a hint — and a
-    hint would be wrong for the general case: the join degrades
-    gracefully to a gram-keyed shuffle when the benchmark side is
-    genuinely large, still never all-pairs). The span merge reuses the
+    predicate); the match is an equi-join on the 64-bit gram hash — the
+    CORPUS side crosses the shuffle as (doc_id, pos, xxhash64), never
+    the L-char gram string, while the benchmark side (tiny by nature)
+    keeps its gram for the equality verify, so a hash collision can only
+    add a candidate that the verify then drops. A real benchmark suite
+    is tiny relative to the corpus, so its gram side broadcasts (AQE
+    picks this up from the post-filter size without a hint — and a hint
+    would be wrong for the general case: the join degrades gracefully to
+    a hash-keyed shuffle when the benchmark side is genuinely large,
+    still never all-pairs; the narrow corpus-side payload is what makes
+    that degradation cheap). The verify re-derives the candidate's gram
+    from its text over MATCH volume only. The span merge reuses the
     ExactSubstr diagonal machinery, then collapses to one row per
     candidate doc.
     """
     # split BEFORE gramming: the predicate is a map-side filter on the
     # doc scan, so neither gram side ever joins back to a doc-level flag
     bench = char_grams(docs.filter(bench_pred), min_len).select(
-        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gm"
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
+        F.xxhash64("gm").alias("h"), "gm",
     )
     cand = char_grams(docs.filter(~bench_pred), min_len).select(
-        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gm"
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
+        F.xxhash64("gm").alias("h"),
     )
-    matches = cand.join(bench, "gm").select("da", "db", "pa", "pb")
+    ta = docs.filter(~bench_pred).select(
+        F.col("doc_id").alias("da"), F.col("text").alias("__ta")
+    )
+    matches = (
+        cand.join(bench, "h")
+        .join(ta, "da")
+        .filter(F.expr(f"substring(__ta, pa + 1, {min_len})") == F.col("gm"))
+        .select("da", "db", "pa", "pb")
+    )
     spans = _merge_diagonal_spans(matches, min_len)
     return spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_bench_docs"),

@@ -81,3 +81,33 @@ def test_mass_failure_errors_are_bounded_too():
 
     parsed = _json.loads(line)  # the line is complete JSON, not a prefix
     assert parsed["errors"]  # failures still visible (count or messages)
+
+
+def test_n_queries_survives_the_fold_and_accounts_for_omissions():
+    # the fold never touches n_queries: the printed line's n_queries is
+    # the FULL timed count, and kept + omitted always reconciles to it —
+    # a silently-dropped query can't hide inside the cut
+    out = _out(120)
+    line = fit_line(out, 1950)
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 120
+    assert len(parsed["queries"]) + parsed["omitted"]["n"] == parsed["n_queries"]
+
+
+def test_committed_bench_detail_covers_the_whole_registry():
+    # bench_detail.json (the full, never-folded per-query record the
+    # judge reads) must be regenerated whenever the registry changes —
+    # same discipline as correctness_full.json: n_queries == |REGISTRY|
+    # proves no query was silently dropped from the published bench
+    import pathlib
+
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    detail = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1] / "bench_detail.json").read_text()
+    )
+    assert detail["n_queries"] == len(REGISTRY), (
+        f"bench_detail.json has {detail['n_queries']} queries but the "
+        f"registry has {len(REGISTRY)} — re-run bench.py at this HEAD"
+    )
+    assert set(detail["queries"]) == set(REGISTRY) - set(detail.get("errors", {}))

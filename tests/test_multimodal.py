@@ -140,3 +140,124 @@ def test_resize_truncates_characters_not_bytes(spark):
     keep_chars = (100 * 64 * 31) // (127 * 63)
     assert out.n_bytes == len("IMG|64|31|") + 2 * keep_chars
     assert out.checksum == (ord("é") * keep_chars) % 256
+
+
+# ---------------------------------------------------------------------------
+# JPEG/PNG metadata census (r10): stdlib SOF marker walk + IHDR read
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_meta_walk_hand_built_header():
+    """Hand-assembled T.81 stream exercising every walk rule: fill-byte
+    padding, a standalone RST marker, an APP segment to skip, then SOF0."""
+    import struct
+
+    from yfinance_etl_spark.multimodal.columns import _jpeg_meta_mini
+
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x01\x11\x00" * 1
+    b = (
+        b"\xff\xd8"          # SOI
+        + b"\xff"            # fill byte before the next marker
+        + app1
+        + b"\xff\xd0"        # RST0: standalone, no length field
+        + sof0
+        + b"\xff\xd9"
+    )
+    assert _jpeg_meta_mini(b) == (640, 480, 3, False)
+
+
+def test_jpeg_meta_walk_progressive_and_failures():
+    import struct
+
+    import pytest
+
+    from yfinance_etl_spark.multimodal.columns import _jpeg_meta_mini
+
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 10, 20, 1) + b"\x01\x11\x00"
+    assert _jpeg_meta_mini(b"\xff\xd8" + sof2 + b"\xff\xd9") == (20, 10, 1, True)
+    # DHT (C4) is NOT a frame header: walk must skip it, not misread dims
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    assert _jpeg_meta_mini(b"\xff\xd8" + dht + sof2) == (20, 10, 1, True)
+    with pytest.raises(NotImplementedError):
+        _jpeg_meta_mini(b"PNGJUNK")           # no SOI
+    with pytest.raises(NotImplementedError):
+        _jpeg_meta_mini(b"\xff\xd8\xff\xd9")  # EOI before any SOF
+    with pytest.raises(NotImplementedError):
+        # SOS before SOF: malformed — must not scan into entropy data
+        sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        _jpeg_meta_mini(b"\xff\xd8" + sos + sof2)
+    with pytest.raises(NotImplementedError):
+        _jpeg_meta_mini(b"\xff\xd8" + sof2[:6])  # truncated mid-SOF
+
+
+def test_png_meta_reads_ihdr_only():
+    import struct
+    import zlib
+
+    import pytest
+
+    from yfinance_etl_spark.multimodal.columns import PNG_SIG, _png_meta
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0))
+    # IDAT deliberately garbage: metadata must never touch pixel data
+    png = PNG_SIG + ihdr + chunk(b"IDAT", b"\x00garbage") + chunk(b"IEND", b"")
+    assert _png_meta(png) == (320, 200, 3)
+    pal = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+    assert _png_meta(pal) == (4, 4, 1)  # palette: index stream channels
+    with pytest.raises(NotImplementedError):
+        _png_meta(PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 7, 0, 0, 0)))
+
+
+def test_image_meta_roundtrips_synthesized_jpegs(spark):
+    """synthesize → parse roundtrip: the walk recovers exactly the
+    arithmetic the synthesizer encoded (the oracle contract), across
+    both 1- and 3-component and baseline/progressive streams."""
+    from yfinance_etl_spark.multimodal.columns import (
+        image_meta,
+        synthesize_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(0, 25)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in image_meta(synthesize_jpeg_assets(docs)).collect()}
+    assert len(out) == 25
+    for i in range(25):
+        r = out[i]
+        assert (r.format, r.width, r.height) == ("jpeg", 16 + i % 240, 16 + i % 120)
+        assert r.n_components == (1 if i % 4 == 0 else 3)
+        assert r.progressive == (i % 5 == 0)
+
+
+def test_image_meta_routes_png_and_fake(spark):
+    """One operator, three formats: the census never decodes pixels and
+    never guesses on unknown payloads."""
+    import struct
+    import zlib
+
+    from yfinance_etl_spark.multimodal.columns import PNG_SIG, image_meta
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+
+    png = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 6, 0, 0, 0))
+    rows = [
+        (0, bytearray(png), {"kind": "image", "width": 7, "height": 9, "mime": "image/png"}),
+        (1, bytearray(b"IMG|12|34|body"), {"kind": "image", "width": 12, "height": 34, "mime": "image/x-fake"}),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+    got = {r.doc_id: r for r in image_meta(assets).collect()}
+    assert (got[0].format, got[0].width, got[0].height, got[0].n_components) == ("png", 7, 9, 4)
+    assert (got[1].format, got[1].width, got[1].height) == ("fake", 12, 34)

@@ -11,24 +11,22 @@ from yfinance_etl_spark.plans.queries import REGISTRY, _WINDOW_PRIORITY
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# every query whose last driver attestation is r6 or older (r8 skipped the
-# rotation, so CORRECTNESS_r07/r08 re-attested the same 50 names) — round
-# 9's rotation must put ALL 35 of them in the window so no query's last
-# driver attestation falls more than three rounds behind
-_R8_STALE = {
-    "order_value_quantiles", "orders_cube", "pii_redaction",
-    "price_band_join", "price_pivot_wide", "salted_revenue_by_segment",
-    "shard_packing", "stratified_sample", "stream_interval_join",
-    "stream_static_enriched", "symbol_search", "tfidf_top_terms",
-    "ticker_correlation_matrix", "train_split_counts", "tz_normalize",
-    "url_domain_stats", "watchlist_parse", "lang_profile",
-    "stream_dedup_distinct", "stream_session_rollup", "stream_sliding_avg",
-    "stream_tumbling_counts", "asof_click_attribution",
-    "stream_ema_stateful", "stream_parquet_sink_roundtrip",
-    "ann_bucketed_topk", "ann_ivf_topk", "ann_multiprobe_topk",
-    "dedup_embedding_cosine", "dedup_simhash", "dedup_exact_fingerprint",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "knn_cosine_topk",
-}
+def _last_attested() -> dict[str, int]:
+    """Per-query round of the last committed driver hash attestation —
+    the same staleness rule tools/rotate_window.py ranks by. Recomputed
+    from the artifacts (not hard-coded) so adding a round or a query
+    keeps this test the rotation's executable contract."""
+    last = {n: -1 for n in REGISTRY}
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.rsplit("_r", 1)[1])
+        try:
+            data = json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        for name, row in data.items():
+            if name in last and isinstance(row, dict) and row.get("hash_match"):
+                last[name] = max(last[name], rnd)
+    return last
 
 
 def test_priority_names_lead_the_registry():
@@ -36,8 +34,22 @@ def test_priority_names_lead_the_registry():
 
 
 def test_driver_window_covers_all_stale_queries():
+    # every hash-attestable query NOT attested by the latest committed
+    # driver artifact must sit inside the next round's 50-row window —
+    # the alternating-halves cadence that keeps every query's last
+    # attestation <= 2 rounds old (r10: the r7/r8 half + the newcomer)
+    last = _last_attested()
+    latest_round = max(last.values())
+    stale = {
+        n for n, r in last.items()
+        if r < latest_round and REGISTRY[n].oracle is not None
+    }
+    assert len(stale) <= 50, (
+        f"{len(stale)} stale queries cannot fit one 50-row window — "
+        "the registry grew faster than the rotation cadence"
+    )
     window = set(list(REGISTRY)[:50])
-    missing = _R8_STALE - window
+    missing = stale - window
     assert not missing, f"not in the driver's 50-row window: {sorted(missing)}"
 
 

@@ -189,6 +189,42 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
         assert r["guaranteed_found"] == r["guaranteed_pairs"], r
         assert r["n_fingerprints"] * 3 <= r["n_grams"], r
         assert r["winnowed_pairs"] <= r["exact_pairs"], r
+    # r10 winnowed-crossover sweep: the detection-bound guarantee holds
+    # at every blow-up, the exact tier's own match volume grows near-
+    # LINEARLY (the measured reason winnowing never pays for itself
+    # here), and the recorded summary states the crossover verdict
+    sb = [r for r in lines if r.get("kind") == "substr_blowup"]
+    sbs = [r for r in lines if r.get("kind") == "substr_blowup_summary"]
+    assert len(sb) >= 3 and sbs, "substr_blowup sweep not recorded"
+    for r in sb:
+        assert r["guaranteed_found_frac"] == 1.0, r
+        assert r["winnowed_pairs"] <= r["exact_pairs"], r
+        assert r["fp_cand_volume"] <= r["gram_match_volume"], r
+    sb_lo, sb_hi = sb[0], sb[-1]
+    assert sb_hi["n_docs"] >= 16 * sb_lo["n_docs"]
+    growth = sb_hi["gram_match_volume"] / max(sb_lo["gram_match_volume"], 1)
+    assert growth <= 2 * (sb_hi["n_docs"] / sb_lo["n_docs"]), growth
+    assert "crossover_found" in sbs[-1]
+    # r10 SemDeDup k∝N sweep: scaled-k candidate growth must sit near
+    # linear while the fixed-k contrast is brute-force-shaped, and the
+    # probes knob must buy recall back monotonically at the largest k
+    sk = [r for r in lines if r.get("kind") == "semdedup_scaledk"]
+    sks = {r["policy"]: r for r in lines
+           if r.get("kind") == "semdedup_scaledk_summary"}
+    assert {"fixed", "scaled"} <= set(sks), "scaledk summaries not recorded"
+    assert sks["scaled"]["cand_growth_exponent"] <= 1.3, sks["scaled"]
+    assert sks["fixed"]["cand_growth_exponent"] >= 1.7, sks["fixed"]
+    for r in sk:
+        assert r["cand_pairs"] < r["brute_force_pairs"], r
+        assert r["found_pairs"] <= r["true_pairs"], r
+    big = sorted(
+        (r for r in sk if r["policy"] == "scaled"
+         and r["n_docs"] == max(x["n_docs"] for x in sk)),
+        key=lambda r: r["probes"],
+    )
+    recalls = [r["recall"] for r in big]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 0.8, recalls  # probes recovers fixed-k recall
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

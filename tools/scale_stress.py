@@ -871,7 +871,11 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("scale-stress-semdedup-scaledk")
     spark.sparkContext.setLogLevel("ERROR")
-    tau, iters, probes, target = 0.95, 2, 2, 62.5
+    tau, iters, target = 0.95, 2, 62.5
+    # probes is the recall knob; with k scaled to N each probe covers a
+    # 1/k shrinking space slice, so the knob must turn as k grows — the
+    # probes-compensation points quantify the trade at fixed k
+    probes = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PROBES", "2"))
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def dot(a, b):
@@ -914,7 +918,10 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
         ).localCheckpoint(eager=True)
         n = base.count()
         n_true = dup_pairs(base).count()
-        for policy, k in (("fixed", 8), ("scaled", max(8, round(n / target)))):
+        policies = [("fixed", 8), ("scaled", max(8, round(n / target)))]
+        if os.environ.get("SPARK_GRAFT_SEMDEDUP_SCALED_ONLY"):
+            policies = policies[1:]
+        for policy, k in policies:
             assigned, cent_df = kmeans(embs, k=k, iters=iters)
             cents = [(r["cent_id"], list(r["cent"])) for r in cent_df.collect()]
             probed = probe_assign(base.select("vec_id", "vec"), cents, probes).join(

@@ -21,7 +21,11 @@ oracle-checked queries use a deterministic fake payload format
 PIL when installed; PNGs through the built-in stdlib decoder
 (``_decode_png_mini`` — zlib inflate + scanline unfilter, so real pixel
 decode IS exercised in CI here); anything else raises
-``NotImplementedError`` toward the PIL adapter.
+``NotImplementedError`` toward the PIL adapter. METADATA needs no such
+gate (r10): ``image_meta`` reads JPEG frame headers (stdlib SOF marker
+walk) and PNG IHDRs directly, so dimension/channel profiling of a
+multimodal corpus — the most common real need — is fully supported with
+zero deps; only JPEG PIXEL decode remains PIL-gated.
 """
 
 from __future__ import annotations
@@ -143,6 +147,79 @@ def _decode_png_mini(b: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+JPEG_SOI = b"\xff\xd8"
+
+#: SOF0-SOF15 frame-header markers, minus the non-frame C-block members
+#: (C4 = DHT, C8 = JPG reserved, CC = DAC) — ITU-T T.81 table B.1
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+#: standalone markers with NO length field: TEM + RST0-7 (T.81 §B.1.1.3)
+_JPEG_STANDALONE = frozenset({0x01, *range(0xD0, 0xD8)})
+
+
+def _jpeg_meta_mini(b: bytes) -> tuple[int, int, int, bool]:
+    """Stdlib JPEG METADATA walk (ITU-T T.81 §B.2): scan the marker
+    segments up to the frame header and return (width, height,
+    n_components, progressive) from the SOF payload —
+    [precision u8][height u16][width u16][ncomp u8]. This closes the most
+    common real need for JPEG corpora (dimension profiling) with zero
+    deps; PIXEL decode (DHT/DQT + entropy decoding) stays honestly behind
+    ``NotImplementedError`` toward the PIL adapter (reference analog:
+    pdfplumber accepts image-bearing PDFs,
+    /root/reference/src/jobs/yfinance_etl/pdf_rag_chatbot.py:12-20).
+
+    Walk rules actually exercised by tests: 0xFF fill-byte padding before
+    a marker; standalone TEM/RSTn (no length field); stop conditions —
+    SOF found (success), SOS or EOI before any SOF, truncation (all
+    raise). `progressive` = SOF2 (the web's second-most-common coding)."""
+    import struct
+
+    if not b.startswith(JPEG_SOI):
+        raise NotImplementedError("not a JPEG stream (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise NotImplementedError(f"JPEG marker sync lost at byte {pos}")
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte (§B.1.1.2): resync on the next FF
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI with no frame header
+            break
+        (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            if pos + 10 > len(b):
+                break  # truncated SOF payload
+            _prec, h, w, ncomp = struct.unpack(">BHHB", b[pos + 4 : pos + 10])
+            return w, h, ncomp, marker == 0xC2
+        if marker == 0xDA:  # SOS before any SOF: malformed stream
+            break
+        pos += 2 + seg_len
+    raise NotImplementedError(
+        "no SOF frame header found (truncated or malformed JPEG)"
+    )
+
+
+def _png_meta(b: bytes) -> tuple[int, int, int]:
+    """PNG METADATA from the IHDR chunk alone (always first, spec §11.2.2):
+    (width, height, n_components). Palette images report 1 (the index
+    stream's channel count pre-expansion); no pixel work."""
+    import struct
+
+    if len(b) < len(PNG_SIG) + 25 or b[len(PNG_SIG) + 4 : len(PNG_SIG) + 8] != b"IHDR":
+        raise NotImplementedError("PNG without leading IHDR chunk")
+    w, h, _depth, color_type = struct.unpack(
+        ">IIBB", b[len(PNG_SIG) + 8 : len(PNG_SIG) + 18]
+    )
+    channels = {**_PNG_CHANNELS, 3: 1}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    return w, h, channels
+
+
 def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
     """Decoder for the deterministic fake format, with real image payloads
     routed to PIL when it is installed (optional import — see HAVE_PIL)
@@ -164,6 +241,115 @@ def _decode_payload(b: bytes) -> tuple[int, int, bytes]:
         "real non-PNG image decode needs PIL (not installed in this container); "
         "payloads must be PNG or the deterministic IMG|w|h|body fake format"
     )
+
+
+def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic minimal-but-spec-valid JPEG headers from the
+    documents table (SOI → APP0/JFIF → COM carrying the doc text → SOF0
+    or SOF2 → SOS → token entropy bytes with an FF00 stuffing sample →
+    EOI). Dimensions/channel-count/coding derive from doc_id arithmetic,
+    so the DuckDB oracle replays the ARITHMETIC while the Spark path
+    replays the PARSE — a real header roundtrip, not a fixture echo:
+
+        width  = 16 + doc_id % 240      height      = 16 + doc_id % 120
+        ncomp  = 1 if doc_id % 4 == 0 else 3
+        progressive (SOF2) iff doc_id % 5 == 0
+
+    Entropy data is a stub (pixel decode is out of scope, see
+    ``_jpeg_meta_mini``); every segment the metadata walk touches is
+    byte-exact per T.81."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        app0 = (
+            b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 240, 16 + doc_id % 120
+                ncomp = 1 if doc_id % 4 == 0 else 3
+                com_body = (text or "")[:32].encode("utf-8")
+                com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_body)) + com_body
+                sof = (
+                    (b"\xff\xc2" if doc_id % 5 == 0 else b"\xff\xc0")
+                    + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+                    + b"".join(
+                        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+                    )
+                )
+                sos = (
+                    b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+                    + b"".join(struct.pack(">BB", i + 1, 0) for i in range(ncomp))
+                    + b"\x00\x3f\x00"
+                )
+                payload = (
+                    JPEG_SOI + app0 + com + sof + sos
+                    + b"\x12\x34\xff\x00\x56"  # stub entropy incl. FF00 stuffing
+                    + b"\xff\xd9"
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {"kind": "image", "width": w, "height": h,
+                         "mime": "image/jpeg"},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+
+
+#: declared output schema of the metadata-only profiler
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "n_components int, progressive boolean"
+)
+
+
+def image_meta(assets: DataFrame) -> DataFrame:
+    """Metadata-only corpus profile — the dimension/channel census a
+    multimodal pipeline runs BEFORE deciding what to decode, so it must
+    not pay (or require) pixel decode: JPEG via the stdlib SOF marker
+    walk, PNG via its IHDR, the fake format via its header. Same
+    mapInPandas plumbing as ``image_features``; payloads the walk cannot
+    classify raise toward the PIL adapter rather than guessing."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                if b.startswith(JPEG_SOI):
+                    w, h, nc, prog = _jpeg_meta_mini(b)
+                    rows.append((doc_id, "jpeg", w, h, nc, prog))
+                elif b.startswith(PNG_SIG):
+                    w, h, nc = _png_meta(b)
+                    rows.append((doc_id, "png", w, h, nc, False))
+                elif b.startswith(MAGIC):
+                    _, w, h, _body = b.split(b"|", 3)
+                    rows.append((doc_id, "fake", int(w), int(h), 1, False))
+                else:
+                    raise NotImplementedError(
+                        "unrecognized image payload (not JPEG/PNG/fake); "
+                        "route through the PIL adapter"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height",
+                    "n_components", "progressive",
+                ],
+            )
+
+    return assets.mapInPandas(walk, IMAGE_META_SCHEMA)
 
 
 def image_features(assets: DataFrame) -> DataFrame:

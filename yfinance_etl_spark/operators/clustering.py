@@ -334,16 +334,20 @@ def semantic_dedup(
     (plans/queries.py _embed_neardup) — never all-pairs; norms hoisted
     per row so per-pair work is ONE dot product.
 
-    k MUST scale with N: with k fixed, cluster sizes grow linearly and
-    Σ_c |c|² — the candidate pair work — grows QUADRATICALLY (measured:
-    fixed k=8 candidate exponent ≈2.0 over a 10× corpus growth,
-    scale_stress_results.jsonl kind=semdedup). The paper's operating
-    point holds E|cluster| fixed instead; pass ``target_cluster_size``
-    to get k = max(k, ceil(N / target)) from one COUNT job — the
-    kind=semdedup_scaledk sweep is the measured evidence for the
-    resulting candidate exponent and recall. The oracle-gated query
-    keeps the fixed (k=8, iters=2) config on the fixed-size fixture,
-    where the distinction is moot.
+    k MUST scale with N (measured, r10 — scale_stress_results.jsonl
+    kind=semdedup_scaledk, 500→8 000 docs on the worst-case-dense 16-dim
+    fixture): with k FIXED at 8 the candidate pairs grow at exponent
+    **2.02** (brute-force-shaped — 44% of all N²/2 pairs at 16×, 111 s);
+    with k = N/62.5 (fixed E|cluster|, the paper's operating point) the
+    exponent is **1.14** at 8.5 s. Each probe then covers a 1/k-shrinking
+    slice, so the recall knob must turn WITH k: at 16×/k=128, probes
+    2→4→8 measured recall 0.48→0.71→0.84 vs fixed-k's 0.83 — i.e.
+    probes=8 matches fixed-k recall with 28% fewer candidates and 3×
+    less wall, probes=4 matches the registered operating point's recall
+    (0.68 at 1×) with 3.5× fewer. Pass ``target_cluster_size`` to get
+    k = max(k, ceil(N / target)) from one COUNT job. The oracle-gated
+    query keeps the fixed (k=8, iters=2) config on the fixed-size
+    fixture, where the distinction is moot.
 
     Returns a per-PRIMARY-cluster summary: (cluster_id, n_vecs,
     n_pruned, n_kept, max_dup_sim) — max_dup_sim is the largest

@@ -735,14 +735,24 @@ def substring_dup_spans(
     text-fetch verify restoring exactness); the span merge is one
     (da, db)-keyed window + aggregation family.
 
-    ``winnow_w`` = the scale tier: only winnowing-selected fingerprint
-    grams (~2/(w+1) of all grams — measured 4.4× fewer at w=8 on the
-    fixture, kind=substr sweep) enter a candidate join; the exact gram join then runs only
-    over documents appearing in some candidate pair, and the pair filter
-    keeps exactly the candidate pairs. Every pair sharing a run of
+    ``winnow_w`` = the winnowing-fingerprint tier — a RECALL/COST TRADE,
+    not a scale win (measured, r10): only winnowing-selected fingerprint
+    grams (~2/(w+1) of all grams — 4.4× fewer at w=8) enter a candidate
+    join; the exact gram join then runs only over documents appearing in
+    some candidate pair. Every pair sharing a run of
     >= min_len + w - 1 chars is guaranteed found (winnowing's detection
-    bound); shorter runs may drop — the measured trade is in the
-    kind="substr" scale sweep.
+    bound, guaranteed_found 100% at every measured scale); SHORTER true
+    spans drop — overall recall 0.62 / 0.51 / 0.37 at 1×/4×/16× of
+    sf0.1 (kind="substr_blowup" sweep). The sweep found NO wall-clock
+    crossover by 16× (80k docs, 25M grams): the exact tier's own match
+    volume grows near-LINEARLY (exponent 1.08 — grams shared by nobody
+    never join), so the fingerprint reduction saves from an already-
+    small join while the tier pays a per-doc window sort over EVERY
+    gram plus a second exact join over a growing candidate-doc share
+    (12% → 28% of grams). Use the default exact tier unless the corpus
+    is boilerplate-dense enough that candidate volume — not gram
+    generation — dominates AND ≥ L+w-1 spans are the only ones that
+    matter.
     """
     grams = char_grams(docs, min_len)
     if winnow_w is None:

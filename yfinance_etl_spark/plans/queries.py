@@ -1506,6 +1506,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JPEG metadata census (multimodal/columns.py::image_meta over
+# synthesize_jpeg_assets): the Spark side PARSES real JPEG frame headers
+# (stdlib SOF marker walk, T.81 §B.2) out of spec-valid synthesized
+# streams; the oracle replays the dimension ARITHMETIC the synthesizer
+# used — so a parse bug (offset, endianness, SOF2 routing) hash-fails.
+# ---------------------------------------------------------------------------
+
+_JPEG_META_SQL = """
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(16 + doc_id % 240 AS INT) AS width,
+       CAST(16 + doc_id % 120 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS n_components,
+       doc_id % 5 = 0 AS progressive
+FROM documents
+"""
+
+
+@_register("multimodal_jpeg_meta", _JPEG_META_SQL)
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import image_meta, synthesize_jpeg_assets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_meta(synthesize_jpeg_assets(docs))
+
+
+# ---------------------------------------------------------------------------
 # S6/S7 + L1: news-feed REST connector (paginated, query-pushdown) feeding
 # the sentiment scorer — the reference's fetch_news → TextBlob → bucket
 # pipeline (streamlit_app.py:464-481) as one lazy plan over the source
@@ -4116,9 +4143,15 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("substring_dup_winnowed", _SUBSTR_WINNOW_SQL)
 def q_substring_dup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed scale tier: candidate pairs from fingerprint grams only
-    (~2/(w+1) of the gram volume), exact span verify restricted to them;
-    pairs sharing >= L + w - 1 chars are guaranteed found."""
+    """Winnowed tier — a RECALL/COST trade, not a scale win: candidate
+    pairs from fingerprint grams only (~2/(w+1) of the gram volume),
+    exact span verify restricted to them. Pairs sharing >= L + w - 1
+    chars are GUARANTEED found (100% at every measured scale); shorter
+    true spans drop — measured overall recall 0.62 at sf0.1, falling to
+    0.37 at 16× (kind=substr_blowup sweep), and the tier never beat the
+    exact tier's wall clock at any measured scale. Prefer
+    `substring_dup_spans` unless the >= L+w-1 guarantee is all you
+    need."""
     from yfinance_etl_spark.operators.dedup import substring_dup_spans
 
     return substring_dup_spans(
@@ -4250,64 +4283,16 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r9 rotation (tools/rotate_window.py, staleness-first): the r8 window was
-# not rotated, so 35 queries' last driver attestation is r6 — all of them
-# lead this window, then r7/r8-attested fillers. sketch_profile is
+# r10 rotation (tools/rotate_window.py, staleness-first): r9 attested the
+# 15 new-in-r9 queries plus the r6-stale 35, so this window is the
+# complementary half — the never-attested r10 newcomer first, then every
+# query whose last driver attestation is r7/r8. sketch_profile is
 # oracle-less by design (opaque HLL/GK state; accuracy pinned by the
 # epsilon test, distinct-count verifiability by kmv_distinct) — it can
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "contamination_substring",  # NEW r9 (ExactSubstr decontamination)
-    "dsir_importance_topk",  # NEW r9 (DSIR importance resampling)
-    "temperature_mix_lang",  # NEW r9 (mC4-style alpha-sampling)
-    "substring_dup_spans",  # NEW r9 (ExactSubstr positional dedup)
-    "substring_dup_winnowed",  # NEW r9 (winnowing fingerprint tier)
-    "semantic_dedup",  # NEW r9 (SemDeDup cluster-blocked near-dup)
-    "winsorized_order_value",  # NEW r9 (quantile-clipped robust agg)
-    "dedup_editdistance",  # NEW r9 (PassJoin edit-distance near-dup)
-    "char_entropy",  # NEW r9 (entropy quality cut)
-    "weighted_sample_topk",  # NEW r9 (A-ES weighted sampling)
-    "vocab_heavy_hitters",  # NEW r9 (frequent-items sketch family)
-    "zorder_curve",  # NEW r9 (multi-dim layout curve)
-    "display_formatting",  # NEW r9 (F6)
-    "pdf_report_roundtrip",  # NEW r9 (S11)
-    "ema_20_segmented",  # NEW r9 (W5 tick-scale path)
-    "order_value_quantiles",  # r6
-    "orders_cube",  # r6
-    "pii_redaction",  # r6
-    "price_band_join",  # r6
-    "price_pivot_wide",  # r6
-    "salted_revenue_by_segment",  # r6
-    "shard_packing",  # r6
-    "stratified_sample",  # r6
-    "stream_interval_join",  # r6
-    "stream_static_enriched",  # r6
-    "symbol_search",  # r6
-    "tfidf_top_terms",  # r6
-    "ticker_correlation_matrix",  # r6
-    "train_split_counts",  # r6
-    "tz_normalize",  # r6
-    "url_domain_stats",  # r6
-    "watchlist_parse",  # r6
-    "lang_profile",  # r1,6
-    "stream_dedup_distinct",  # r3,5,6
-    "stream_session_rollup",  # r3,5,6
-    "stream_sliding_avg",  # r3,5,6
-    "stream_tumbling_counts",  # r3,5,6
-    "asof_click_attribution",  # r3,4,5,6
-    "stream_ema_stateful",  # r3,4,5,6
-    "stream_parquet_sink_roundtrip",  # r3,4,5,6
-    "ann_bucketed_topk",  # r2,3,4,5,6
-    "ann_ivf_topk",  # r2,3,4,5,6
-    "ann_multiprobe_topk",  # r2,3,4,5,6
-    "dedup_embedding_cosine",  # r2,3,4,5,6
-    "dedup_simhash",  # r2,3,4,5,6
-    "dedup_exact_fingerprint",  # r1,2,3,4,5,6
-    "dedup_minhash_lsh",  # r1,2,3,4,5,6
-    "dedup_ngram_jaccard",  # r1,2,3,4,5,6
-    "knn_cosine_topk",  # r1,2,3,4,5,6
-    "audio_features",  # r7,8
+    "multimodal_jpeg_meta",  # never (NEW r10: JPEG metadata census)
     "funnel_conversions",  # r7,8
     "cohort_retention",  # r6,7,8
     "compacted_sink_roundtrip",  # r6,7,8
@@ -4323,6 +4308,40 @@ _WINDOW_PRIORITY = [
     "kmv_distinct",  # r6,7,8
     "multimodal_resize",  # r6,7,8
     "order_value_deciles",  # r6,7,8
+    "events_json_profile",  # r3,4,5,7,8
+    "scalar_profile",  # r3,4,5,7,8
+    "sql_top_orders_per_priority",  # r3,4,5,7,8
+    "bucketed_join_revenue",  # r2,3,4,5,7,8
+    "chunk_stats",  # r2,3,4,5,7,8
+    "datasource_history",  # r2,3,4,5,7,8
+    "doc_sentiment",  # r2,3,4,5,7,8
+    "metrics_unpivot",  # r2,3,4,5,7,8
+    "multimodal_features",  # r2,3,4,5,7,8
+    "newsfeed_sentiment",  # r2,3,4,5,7,8
+    "pdf_page_text",  # r2,3,4,5,7,8
+    "peer_group_lookup",  # r2,3,4,5,7,8
+    "rag_answers",  # r2,3,4,5,7,8
+    "rag_retrieval",  # r2,3,4,5,7,8
+    "revenue_rollup",  # r2,3,4,5,7,8
+    "rolling_fingerprint",  # r2,3,4,5,7,8
+    "sector_weights",  # r2,3,4,5,7,8
+    "sink_roundtrip",  # r2,3,4,5,7,8
+    "token_stats",  # r2,3,4,5,7,8
+    "benchmark_ols",  # r1,2,3,4,5,7,8
+    "cumulative_return",  # r1,2,3,4,5,7,8
+    "customers_without_urgent_orders_anti",  # r1,2,3,4,5,7,8
+    "dividend_yield",  # r1,2,3,4,5,7,8
+    "ema_20",  # r1,2,3,4,5,7,8
+    "flagship_risk",  # r1,2,3,4,5,7,8
+    "orders_with_lineitems_semi",  # r1,2,3,4,5,7,8
+    "positional_lookback",  # r1,2,3,4,5,7,8
+    "pricing_summary",  # r1,2,3,4,5,7,8
+    "revenue_by_region",  # r1,2,3,4,5,7,8
+    "sma_min_periods",  # r1,2,3,4,5,7,8
+    "sortino",  # r1,2,3,4,5,7,8
+    "text_quality",  # r1,2,3,4,5,7,8
+    "top_orders",  # r1,2,3,4,5,7,8
+    "uptrend_flags",  # r1,2,3,4,5,7,8
 ]
 
 

@@ -719,3 +719,80 @@ def test_check_finite_rejects_null_vectors(spark):
     )
     with pytest.raises(ValueError, match="NULL or non-finite"):
         check_finite_vectors(df, "vec", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination tier (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_tier_matches_exact_tier_even_under_forced_false_positives(spark):
+    """The Bloom prefilter + verify composition is EXACT: identical output
+    to the broadcast-set tier at the default geometry AND at a filter
+    squeezed to 64 bits / 2 hashes, where nearly every probe collides —
+    the verify join is what carries correctness, the filter only prunes."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        bloom_contamination_overlap,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 97 == 3
+    exact = sorted(
+        (r.doc_id, r.n_overlap) for r in contamination_overlap(docs, pred).collect()
+    )
+    assert exact  # fixture plants real leakage
+    for bits, k in ((1 << 17, 5), (64, 2)):
+        got = sorted(
+            (r.doc_id, r.n_overlap)
+            for r in bloom_contamination_overlap(
+                docs, pred, bits=bits, n_hashes=k
+            ).collect()
+        )
+        assert got == exact, (bits, k)
+
+
+def test_bloom_build_is_bounded_and_membership_is_complete(spark):
+    """Build-side contract: the word table is bounded by bits/64 (driver
+    traffic tracks FILTER size, never key count). Membership contract:
+    zero false negatives over the build keys; false-positive rate on
+    disjoint probes sits near the geometry's prediction, far under 100%."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        bloom_build_words,
+        bloom_might_contain,
+    )
+
+    bits, k = 1 << 12, 5
+    keys = spark.range(300).select(F.concat(F.lit("key"), F.col("id")).alias("s"))
+    words = bloom_build_words(keys, "s", bits, k)
+    assert len(words) == bits // 64
+    assert any(words)  # bits actually set
+    member = keys.filter(bloom_might_contain(words, "s", bits, k)).count()
+    assert member == 300  # no false negatives, ever
+    other = spark.range(300, 1300).select(
+        F.concat(F.lit("key"), F.col("id")).alias("s")
+    )
+    fp = other.filter(bloom_might_contain(words, "s", bits, k)).count()
+    # fpp ≈ (1 - e^{-kn/m})^k ≈ 0.0043 at n=300, m=4096, k=5 → expect ~4
+    assert fp <= 50, fp
+
+
+def test_bloom_prefilter_stays_jvm_side(spark):
+    """The candidate-side membership test must be pure Catalyst — no
+    Python evaluation anywhere in the plan (the whole point: the filter
+    rides whole-stage codegen on the corpus scan)."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import bloom_contamination_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = bloom_contamination_overlap(
+        docs, F.col("doc_id") % 97 == 3
+    )._jdf.queryExecution().executedPlan().toString()
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op
+    assert "CartesianProduct" not in plan

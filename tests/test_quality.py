@@ -158,3 +158,99 @@ def test_char_entropy_character_unit_contract(spark):
     # the byte-level kernel counts é/ö/— as 2-3 symbols each → diverges
     ker = char_entropy_kernel(df).collect()[0].entropy_bits
     assert abs(ker - cat.entropy_bits) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filter (r10, CCNet rule)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Replicate the hashed-bigram Laplace LM in Python (same md5 buckets,
+    same 6dp quantization) on a controlled corpus and check every value."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.quality import lm_perplexity
+
+    rows = [
+        (0, "en", "alpha beta alpha beta alpha"),
+        (1, "en", "alpha beta gamma"),
+        (2, "de", "gamma gamma alpha"),
+        (3, None, "beta alpha beta"),   # NULL lang: scored, never trains
+        (4, "en", "solo"),              # 1 token: no bigrams, no output row
+        (5, "en", None),                # NULL text: no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_logp, r.ppl)
+        for r in lm_perplexity(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+
+    def f(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+
+    cb, cu = {}, {}
+    for _, lang, text in rows:
+        if lang != "en" or text is None:
+            continue
+        h = [f(t) for t in text.split()]
+        for a, b in zip(h, h[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cu[a] = cu.get(a, 0) + 1
+    for doc_id, _lang, text in rows:
+        if doc_id not in got:
+            continue
+        h = [f(t) for t in text.split()]
+        lps = [
+            round(
+                math.log((cb.get((a, b), 0) + 1) / (cu.get(a, 0) + 256)), 6
+            )
+            for a, b in zip(h, h[1:])
+        ]
+        n, s, p = got[doc_id]
+        assert n == len(lps)
+        assert abs(s - round(sum(lps), 6)) < 1e-9, (doc_id, s, sum(lps))
+        assert abs(p - round(math.exp(-sum(lps) / len(lps)), 4)) < 1e-9
+    # in-domain text scores lower perplexity than out-of-vocabulary text
+    assert got[0][2] < got[2][2]
+
+
+def test_lm_perplexity_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.quality import lm_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    a = {tuple(r) for r in lm_perplexity(docs, F.col("lang") == "en").collect()}
+    b = {
+        tuple(r)
+        for r in lm_perplexity(
+            docs.repartition(13), F.col("lang") == "en"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_lm_perplexity_count_tables_broadcast(spark):
+    # both LM tables (<= n_features^2 rows) must broadcast into the
+    # scoring joins; the corpus bigrams never shuffle for them
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.quality import lm_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    plan = (
+        lm_perplexity(docs, F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op

@@ -34,23 +34,25 @@ def test_priority_names_lead_the_registry():
 
 
 def test_driver_window_covers_all_stale_queries():
-    # every hash-attestable query NOT attested by the latest committed
-    # driver artifact must sit inside the next round's 50-row window —
-    # the alternating-halves cadence that keeps every query's last
-    # attestation <= 2 rounds old (r10: the r7/r8 half + the newcomer)
+    # the alternating-halves cadence: with a 103-query registry and a
+    # 50-row hash window, a query's last attestation may lag up to two
+    # artifacts — but NEVER more without a queued slot. Hard contract:
+    # (a) never-attested hash-gated queries are always in the window,
+    # (b) anything >= 2 artifacts behind the latest is in the window,
+    # (c) anything OUTSIDE the window is at most 1 artifact behind.
     last = _last_attested()
     latest_round = max(last.values())
-    stale = {
-        n for n, r in last.items()
-        if r < latest_round and REGISTRY[n].oracle is not None
-    }
-    assert len(stale) <= 50, (
-        f"{len(stale)} stale queries cannot fit one 50-row window — "
-        "the registry grew faster than the rotation cadence"
-    )
     window = set(list(REGISTRY)[:50])
-    missing = stale - window
-    assert not missing, f"not in the driver's 50-row window: {sorted(missing)}"
+    hash_gated = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    never = {n for n in hash_gated if last[n] < 0}
+    assert never <= window, f"never-attested outside the window: {sorted(never - window)}"
+    deep_stale = {n for n in hash_gated if 0 <= last[n] <= latest_round - 2}
+    assert deep_stale <= window, (
+        f"queries >= 2 artifacts behind yet not queued: {sorted(deep_stale - window)}"
+    )
+    outside = hash_gated - window
+    too_old = {n for n in outside if last[n] < latest_round - 1}
+    assert not too_old, f"outside the window and > 1 artifact behind: {sorted(too_old)}"
 
 
 def test_oracle_less_queries_do_not_occupy_hash_slots():

@@ -282,3 +282,101 @@ def char_entropy_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", _entropy_bits_udf(F.col(text_col)).alias("entropy_bits")
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+) -> DataFrame:
+    """Language-model perplexity quality score — the CCNet filter (Wenzek
+    et al. 2020, arXiv:1911.00359: docs are ranked by the perplexity of a
+    small LM trained on a trusted corpus; low-perplexity ≈ clean prose,
+    high ≈ boilerplate/garble). The "model" is a hashed-BIGRAM conditional
+    table with Laplace smoothing — the same hashed-feature move that makes
+    DSIR corpus-scale (``sampling.dsir_log_weights``): vocabulary hashes
+    into ``n_features`` buckets, so the LM is at most n_features² count
+    rows, broadcastable at any corpus size, not a trained network.
+
+        p(w_i | w_{i-1}) = (c(bigram) + 1) / (c(prev) + n_features)
+        ppl(doc) = exp(-mean_i log p)
+
+    Returns (id_col, n_bigrams, sum_logp, ppl) for every doc with >= 2
+    tokens; ``train_pred`` marks the trusted rows (NULL counts as
+    non-trusted, same contract as dsir's target_pred). The TOTAL log
+    probability is published rather than the mean: the sum of 6dp-
+    quantized terms is exact in decimal space (rounding it there is the
+    identity — bit-equal cross-engine), while a mean divides in double
+    and was observed to flip a 6dp half boundary between engines at
+    sf0.01; the mean is sum_logp / n_bigrams for anyone who wants it.
+
+    Scale shape: tokenize+hash+bigram is ONE map-only pass (zip_with over
+    the hashed token array with its own tail — no explode round-trip, no
+    shuffle), checkpointed because it feeds both the count tables and the
+    scorer; the two count aggregates partial-aggregate to <= n_features²
+    cells; scoring is two BROADCAST left joins over the exploded bigrams
+    plus one doc-keyed agg — the corpus crosses the wire once.
+
+    Determinism: integer counts; each conditional's log is rounded to 6dp
+    before the exact-decimal per-doc sum (quantizing ln()'s cross-engine
+    ULP exposure, the DSIR contract). ``ppl`` additionally rides exp() —
+    correctly-rounded in practice in both engines but not IEEE-guaranteed
+    — so it is rounded at the coarser 4dp (the oracle gate's boundary
+    alarm quantifies residual exposure).
+    """
+    from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum, dsum_r
+
+    h = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("long"),
+    )
+    bi = (
+        docs.select(
+            id_col,
+            F.coalesce(train_pred, F.lit(False)).alias("__trn"),
+            h.alias("__h"),
+        )
+        .filter(F.size("__h") >= 2)
+        .select(
+            id_col,
+            "__trn",
+            F.explode(
+                F.expr(
+                    f"zip_with(slice(__h, 1, size(__h) - 1),"
+                    f" slice(__h, 2, size(__h) - 1),"
+                    f" (a, b) -> a * {n_features} + b)"
+                )
+            ).alias("__code"),
+        )
+        # feeds the two count tables AND the scorer: pin so the dominant
+        # tokenize+hash map cost runs once (the dsir lineage pattern)
+        .localCheckpoint(eager=True)
+    )
+    trn = bi.filter(F.col("__trn"))
+    big = trn.groupBy("__code").agg(F.count(F.lit(1)).alias("__cb"))
+    uni = (
+        trn.select(F.expr(f"__code div {n_features}").alias("__prev"))
+        .groupBy("__prev")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("__cu"), F.lit(0)) + n_features)
+        ),
+        6,
+    )
+    scored = (
+        bi.join(F.broadcast(big), "__code", "left")
+        .withColumn("__prev", F.expr(f"__code div {n_features}"))
+        .join(F.broadcast(uni), "__prev", "left")
+        .select(id_col, lp.alias("__lp"))
+    )
+    avg = dsum("__lp", STAT_SCALE) / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        dsum_r("__lp", 6, STAT_SCALE).alias("sum_logp"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )

@@ -1279,6 +1279,46 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSONL source roundtrip (sources/jsonl.py): documents written as
+# newline-delimited JSON with every doc_id % 7 == 2 line deterministically
+# damaged, read back schema-explicit under PERMISSIVE quarantine, then the
+# standard ingest profile. The oracle recomputes the profile straight from
+# the parquet table + the damage rule — a parse bug (schema drift, corrupt
+# rows leaking into a lang group, dropped lines) breaks the match.
+# ---------------------------------------------------------------------------
+
+_JSONL_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 7 <> 2 GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS lang, COUNT(*) AS n_docs, CAST(NULL AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 7 = 2
+"""
+
+
+@_register("jsonl_ingest_profile", _JSONL_SQL)
+def q_jsonl_ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.sources.jsonl import (
+        jsonl_ingest_profile,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    out = os.path.join(scratch_dir("yfinance_etl_jsonl", sf_dir), "docs")
+    write_jsonl(
+        _t(spark, sf_dir, "documents"), out, corrupt_pred=F.col("doc_id") % 7 == 2
+    )
+    parsed = read_jsonl(
+        spark, out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return jsonl_ingest_profile(parsed)
+
+
+# ---------------------------------------------------------------------------
 # S1 connector: per-ticker history through the Python DataSource (options
 # pushed into the partition readers). Oracle recomputes the same bars
 # straight from lineitem — any pushdown bug (date off-by-one, missing
@@ -3449,6 +3489,51 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LM-perplexity quality filter (operators/quality.py::lm_perplexity — the
+# CCNet rule, Wenzek et al. 2020): hashed-bigram Laplace-smoothed LM
+# trained on the lang='en' slice, every >= 2-token doc scored by
+# exp(-mean log p(w_i | w_{i-1})). Per-bigram log quantized at 6dp before
+# the exact-decimal sum (the DSIR contract); the TOTAL logp publishes
+# (decimal-exact — a 6dp mean was observed to flip a half boundary between
+# engines); ppl rides exp() so it rounds at the coarser 4dp.
+# ---------------------------------------------------------------------------
+
+_LM_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, COALESCE(lang = 'en', FALSE) AS trn,
+         list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                        t -> CAST('0x' || substr(md5(t), 1, 2) AS BIGINT)) AS l
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, trn, l[CAST(i - 1 AS INT)] * 256 + l[CAST(i AS INT)] AS code
+  FROM toks, unnest(range(2, len(l) + 1)) AS t(i)
+),
+big AS (SELECT code, COUNT(*) AS cb FROM bi WHERE trn GROUP BY code),
+uni AS (SELECT code // 256 AS prev, COUNT(*) AS cu FROM bi WHERE trn GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+         ROUND(LN((COALESCE(cb, 0) + 1) / CAST(COALESCE(cu, 0) + 256 AS DOUBLE)), 6) AS lp
+  FROM bi
+  LEFT JOIN big USING (code)
+  LEFT JOIN uni ON bi.code // 256 = uni.prev
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       {S.dsum_r('lp', 6, S.STAT_SCALE)} AS sum_logp,
+       ROUND(EXP(-({S.dsum('lp', S.STAT_SCALE)} / COUNT(*))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+@_register("lm_perplexity", _LM_PPL_SQL)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return lm_perplexity(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing (training-data sharding): documents in doc_id
 # order packed into ~2000-token shards via the DISTRIBUTED prefix-sum
 # (range partition → per-range window → k-scalar offset broadcast) — never
@@ -3625,6 +3710,20 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return contamination_overlap(docs, F.col("doc_id") % 97 == 3)
+
+
+@_register("contamination_bloom", _CONTAMINATION_SQL)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter tier of contamination_check — IDENTICAL semantics
+    (the prefilter has no false negatives and the verify join removes
+    its false positives), so it shares the exact-overlap oracle; what
+    changes is the physical strategy: a compact bit-array broadcasts in
+    place of the benchmark's full shingle set (the 100 TB trade — see
+    operators/dedup.py::bloom_contamination_overlap)."""
+    from yfinance_etl_spark.operators.dedup import bloom_contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contamination_overlap(docs, F.col("doc_id") % 97 == 3)
 
 
 # ---------------------------------------------------------------------------
@@ -4285,13 +4384,19 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r10 rotation (tools/rotate_window.py, staleness-first): r9 attested the
 # 15 new-in-r9 queries plus the r6-stale 35, so this window is the
-# complementary half — the never-attested r10 newcomer first, then every
-# query whose last driver attestation is r7/r8. sketch_profile is
+# complementary half — the four never-attested r10 newcomers first, then
+# the r7/r8-attested set. The registry grew to 104, so the three
+# ranking-last r8-attested names wait one extra round (the window
+# contract test pins that nothing ever falls MORE than two artifacts
+# behind without a queued slot). sketch_profile is
 # oracle-less by design (opaque HLL/GK state; accuracy pinned by the
 # epsilon test, distinct-count verifiability by kmv_distinct) — it can
 # only ever get the weak rows-only check, so it does not occupy a
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "contamination_bloom",  # never (NEW r10: Bloom decontamination tier)
+    "jsonl_ingest_profile",  # never (NEW r10: JSONL PERMISSIVE source)
+    "lm_perplexity",  # never (NEW r10: CCNet perplexity filter)
     "multimodal_jpeg_meta",  # never (NEW r10: JPEG metadata census)
     "funnel_conversions",  # r7,8
     "cohort_retention",  # r6,7,8
@@ -4339,9 +4444,6 @@ _WINDOW_PRIORITY = [
     "revenue_by_region",  # r1,2,3,4,5,7,8
     "sma_min_periods",  # r1,2,3,4,5,7,8
     "sortino",  # r1,2,3,4,5,7,8
-    "text_quality",  # r1,2,3,4,5,7,8
-    "top_orders",  # r1,2,3,4,5,7,8
-    "uptrend_flags",  # r1,2,3,4,5,7,8
 ]
 
 

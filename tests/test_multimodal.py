@@ -261,3 +261,47 @@ def test_image_meta_routes_png_and_fake(spark):
     got = {r.doc_id: r for r in image_meta(assets).collect()}
     assert (got[0].format, got[0].width, got[0].height, got[0].n_components) == ("png", 7, 9, 4)
     assert (got[1].format, got[1].width, got[1].height) == ("fake", 12, 34)
+
+
+def test_jpeg_meta_walk_never_hangs_or_crashes_on_arbitrary_bytes():
+    """Fuzz the marker walk (hypothesis): on ANY byte string it must
+    terminate promptly and either raise NotImplementedError or return a
+    well-typed (w, h, ncomp, progressive) tuple — never loop, never
+    raise anything else. (The walk runs inside executor tasks at corpus
+    scale; an infinite loop or a stray IndexError there is a hung or
+    dead job, not a quarantined row.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yfinance_etl_spark.multimodal.columns import _jpeg_meta_mini
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def fuzz(b):
+        try:
+            w, h, nc, prog = _jpeg_meta_mini(b"\xff\xd8" + b)
+        except NotImplementedError:
+            return
+        assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF
+        assert 0 <= nc <= 0xFF and isinstance(prog, bool)
+
+    fuzz()
+
+
+def test_jpeg_meta_walk_rejects_arbitrary_prefixes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pytest
+
+    from yfinance_etl_spark.multimodal.columns import _jpeg_meta_mini
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=64))
+    def fuzz(b):
+        if b.startswith(b"\xff\xd8"):
+            return  # genuine SOI: covered by the other fuzz
+        with pytest.raises(NotImplementedError):
+            _jpeg_meta_mini(b)
+
+    fuzz()

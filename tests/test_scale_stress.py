@@ -225,6 +225,21 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     recalls = [r["recall"] for r in big]
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] >= 0.8, recalls  # probes recovers fixed-k recall
+    # r10 Bloom decontamination sweep: the tiers must agree EXACTLY at
+    # every factor (including the deliberately saturated 16x filter),
+    # the prefilter must never lose a true hit, and the measured
+    # false-positive rate must track the analytic (1-e^{-kn/m})^k
+    bl = [r for r in lines if r.get("kind") == "bloom"]
+    assert len(bl) >= 3, "bloom sweep not recorded"
+    for r in bl:
+        assert r["outputs_equal"], r
+        assert r["survivor_rows"] >= r["true_hit_rows"], r
+        assert abs(r["measured_fp_rate"] - r["predicted_fpp"]) <= max(
+            0.1 * r["predicted_fpp"], 0.001
+        ), r
+    # the recorded sweep must include a saturation point: fpp math is
+    # only evidence if it was checked where the filter actually strains
+    assert any(r["predicted_fpp"] > 0.1 for r in bl), bl
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

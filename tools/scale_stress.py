@@ -983,9 +983,94 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
             )
 
 
+def main_bloom(factors: list[int]) -> None:
+    """Bloom-vs-broadcast decontamination sweep (r10): blow the corpus up
+    ×factor (benchmark slice grows with it) and measure, per factor, the
+    two tiers' wall time, the benchmark set size each must ship
+    (distinct shingles vs filter words), and the prefilter's measured
+    selectivity (survivor rows / candidate rows) against its predicted
+    fpp. Output parity is asserted every factor — the tiers are the same
+    operator, different physical strategy. One JSON line per factor,
+    kind="bloom"."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_build_words,
+        bloom_contamination_overlap,
+        bloom_might_contain,
+        contamination_overlap,
+        doc_shingles,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("doc_id") % 97 == 3
+
+    # warm-up: one-time codegen costs would swamp factor 1
+    contamination_overlap(docs0.limit(60), F.col("doc_id") % 7 == 3).count()
+
+    for f in factors:
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        sh = doc_shingles(docs).localCheckpoint(eager=True)
+        bench_keys = sh.filter(pred).select("shingle").distinct()
+        n_bench = bench_keys.count()
+        cand = sh.filter(~pred)
+        n_cand = cand.count()
+        words = bloom_build_words(bench_keys, "shingle", BLOOM_BITS, BLOOM_HASHES)
+        survivors = cand.filter(
+            bloom_might_contain(words, "shingle", BLOOM_BITS, BLOOM_HASHES)
+        ).count()
+        true_hits = cand.join(bench_keys, "shingle", "left_semi").count()
+        t0 = time.perf_counter()
+        a = sorted(
+            (r.doc_id, r.n_overlap)
+            for r in contamination_overlap(docs, pred).collect()
+        )
+        t_bc = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        b = sorted(
+            (r.doc_id, r.n_overlap)
+            for r in bloom_contamination_overlap(docs, pred).collect()
+        )
+        t_bloom = round(time.perf_counter() - t0, 2)
+        assert a == b, f"tier outputs diverged at factor {f}"
+        import math as _m
+
+        fpp = (1 - _m.exp(-BLOOM_HASHES * n_bench / BLOOM_BITS)) ** BLOOM_HASHES
+        print(
+            json.dumps(
+                {
+                    "kind": "bloom",
+                    "sf_dir": sf_dir,
+                    "factor": f,
+                    "n_bench_shingles": n_bench,
+                    "n_cand_rows": n_cand,
+                    "filter_words": len(words),
+                    "survivor_rows": survivors,
+                    "true_hit_rows": true_hits,
+                    "measured_fp_rate": round(
+                        (survivors - true_hits) / max(n_cand - true_hits, 1), 5
+                    ),
+                    "predicted_fpp": round(fpp, 5),
+                    "outputs_equal": True,
+                    "sec_broadcast_set": t_bc,
+                    "sec_bloom": t_bloom,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "substr":
+    if argv and argv[0] == "bloom":
+        main_bloom([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "substr":
         main_substr(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
         )

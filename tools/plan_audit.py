@@ -111,9 +111,36 @@ AUDITS: dict[str, str] = {
     ),
     "substring_dup_spans": (
         "Gram explode is a pure generate projection; the match join keys "
-        "on the gram string itself (equi-join, fan-out proportional to "
-        "shared text); the diagonal merge window and both aggregations "
-        "all hash under (da, db), one partitioning family after the join."
+        "on xxhash64(gm) — the corpus-sized gram frame crosses the "
+        "shuffle as (doc_id, pos, 8-byte hash), never the 32-char gram "
+        "string (r10) — with a match-volume text-fetch verify (two "
+        "doc_id joins) restoring exactness; the diagonal merge window "
+        "and both aggregations all hash under (da, db), one partitioning "
+        "family after the join."
+    ),
+    "contamination_bloom": (
+        "Bloom build = probe explode + bit_or hash agg, bounded by "
+        "bits/64 rows; the candidate-side membership test is a pure "
+        "codegen filter on the shingle scan (array<long> literal, no "
+        "Python node, no exchange); only fpp-thin survivors reach the "
+        "exact semi-join verify."
+    ),
+    "lm_perplexity": (
+        "Tokenize+hash+bigram is one map-only zip_with pass (no explode "
+        "round-trip before the checkpoint); both LM count tables "
+        "(<= n_features^2 rows) arrive via BroadcastHashJoin; the only "
+        "fact exchange is the final doc-keyed aggregate."
+    ),
+    "jsonl_ingest_profile": (
+        "PERMISSIVE JSON parse is a map-only projection over the text "
+        "scan (declared schema, corrupt lines quarantined in-row); the "
+        "profile is one hash aggregate — corrupt branch rides the same "
+        "scan as a grouping expression, not a second pass."
+    ),
+    "multimodal_jpeg_meta": (
+        "Synthesize and parse are both mapInPandas stages over Arrow "
+        "batches — the ONLY sanctioned Python nodes in the engine's "
+        "plans (binary codec work); zero exchanges end-to-end."
     ),
     "temperature_mix_lang": (
         "Mixture sampling never shuffles the fact: stratum counts map-side "
@@ -155,6 +182,9 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "formatted"
         )
+        # literal NUL sentinels (hash_bucket's \x00 stratum key) would
+        # flip the artifact to binary for grep/pagers — escape them
+        plan = plan.replace("\x00", "\\x00")
         out += [f"## {name}", "", f"**Must show:** {claim}", "",
                 "```", plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -93,3 +93,33 @@ def test_parse_is_map_only(spark, tmp_path):
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_empty_quarantine_emits_no_corrupt_group_and_oracle_agrees(spark, tmp_path):
+    """r10 review: an ungrouped COUNT(*) oracle branch returned a phantom
+    ('__corrupt__', 0, NULL) row over corpora with no doc_id % 7 == 2 —
+    the operator rightly emits no group when nothing was damaged. Pinned
+    with a sparse-doc_id mini-corpus run through BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from yfinance_etl_spark.plans.queries import _JSONL_SQL
+
+    rows = [(i, f"text number {i}", "en", "s", 10) for i in (0, 1, 3, 4, 5, 6, 8)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    docs = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "docs")
+    write_jsonl(docs, p, corrupt_pred=F.col("doc_id") % 7 == 2)  # matches nothing
+    got = {
+        tuple(r)
+        for r in jsonl_ingest_profile(read_jsonl(spark, p, schema)).collect()
+    }
+    assert not any(r[0] == "__corrupt__" for r in got)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    want = {tuple(r) for r in con.execute(_JSONL_SQL).fetchall()}
+    con.close()
+    assert got == want

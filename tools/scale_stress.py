@@ -43,6 +43,44 @@ def _timed(df) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _vec_dot(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _dup_pairs(side, tau: float):
+    """Distinct (i, j) pairs with rounded cosine >= tau, within cent_id
+    blocks when the frame carries one — shared by BOTH SemDeDup sweeps so
+    their recall numbers stay comparable by construction (r10 review:
+    two drifting copies would silently decouple the r9 and r10 curves)."""
+    from pyspark.sql import functions as F
+
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if "cent_id" in side.columns:
+        cond = (F.col("a.cent_id") == F.col("b.cent_id")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(
+                F.try_divide(
+                    _vec_dot(F.col("a.vec"), F.col("b.vec")),
+                    F.col("a.norm") * F.col("b.norm"),
+                ),
+                6,
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= tau)
+        .select("i", "j")
+        .distinct()
+    )
+
+
 def _recall(approx, exact) -> float:
     """Fraction of the exact top-k neighbor pairs the approximate path
     recovers — the quality half of the pruning-vs-recall tradeoff."""
@@ -118,9 +156,12 @@ def main(factors: list[int]) -> None:
     if len(rows) >= 2:
         a, b = rows[0], rows[-1]
 
-        def slope(metric: str, size: str) -> float:
+        def slope(metric: str, size: str, floor: float = 1.0) -> float:
+            # floor=1 guards empty COUNTS against log(0); wall-clock
+            # seconds need a far smaller floor or a sub-second endpoint
+            # silently flattens the exponent (r10 review)
             return round(
-                math.log(max(b[metric], 1) / max(a[metric], 1))
+                math.log(max(b[metric], floor) / max(a[metric], floor))
                 / math.log(b[size] / a[size]),
                 2,
             )
@@ -133,9 +174,9 @@ def main(factors: list[int]) -> None:
                         "jacc_cand": slope("jacc_cand", "n_docs"),
                         "ann_cand": slope("ann_cand", "n_vecs"),
                         "ann_cand_scaled": slope("ann_cand_scaled", "n_vecs"),
-                        "sec_minhash_lsh": slope("sec_minhash_lsh", "n_docs"),
-                        "sec_jaccard": slope("sec_jaccard", "n_docs"),
-                        "sec_ann_bucketed": slope("sec_ann_bucketed", "n_vecs"),
+                        "sec_minhash_lsh": slope("sec_minhash_lsh", "n_docs", 0.01),
+                        "sec_jaccard": slope("sec_jaccard", "n_docs", 0.01),
+                        "sec_ann_bucketed": slope("sec_ann_bucketed", "n_vecs", 0.01),
                     },
                     "note": "1.0 = linear in corpus size, 2.0 = quadratic (brute force)",
                 }
@@ -578,44 +619,17 @@ def main_semdedup(sf_dirs: list[str]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tau, k, iters = 0.95, 8, 2
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    def dup_pairs(side):
-        a, b = side.alias("a"), side.alias("b")
-        cond = F.col("a.vec_id") < F.col("b.vec_id")
-        if "cent_id" in side.columns:
-            cond = (F.col("a.cent_id") == F.col("b.cent_id")) & cond
-        return (
-            a.join(b, cond)
-            .select(
-                F.col("a.vec_id").alias("i"),
-                F.col("b.vec_id").alias("j"),
-                F.round(
-                    F.try_divide(
-                        dot(F.col("a.vec"), F.col("b.vec")),
-                        F.col("a.norm") * F.col("b.norm"),
-                    ),
-                    6,
-                ).alias("cs"),
-            )
-            .filter(F.col("cs") >= tau)
-            .select("i", "j")
-            .distinct()
-        )
-
     for sf_dir in sf_dirs:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         embs = doc_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
         assigned, cent_df = kmeans(embs, k=k, iters=iters)
         cents = [(r["cent_id"], list(r["cent"])) for r in cent_df.collect()]
         vecs = assigned.select(
-            "vec_id", "vec", F.sqrt(dot(F.col("vec"), F.col("vec"))).alias("norm")
+            "vec_id", "vec",
+            F.sqrt(_vec_dot(F.col("vec"), F.col("vec"))).alias("norm"),
         ).localCheckpoint(eager=True)
         n = vecs.count()
-        n_true = dup_pairs(vecs).count()
+        n_true = _dup_pairs(vecs, tau).count()
         for probes in (1, 2, 3):
             probed = probe_assign(vecs.select("vec_id", "vec"), cents, probes).join(
                 vecs.select("vec_id", "norm"), "vec_id"
@@ -632,7 +646,7 @@ def main_semdedup(sf_dirs: list[str]) -> None:
                 .distinct()
                 .count()
             )
-            found = dup_pairs(probed).count()
+            found = _dup_pairs(probed, tau).count()
             print(
                 json.dumps(
                     {
@@ -820,9 +834,12 @@ def main_substr_blowup(factors: list[int]) -> None:
     if len(rows) >= 2:
         a, b = rows[0], rows[-1]
 
-        def slope(metric: str) -> float:
+        def slope(metric: str, floor: float = 1.0) -> float:
+            # floor=1 guards empty COUNTS against log(0); wall-clock
+            # seconds need a far smaller floor or a sub-second endpoint
+            # silently flattens the exponent (r10 review)
             return round(
-                math.log(max(b[metric], 1) / max(a[metric], 1))
+                math.log(max(b[metric], floor) / max(a[metric], floor))
                 / math.log(b["n_docs"] / a["n_docs"]),
                 2,
             )
@@ -839,8 +856,8 @@ def main_substr_blowup(factors: list[int]) -> None:
                     "growth_exponent_vs_corpus": {
                         "gram_match_volume": slope("gram_match_volume"),
                         "fp_cand_volume": slope("fp_cand_volume"),
-                        "sec_exact": slope("sec_exact"),
-                        "sec_winnowed": slope("sec_winnowed"),
+                        "sec_exact": slope("sec_exact", 0.01),
+                        "sec_winnowed": slope("sec_winnowed", 0.01),
                     },
                     "note": "crossover_factor = first blow-up where the winnowed "
                     "tier's wall beats the exact tier's; null = no crossover at "
@@ -878,34 +895,6 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
     probes = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PROBES", "2"))
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    def dup_pairs(side):
-        a, b = side.alias("a"), side.alias("b")
-        cond = F.col("a.vec_id") < F.col("b.vec_id")
-        if "cent_id" in side.columns:
-            cond = (F.col("a.cent_id") == F.col("b.cent_id")) & cond
-        return (
-            a.join(b, cond)
-            .select(
-                F.col("a.vec_id").alias("i"),
-                F.col("b.vec_id").alias("j"),
-                F.round(
-                    F.try_divide(
-                        dot(F.col("a.vec"), F.col("b.vec")),
-                        F.col("a.norm") * F.col("b.norm"),
-                    ),
-                    6,
-                ).alias("cs"),
-            )
-            .filter(F.col("cs") >= tau)
-            .select("i", "j")
-            .distinct()
-        )
-
     rows = []
     for f in factors:
         docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
@@ -914,10 +903,10 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
         ).withColumn(
-            "norm", F.sqrt(dot(F.col("vec"), F.col("vec")))
+            "norm", F.sqrt(_vec_dot(F.col("vec"), F.col("vec")))
         ).localCheckpoint(eager=True)
         n = base.count()
-        n_true = dup_pairs(base).count()
+        n_true = _dup_pairs(base, tau).count()
         policies = [("fixed", 8), ("scaled", max(8, round(n / target)))]
         if os.environ.get("SPARK_GRAFT_SEMDEDUP_SCALED_ONLY"):
             policies = policies[1:]
@@ -939,7 +928,7 @@ def main_semdedup_scaledk(factors: list[int]) -> None:
                 .distinct()
                 .count()
             )
-            found = dup_pairs(probed).count()
+            found = _dup_pairs(probed, tau).count()
             r = {
                 "kind": "semdedup_scaledk",
                 "sf_dir": sf_dir,

@@ -363,6 +363,12 @@ def semantic_dedup(
     # review), and a NULL vector has no cosine to anything anyway
     embs = embs.filter(F.col(vec_col).isNotNull())
     if target_cluster_size is not None:
+        if target_cluster_size < 1:
+            # before the count job: 0 would die in ceil() with an opaque
+            # ZeroDivisionError, a negative would silently no-op (r10 review)
+            raise ValueError(
+                f"target_cluster_size must be >= 1, got {target_cluster_size}"
+            )
         # one scalar COUNT job — the same k-scalar driver-traffic budget
         # as the kmeans loop itself
         k = max(k, math.ceil(embs.count() / target_cluster_size))

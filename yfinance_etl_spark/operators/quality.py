@@ -328,6 +328,15 @@ def lm_perplexity(
     """
     from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum, dsum_r
 
+    if n_features != 256:
+        # the token hash is one md5 byte (2 hex chars) — exactly 256
+        # buckets; any other V would pack/decode bigram codes against a
+        # vocabulary that doesn't exist and smooth with the wrong
+        # denominator (r10 review). Same pinned-width contract as
+        # sampling.dsir_log_weights; widen the hash if you widen V.
+        raise ValueError(
+            f"n_features is pinned to 256 (one md5 byte); got {n_features}"
+        )
     h = F.transform(
         F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0),
         lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("long"),

@@ -1291,8 +1291,11 @@ _JSONL_SQL = """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 7 <> 2 GROUP BY lang
 UNION ALL
+-- HAVING: an ungrouped COUNT(*) returns one row even over an empty set,
+-- but the operator emits no __corrupt__ group when nothing was damaged
+-- (r10 review) — suppress the phantom zero row
 SELECT '__corrupt__' AS lang, COUNT(*) AS n_docs, CAST(NULL AS BIGINT) AS sum_chars
-FROM documents WHERE doc_id % 7 = 2
+FROM documents WHERE doc_id % 7 = 2 HAVING COUNT(*) > 0
 """
 
 

@@ -796,3 +796,115 @@ def test_bloom_prefilter_stays_jvm_side(spark):
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot delta dedup + split leakage check (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_dedup_matches_cross_set_slice_of_full_join(spark):
+    """The asymmetric band join must recover EXACTLY the cross-set pairs
+    the full union self-join finds — no more (corpus-internal pairs must
+    never form: that's the incremental saving) and no fewer."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        minhash_delta_neardup,
+        minhash_lsh_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    delta = minhash_delta_neardup(new, corpus).collect()
+    assert all(r.new_doc_id % 10 < 2 and r.corpus_doc_id % 10 >= 2 for r in delta)
+    full = minhash_lsh_neardup(docs).collect()
+    cross = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard)
+        for r in full
+        if (r.doc_a % 10 < 2) != (r.doc_b % 10 < 2)
+    }
+    got = {
+        (min(r.new_doc_id, r.corpus_doc_id), max(r.new_doc_id, r.corpus_doc_id), r.jaccard)
+        for r in delta
+    }
+    assert got == cross and len(cross) > 0
+
+
+def test_delta_dedup_planted_cross_and_internal_dups(spark):
+    """Planted corpus: a new doc duplicating a corpus doc IS flagged; two
+    corpus docs duplicating each other are NOT (already-resolved history
+    must not re-pair); an all-new dup pair is also not this operator's
+    business (the delta self-join handles it)."""
+    from yfinance_etl_spark.operators.dedup import minhash_delta_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    new = spark.createDataFrame(
+        [(100, base), (101, "totally unrelated fresh content about spark plans"),
+         (102, "totally unrelated fresh content about spark plans")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "other old corpus document text entirely")],
+        "doc_id bigint, text string",
+    )
+    out = {(r.new_doc_id, r.corpus_doc_id) for r in minhash_delta_neardup(new, corpus).collect()}
+    assert out == {(100, 1), (100, 2)}  # cross pairs only — never (1,2) or (101,102)
+
+
+def test_split_leakage_check_flags_planted_cross_split_dup(spark):
+    """Plant a near-dup across the train/val boundary (split membership
+    derived from the same md5 rule the operator uses) and check it is
+    counted in the val row."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import contamination_overlap
+    from yfinance_etl_spark.operators.sampling import with_split
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 80)
+    val_id = next(i for i in range(1000) if 80 <= bucket(i) < 90)
+    test_id = next(i for i in range(1000) if bucket(i) >= 90)
+    leak = "this exact passage leaks across the split boundary verbatim today"
+    docs = spark.createDataFrame(
+        [(train_id, leak), (val_id, leak + " with a tail"),
+         (test_id, "completely different held-out evaluation content here")],
+        "doc_id bigint, text string",
+    )
+    sp = with_split(docs, key="doc_id")
+    flagged = {
+        r.doc_id: r.n_overlap
+        for r in contamination_overlap(sp, F.col("split") == "train").collect()
+    }
+    assert val_id in flagged and flagged[val_id] >= 3
+    assert test_id not in flagged
+
+
+def test_delta_dedup_split_form_equals_two_table_form(spark):
+    """The one-table split form is an algebraic rewrite (signatures are
+    per-doc, filter-after == filter-before): byte-identical output to
+    the general two-table form on the same slicing."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        minhash_delta_neardup,
+        minhash_delta_neardup_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    two = sorted(
+        tuple(r)
+        for r in minhash_delta_neardup(
+            docs.filter(pred), docs.filter(~pred)
+        ).collect()
+    )
+    one = sorted(
+        tuple(r) for r in minhash_delta_neardup_split(docs, pred).collect()
+    )
+    assert one == two and len(one) > 0

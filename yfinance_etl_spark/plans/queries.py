@@ -743,6 +743,67 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-snapshot (delta) dedup: the NEW slice (doc_id % 10 < 2) deduped
+# against the EXISTING corpus asymmetrically — corpus-internal pairs never
+# form, so an incremental crawl pays signatures for the delta plus one
+# cross-set band join (operators/dedup.py::minhash_delta_neardup). Oracle =
+# the same MinHash machinery with the band join split across the two sets.
+# ---------------------------------------------------------------------------
+
+_DELTA_NEW_PRED = "doc_id % 10 < 2"
+
+_MINHASH_DELTA_SQL = f"""
+WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+minh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+         COUNT(*) AS n_shared_bands
+  FROM (SELECT * FROM bands WHERE {_DELTA_NEW_PRED}) n
+  JOIN (SELECT * FROM bands WHERE NOT ({_DELTA_NEW_PRED})) c
+    ON n.band_id = c.band_id AND n.band_val = c.band_val
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT cd.new_doc_id, cd.corpus_doc_id, COUNT(*) AS c
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.new_doc_id
+  JOIN sh b ON b.doc_id = cd.corpus_doc_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT cand.new_doc_id, cand.corpus_doc_id, cand.n_shared_bands,
+       ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) AS jaccard
+FROM cand
+JOIN inter ON inter.new_doc_id = cand.new_doc_id
+          AND inter.corpus_doc_id = cand.corpus_doc_id
+JOIN sizes sa ON sa.doc_id = cand.new_doc_id
+JOIN sizes sb ON sb.doc_id = cand.corpus_doc_id
+WHERE ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) >= 0.7
+"""
+
+
+@_register("dedup_delta_snapshot", _MINHASH_DELTA_SQL)
+def q_dedup_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import minhash_delta_neardup_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_delta_neardup_split(docs, F.col("doc_id") % 10 < 2, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (L6; reference FAISS retriever pdf_rag_chatbot.py:60-61)
 # ---------------------------------------------------------------------------
 
@@ -2733,6 +2794,63 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-free split check — the step a real pipeline runs BETWEEN splitting
+# and training: a random split leaks near-duplicate content across the
+# train/eval boundary (Lee et al. 2021 measured this inflating benchmark
+# scores), so every val/test doc sharing >= 3 distinct shingles with ANY
+# train doc is flagged. Pure composition of two existing operators
+# (with_split ∘ contamination_overlap) — the engine's operators compose
+# into pipeline stages without glue shuffles: the split column is a
+# map-side expression, so the contamination predicate costs nothing extra.
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SQL = f"""
+WITH {_SHINGLE_CTES},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM documents
+  )
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE split = 'train'
+),
+leaks AS (
+  SELECT s.doc_id, COUNT(*) AS n_overlap
+  FROM sh s JOIN sp USING (doc_id) JOIN bench USING (shingle)
+  WHERE sp.split <> 'train'
+  GROUP BY s.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT sp.split, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       MAX(l.n_overlap) AS max_overlap
+FROM sp LEFT JOIN leaks l USING (doc_id)
+WHERE sp.split <> 'train'
+GROUP BY sp.split
+"""
+
+
+@_register("split_leakage_check", _LEAKAGE_SQL)
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import contamination_overlap
+    from yfinance_etl_spark.operators.sampling import with_split
+
+    docs = with_split(_t(spark, sf_dir, "documents"), key="doc_id")
+    leaks = contamination_overlap(docs, F.col("split") == "train", min_overlap=3)
+    ev = docs.filter(F.col("split") != "train").select("doc_id", "split")
+    return ev.join(leaks, "doc_id", "left").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_overlap").isNotNull().cast("int")).cast("long").alias("n_leaked"),
+        F.max("n_overlap").alias("max_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-salted join: same RESULT as the plain orders⋈customer join (which is
 # exactly what the oracle asserts), different physical layout — each order
 # key spreads over 8 salted sub-keys so a hot customer can't pin one
@@ -4387,8 +4505,8 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r10 rotation (tools/rotate_window.py, staleness-first): r9 attested the
 # 15 new-in-r9 queries plus the r6-stale 35, so this window is the
-# complementary half — the four never-attested r10 newcomers first, then
-# the r7/r8-attested set. The registry grew to 104, so the three
+# complementary half — the six never-attested r10 newcomers first, then
+# the r7/r8-attested set. The registry grew to 106, so the five
 # ranking-last r8-attested names wait one extra round (the window
 # contract test pins that nothing ever falls MORE than two artifacts
 # behind without a queued slot). sketch_profile is
@@ -4398,9 +4516,11 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-attestable window slot.
 _WINDOW_PRIORITY = [
     "contamination_bloom",  # never (NEW r10: Bloom decontamination tier)
+    "dedup_delta_snapshot",  # never (NEW r10: cross-snapshot delta dedup)
     "jsonl_ingest_profile",  # never (NEW r10: JSONL PERMISSIVE source)
     "lm_perplexity",  # never (NEW r10: CCNet perplexity filter)
     "multimodal_jpeg_meta",  # never (NEW r10: JPEG metadata census)
+    "split_leakage_check",  # never (NEW r10: leakage-free split check)
     "funnel_conversions",  # r7,8
     "cohort_retention",  # r6,7,8
     "compacted_sink_roundtrip",  # r6,7,8
@@ -4445,8 +4565,6 @@ _WINDOW_PRIORITY = [
     "positional_lookback",  # r1,2,3,4,5,7,8
     "pricing_summary",  # r1,2,3,4,5,7,8
     "revenue_by_region",  # r1,2,3,4,5,7,8
-    "sma_min_periods",  # r1,2,3,4,5,7,8
-    "sortino",  # r1,2,3,4,5,7,8
 ]
 
 

@@ -908,3 +908,16 @@ def test_delta_dedup_split_form_equals_two_table_form(spark):
         tuple(r) for r in minhash_delta_neardup_split(docs, pred).collect()
     )
     assert one == two and len(one) > 0
+
+
+def test_semantic_dedup_rejects_degenerate_target_cluster_size(spark):
+    import pytest
+
+    from yfinance_etl_spark.operators.clustering import semantic_dedup
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="target_cluster_size"):
+            semantic_dedup(embs, k=2, iters=1, target_cluster_size=bad)

@@ -254,3 +254,14 @@ def test_lm_perplexity_count_tables_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
+
+
+def test_lm_perplexity_rejects_unwidened_feature_count(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.quality import lm_perplexity
+
+    docs = spark.createDataFrame([(0, "en", "a b")], "doc_id bigint, lang string, text string")
+    with pytest.raises(ValueError, match="pinned to 256"):
+        lm_perplexity(docs, F.col("lang") == "en", n_features=64)

@@ -745,13 +745,14 @@ def test_bloom_tier_matches_exact_tier_even_under_forced_false_positives(spark):
     )
     assert exact  # fixture plants real leakage
     for bits, k in ((1 << 17, 5), (64, 2)):
-        got = sorted(
-            (r.doc_id, r.n_overlap)
-            for r in bloom_contamination_overlap(
-                docs, pred, bits=bits, n_hashes=k
-            ).collect()
-        )
-        assert got == exact, (bits, k)
+        for membership in ("literal", "join"):
+            got = sorted(
+                (r.doc_id, r.n_overlap)
+                for r in bloom_contamination_overlap(
+                    docs, pred, bits=bits, n_hashes=k, membership=membership
+                ).collect()
+            )
+            assert got == exact, (bits, k, membership)
 
 
 def test_bloom_build_is_bounded_and_membership_is_complete(spark):
@@ -921,3 +922,151 @@ def test_semantic_dedup_rejects_degenerate_target_cluster_size(spark):
     for bad in (0, -5):
         with pytest.raises(ValueError, match="target_cluster_size"):
             semantic_dedup(embs, k=2, iters=1, target_cluster_size=bad)
+
+
+def test_predicate_split_operators_route_null_predicate_rows_to_candidate_side(spark):
+    """NULL contract (ADVICE r10): a row whose split predicate evaluates
+    NULL must land on the candidate/corpus side — never silently vanish
+    from both filter(pred) and filter(~pred). Pinned on all three
+    predicate-split operators by comparing against an explicit
+    coalesced slicing."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        bloom_contamination_overlap,
+        contamination_overlap,
+        minhash_delta_neardup,
+        minhash_delta_neardup_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # doc_id-derived (the operators' documented predicate domain), NULL
+    # for doc_id % 10 in [2, 5) — a lang-like three-valued marker
+    nullable_pred = F.when(F.col("doc_id") % 10 < 2, F.lit(True)).when(
+        F.col("doc_id") % 10 >= 5, F.lit(False)
+    )
+    explicit_pred = F.coalesce(nullable_pred, F.lit(False))
+
+    for op in (contamination_overlap, bloom_contamination_overlap):
+        got = sorted(tuple(r) for r in op(docs, nullable_pred).collect())
+        want = sorted(tuple(r) for r in op(docs, explicit_pred).collect())
+        assert got == want and len(got) > 0, op.__name__
+
+    got = sorted(
+        tuple(r) for r in minhash_delta_neardup_split(docs, nullable_pred).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_delta_neardup(
+            docs.filter(explicit_pred), docs.filter(~explicit_pred)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_join_tier_executes_beyond_the_plan_literal_bound(spark):
+    """The join tier's reason to exist (r10 weak mark): a filter too
+    large to inline as a plan literal. At bits=2^34 the dense word array
+    would be 2 GiB — bloom_build_words refuses it — while the sparse
+    word table is ~n_keys*k rows and the join tier runs to the same
+    exact answer (verify carries exactness; near-zero fpp at this
+    geometry prunes hardest)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        BLOOM_LITERAL_MAX_BITS,
+        bloom_build_words,
+        bloom_contamination_overlap,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 97 == 3
+    big = 1 << 34
+    assert big > BLOOM_LITERAL_MAX_BITS
+
+    with pytest.raises(ValueError, match="plan-literal tier bound"):
+        bloom_build_words(docs.limit(1), "text", bits=big)
+    with pytest.raises(ValueError, match="membership"):
+        bloom_contamination_overlap(docs, pred, membership="bogus")
+
+    exact = sorted(
+        (r.doc_id, r.n_overlap) for r in contamination_overlap(docs, pred).collect()
+    )
+    # auto at 2^34 bits must route to the join tier and still be exact
+    got = sorted(
+        (r.doc_id, r.n_overlap)
+        for r in bloom_contamination_overlap(
+            docs, pred, bits=big, membership="auto"
+        ).collect()
+    )
+    assert got == exact and len(got) > 0
+
+
+def test_bloom_join_tier_has_no_driver_round_trip(spark):
+    """Plan pin for the join tier: constructing the query runs ZERO Spark
+    jobs (the literal tier, by contrast, must collect the word table at
+    plan-build time), the membership test stays JVM-side, and the word
+    table enters through a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import bloom_contamination_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    group = "bloom-join-plan-build"
+    sc.setJobGroup(group, "prove lazy construction")
+    try:
+        q = bloom_contamination_overlap(
+            docs, F.col("doc_id") % 97 == 3, bits=1 << 30, membership="join"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert list(jobs) == [], f"join-tier plan build ran driver-side jobs: {jobs}"
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_delta_dedup_persisted_signature_roundtrip(spark, tmp_path, monkeypatch):
+    """The persisted-signature contract the delta-dedup docstring claims,
+    executed: corpus signatures written once through the S10 sink, read
+    back, and fed to the incremental run — results identical to the
+    in-memory form, and signature computation (minhash_bands) runs for
+    the DELTA side only."""
+    from pyspark.sql import functions as F
+
+    import yfinance_etl_spark.operators.dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    new_docs, corpus_docs = docs.filter(pred), docs.filter(~pred)
+
+    sig_path = str(tmp_path / "corpus_sigs")
+    D.write_minhash_signatures(corpus_docs, sig_path)
+    corpus_bands = D.read_minhash_signatures(spark, sig_path)
+    # persisted schema is the documented contract, band_id partition-typed back to int
+    assert dict(corpus_bands.dtypes) == {
+        "doc_id": "bigint", "band_id": "int", "band_val": "string"
+    }
+
+    want = sorted(
+        tuple(r) for r in D.minhash_delta_neardup(new_docs, corpus_docs).collect()
+    )
+
+    calls = []
+    real_bands = D.minhash_bands
+    monkeypatch.setattr(D, "minhash_bands", lambda d: calls.append(d) or real_bands(d))
+    got = sorted(
+        tuple(r)
+        for r in D.minhash_delta_neardup(
+            new_docs, corpus_docs, corpus_bands=corpus_bands
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(calls) == 1  # the delta side — never the corpus

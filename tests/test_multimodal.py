@@ -305,3 +305,41 @@ def test_jpeg_meta_walk_rejects_arbitrary_prefixes():
             _jpeg_meta_mini(b)
 
     fuzz()
+
+
+def test_image_meta_quarantines_corrupt_payloads(spark):
+    """The census is a profiling pass over an UNTRUSTED corpus — one
+    corrupt payload must not kill the job (ADVICE r10). Unknown magic →
+    format='unknown'; recognized-but-malformed → format='error'; both
+    with NULL dims, and the healthy rows in the same batch still parse."""
+    import struct
+    import zlib
+
+    from yfinance_etl_spark.multimodal.columns import PNG_SIG, image_meta
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+
+    png = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 6, 0, 0, 0))
+    rows = [
+        (0, bytearray(png), None),                          # healthy PNG
+        (1, bytearray(b"GIF89a notreally"), None),          # unknown magic
+        (2, bytearray(b"\xff\xd8\xff\xd9"), None),          # JPEG, EOI before SOF
+        (3, bytearray(PNG_SIG + b"\x00\x01"), None),        # PNG sig, truncated IHDR
+        (4, bytearray(b"IMG|12|34|body"), None),            # healthy fake
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+    got = {r.doc_id: r for r in image_meta(assets).collect()}
+    assert len(got) == 5  # nothing raised, nothing dropped
+    assert (got[0].format, got[0].width, got[0].height) == ("png", 7, 9)
+    assert (got[4].format, got[4].width, got[4].height) == ("fake", 12, 34)
+    for bad, expect in ((1, "unknown"), (2, "error"), (3, "error")):
+        r = got[bad]
+        assert r.format == expect
+        assert r.width is None and r.height is None and r.n_components is None

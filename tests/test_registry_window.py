@@ -34,25 +34,31 @@ def test_priority_names_lead_the_registry():
 
 
 def test_driver_window_covers_all_stale_queries():
-    # the alternating-halves cadence: with a 103-query registry and a
-    # 50-row hash window, a query's last attestation may lag up to two
-    # artifacts — but NEVER more without a queued slot. Hard contract:
+    # the alternating-halves cadence: a 106-query registry cycles through a
+    # 50-row hash window, so a query's last attestation may lag up to two
+    # artifacts (its half waits one round, and the overflow tail of a half
+    # can wait one extra — the r10 verdict's measured worst case) — but
+    # NEVER more without a queued slot. Hard contract:
     # (a) never-attested hash-gated queries are always in the window,
-    # (b) anything >= 2 artifacts behind the latest is in the window,
-    # (c) anything OUTSIDE the window is at most 1 artifact behind.
+    # (b) anything STRICTLY MORE than 2 artifacts behind is in the window,
+    # (c) anything OUTSIDE the window is at most 2 artifacts behind.
+    # Clause (b)/(c) deliberately tolerate exactly-2-behind outside the
+    # window: a driver artifact lands AFTER the round's last rotation, so
+    # the rotation that queues a 2-behind query is necessarily the next
+    # round's — demanding it earlier re-creates the r10 red-test trap.
     last = _last_attested()
     latest_round = max(last.values())
     window = set(list(REGISTRY)[:50])
     hash_gated = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never = {n for n in hash_gated if last[n] < 0}
     assert never <= window, f"never-attested outside the window: {sorted(never - window)}"
-    deep_stale = {n for n in hash_gated if 0 <= last[n] <= latest_round - 2}
+    deep_stale = {n for n in hash_gated if 0 <= last[n] < latest_round - 2}
     assert deep_stale <= window, (
-        f"queries >= 2 artifacts behind yet not queued: {sorted(deep_stale - window)}"
+        f"queries > 2 artifacts behind yet not queued: {sorted(deep_stale - window)}"
     )
     outside = hash_gated - window
-    too_old = {n for n in outside if last[n] < latest_round - 1}
-    assert not too_old, f"outside the window and > 1 artifact behind: {sorted(too_old)}"
+    too_old = {n for n in outside if 0 <= last[n] < latest_round - 2}
+    assert not too_old, f"outside the window and > 2 artifacts behind: {sorted(too_old)}"
 
 
 def test_oracle_less_queries_do_not_occupy_hash_slots():

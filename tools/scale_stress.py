@@ -1055,9 +1055,132 @@ def main_bloom(factors: list[int]) -> None:
         )
 
 
+
+def main_delta(factors: list[int]) -> None:
+    """Cross-snapshot delta-dedup sweep (r10 verdict item 3): blow the
+    $SPARK_GRAFT_SF_DIR corpus up ×factor, split 20/80 into NEW snapshot
+    vs existing corpus, persist the corpus signatures through the S10
+    sink (write_minhash_signatures — the production contract), and run
+    the incremental pass off the persisted table. Measured per factor:
+
+      * delta_cand_volume — asymmetric band-join candidates (the work
+        the incremental run pays);
+      * union_cand_volume — what a union SELF-join would pay at the same
+        factor (Σ_band c·(c-1)/2), with corpus_internal_volume its
+        corpus×corpus share — the avoided, already-resolved work;
+      * sec_sig_write (once per snapshot) vs sec_delta_run.
+
+    The claim under test: delta candidates track CROSS-SET duplication
+    (corpus-internal candidates are zero BY CONSTRUCTION of the
+    asymmetric join — measured here as the avoided share), so the
+    incremental run's work scales with the delta, not the corpus.
+    One JSON line per factor, kind="delta", then exponents."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        _delta_candidates,
+        minhash_bands,
+        minhash_delta_neardup,
+        read_minhash_signatures,
+        write_minhash_signatures,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("scale-stress-delta")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def pair_volume(bands) -> int:
+        # Σ over (band_id, band_val) buckets of c·(c-1)/2 — the self-join
+        # candidate count that bucket structure implies
+        return int(
+            bands.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("v"))
+            .collect()[0]["v"]
+            or 0
+        )
+
+    rows = []
+    for f in factors:
+        docs = blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        pred = F.col("doc_id") % 10 < 2
+        new_docs, corpus_docs = docs.filter(pred), docs.filter(~pred)
+        n_new, n_corpus = new_docs.count(), corpus_docs.count()
+
+        with tempfile.TemporaryDirectory() as td:
+            sig_path = os.path.join(td, "corpus_sigs")
+            t0 = time.perf_counter()
+            write_minhash_signatures(corpus_docs, sig_path)
+            t_sig = round(time.perf_counter() - t0, 2)
+            cb = read_minhash_signatures(spark, sig_path)
+
+            nb = minhash_bands(new_docs)
+            delta_cand = _delta_candidates(nb, cb).count()
+            union_vol = pair_volume(minhash_bands(docs))
+            corpus_vol = pair_volume(cb)
+
+            t0 = time.perf_counter()
+            n_pairs = minhash_delta_neardup(
+                new_docs, corpus_docs, corpus_bands=cb
+            ).count()
+            t_delta = round(time.perf_counter() - t0, 2)
+
+        r = {
+            "kind": "delta",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_new": n_new,
+            "n_corpus": n_corpus,
+            "delta_cand_volume": delta_cand,
+            "union_cand_volume": union_vol,
+            "corpus_internal_volume": corpus_vol,
+            "corpus_internal_in_delta": 0,  # structural: the join is new×corpus
+            "avoided_frac": round(corpus_vol / max(union_vol, 1), 4),
+            "verified_pairs": n_pairs,
+            "sec_sig_write": t_sig,
+            "sec_delta_run": t_delta,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str, floor: float = 1.0) -> float:
+            return round(
+                math.log(max(b[metric], floor) / max(a[metric], floor))
+                / math.log((b["n_new"] + b["n_corpus"]) / (a["n_new"] + a["n_corpus"])),
+                2,
+            )
+
+        print(
+            json.dumps(
+                {
+                    "kind": "delta_summary",
+                    "growth_exponent_vs_corpus": {
+                        "delta_cand_volume": slope("delta_cand_volume"),
+                        "union_cand_volume": slope("union_cand_volume"),
+                        "sec_delta_run": slope("sec_delta_run", 0.01),
+                    },
+                    "note": "delta candidates exclude ALL corpus-internal pairs "
+                    "by the asymmetric-join construction; avoided_frac is the "
+                    "share of union self-join candidates the incremental form "
+                    "never generates",
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "bloom":
+    if argv and argv[0] == "delta":
+        main_delta([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "bloom":
         main_bloom([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "substr":
         main_substr(

@@ -319,28 +319,35 @@ def image_meta(assets: DataFrame) -> DataFrame:
     multimodal pipeline runs BEFORE deciding what to decode, so it must
     not pay (or require) pixel decode: JPEG via the stdlib SOF marker
     walk, PNG via its IHDR, the fake format via its header. Same
-    mapInPandas plumbing as ``image_features``; payloads the walk cannot
-    classify raise toward the PIL adapter rather than guessing."""
+    mapInPandas plumbing as ``image_features``.
+
+    Quarantine contract (the sources/jsonl.py philosophy): a census run
+    BEFORE deciding what to decode must survive the corpus it is
+    profiling, so one corrupt payload must never kill the job —
+    unrecognized magic emits ``format='unknown'`` and a recognized-but-
+    malformed stream (truncated SOF, short IHDR) emits ``format='error'``,
+    both with NULL dims, instead of raising. Only the pixel-DECODE ops
+    (``image_features``) keep the explicit raise toward the PIL adapter."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(content)
-                if b.startswith(JPEG_SOI):
-                    w, h, nc, prog = _jpeg_meta_mini(b)
-                    rows.append((doc_id, "jpeg", w, h, nc, prog))
-                elif b.startswith(PNG_SIG):
-                    w, h, nc = _png_meta(b)
-                    rows.append((doc_id, "png", w, h, nc, False))
-                elif b.startswith(MAGIC):
-                    _, w, h, _body = b.split(b"|", 3)
-                    rows.append((doc_id, "fake", int(w), int(h), 1, False))
-                else:
-                    raise NotImplementedError(
-                        "unrecognized image payload (not JPEG/PNG/fake); "
-                        "route through the PIL adapter"
-                    )
+                try:
+                    if b.startswith(JPEG_SOI):
+                        w, h, nc, prog = _jpeg_meta_mini(b)
+                        rows.append((doc_id, "jpeg", w, h, nc, prog))
+                    elif b.startswith(PNG_SIG):
+                        w, h, nc = _png_meta(b)
+                        rows.append((doc_id, "png", w, h, nc, False))
+                    elif b.startswith(MAGIC):
+                        _, w, h, _body = b.split(b"|", 3)
+                        rows.append((doc_id, "fake", int(w), int(h), 1, False))
+                    else:
+                        rows.append((doc_id, "unknown", None, None, None, None))
+                except Exception:
+                    rows.append((doc_id, "error", None, None, None, None))
             yield pd.DataFrame(
                 rows,
                 columns=[

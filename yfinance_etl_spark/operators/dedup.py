@@ -388,7 +388,13 @@ def contamination_overlap(
     map-side hash join + one doc-keyed count, no matter how large the
     corpus. (A benchmark too big to broadcast falls back to the
     shingle-keyed equi-join, the inverted-index shape of ``jaccard_pairs``.)
+
+    NULL contract: a row where ``bench_pred`` evaluates NULL is a
+    CANDIDATE (coalesced to FALSE) — decontamination must never silently
+    exempt a doc just because a marker column is missing; the same
+    contract dsir_log_weights and lm_perplexity pin.
     """
+    bench_pred = F.coalesce(bench_pred, F.lit(False))
     sh = doc_shingles(docs)
     bench = F.broadcast(sh.filter(bench_pred).select("shingle").distinct())
     cand = sh.filter(~bench_pred)
@@ -400,10 +406,34 @@ def contamination_overlap(
     )
 
 
+def write_minhash_signatures(docs: DataFrame, path: str) -> None:
+    """Persist ``minhash_bands(docs)`` as the (doc_id, band_id, band_val)
+    snapshot-signature parquet the delta-dedup contract reads — linear in
+    corpus size, written once per snapshot through the S10 sink.
+    Partitioned by band_id so a band-sliced read (or a future per-band
+    incremental refresh) prunes at the directory level; zstd because a
+    signature table is pure-string IO."""
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    write_partitioned(minhash_bands(docs), path, partition_by=("band_id",))
+
+
+def read_minhash_signatures(spark, path: str) -> DataFrame:
+    """Read a persisted snapshot-signature table back for the corpus side
+    of ``minhash_delta_neardup`` — band_id comes back from the directory
+    names; cast to int because partition-column discovery types it from
+    the path string and the band join compares against computed ints."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "doc_id", F.col("band_id").cast("int").alias("band_id"), "band_val"
+    )
+
+
 def minhash_delta_neardup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
     threshold: float = 0.7,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot (delta) near-dedup — the incremental form every
     recurring-crawl pipeline runs: dedup the NEW snapshot against the
@@ -414,9 +444,14 @@ def minhash_delta_neardup(
     Scale shape, and why this beats `minhash_lsh_neardup` on the union:
     the corpus side consumes exactly ``minhash_bands(corpus)`` — in
     production that signature table is PERSISTED once per snapshot
-    (a (doc_id, band_id, band_val) parquet, linear in corpus size, the
-    S10 sink's job) and only READ here, so each incremental run pays
-    signature computation for the DELTA alone. The band join is
+    (``write_minhash_signatures`` — a (doc_id, band_id, band_val)
+    parquet, linear in corpus size, through the S10 sink) and passed
+    back here as ``corpus_bands`` (``read_minhash_signatures``), so each
+    incremental run pays signature computation for the DELTA alone;
+    ``corpus_docs`` is then touched only by the verify stage, which
+    re-shingles just the candidate slice (semi-join first — candidate
+    count, not corpus size). Omitting ``corpus_bands`` computes
+    signatures in-memory (the test/ad-hoc form). The band join is
     asymmetric (new × corpus), so the corpus's internal near-dup
     structure — already resolved in previous runs — generates ZERO
     candidate pairs; a union self-join would re-derive all of it every
@@ -432,7 +467,9 @@ def minhash_delta_neardup(
     on the full-table stages, so a cached or persisted signature stage
     substitutes for both sides.
     """
-    cand = _delta_candidates(minhash_bands(new_docs), minhash_bands(corpus_docs))
+    if corpus_bands is None:
+        corpus_bands = minhash_bands(corpus_docs)
+    cand = _delta_candidates(minhash_bands(new_docs), corpus_bands)
 
     def _sets(docs: DataFrame, ids: DataFrame) -> DataFrame:
         return (
@@ -501,7 +538,12 @@ def minhash_delta_neardup_split(
     half (measured: the two-table form paid 2 cold signature passes in
     the bench suite, ~5x the self-join tier's cached wall). The one
     full-table signature pass is checkpointed, so even uncached it runs
-    once, not once per side."""
+    once, not once per side.
+
+    NULL contract: a row where ``new_pred`` evaluates NULL lands on the
+    CORPUS side (coalesced to FALSE) — a missing snapshot marker must
+    never drop a doc from the dedup pass entirely."""
+    new_pred = F.coalesce(new_pred, F.lit(False))
     bands = minhash_bands(docs).localCheckpoint(eager=True)
     cand = _delta_candidates(bands.filter(new_pred), bands.filter(~new_pred))
     cand_ids = (
@@ -532,6 +574,43 @@ def minhash_delta_neardup_split(
 BLOOM_BITS = 1 << 17
 BLOOM_HASHES = 5
 
+#: largest filter the plan-literal tier will inline (~16 MB of array<long>
+#: literal). Past this, `membership="auto"` switches to the broadcast-join
+#: tier, which never materializes the (dense) word array on the driver.
+BLOOM_LITERAL_MAX_BITS = 1 << 27
+
+
+def bloom_build_words_df(keys: DataFrame, col: str,
+                         bits: int = BLOOM_BITS,
+                         n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Distributed Bloom-filter build, pure Catalyst, word table kept AS a
+    DataFrame ``(w: long, word: long)`` — the shared build stage of both
+    membership tiers. Each key emits its ``n_hashes`` probe positions
+    (xxhash64 seeded by the probe index — a map-only explode); positions
+    fold into 64-bit words via a ``bit_or`` hash aggregate
+    (partial-aggregated map-side, so the one shuffle carries at most
+    bits/64 rows per input partition). The table is SPARSE: only words
+    with at least one set bit appear, so its row count is
+    min(bits/64, n_keys·n_hashes) regardless of how large ``bits`` is —
+    a 2^34-bit filter over 10k keys is ~50k rows, not 2 GiB."""
+    probe = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("p")
+    return (
+        keys.select(probe)
+        .select(
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+    )
+
 
 def bloom_build_words(keys: DataFrame, col: str,
                       bits: int = BLOOM_BITS,
@@ -545,31 +624,21 @@ def bloom_build_words(keys: DataFrame, col: str,
     the FILTER size, never the key count, the same budget class as the
     k-means centroid grid and the Misra-Gries summaries.
 
-    Scale bound, stated honestly: the returned list re-enters query plans
-    as a literal array (``bloom_might_contain``), which is practical to
-    ~1e8 bits (12 MB of plan literal). A benchmark too large for that
-    keeps the word table AS a DataFrame and tests membership through a
-    broadcast join on word index — same math, no driver round-trip.
+    Scale bound, enforced: the returned list re-enters query plans as a
+    literal array (``bloom_might_contain``), practical to
+    ``BLOOM_LITERAL_MAX_BITS`` (~16 MB of plan literal) — past that this
+    builder refuses (the dense driver array is the blow-up) and the
+    caller must use ``bloom_might_contain_join`` over
+    ``bloom_build_words_df``: same math, no driver round-trip.
     """
-    probe = F.explode(
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
-                for i in range(n_hashes)
-            ]
+    if bits > BLOOM_LITERAL_MAX_BITS:
+        raise ValueError(
+            f"bits={bits} exceeds the plan-literal tier bound "
+            f"({BLOOM_LITERAL_MAX_BITS}); use bloom_build_words_df + "
+            "bloom_might_contain_join (membership='join')"
         )
-    ).alias("p")
-    words = (
-        keys.select(probe)
-        .select(
-            F.expr("p div 64").alias("w"),
-            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(b)").alias("word"))
-    )
     arr = [0] * ((bits + 63) // 64)
-    for r in words.collect():
+    for r in bloom_build_words_df(keys, col, bits, n_hashes).collect():
         arr[int(r["w"])] = int(r["word"])
     return arr
 
@@ -594,12 +663,71 @@ def bloom_might_contain(words: list[int], col: str, bits: int = BLOOM_BITS,
     )
 
 
+def bloom_might_contain_join(df: DataFrame, col: str, words_df: DataFrame,
+                             bits: int = BLOOM_BITS,
+                             n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """The beyond-plan-literal membership tier: rows of ``df`` whose
+    ``col`` MIGHT be in the filter described by ``words_df`` (a
+    ``bloom_build_words_df`` table), with the word table staying a
+    DataFrame end to end — zero driver round-trip, so the filter size is
+    bounded by executor/broadcast memory (bits/64 longs ≈ 125 MB at 1e9
+    bits — the regime where the 40 GB raw-string set is the alternative),
+    never by the plan-literal budget.
+
+    Physical shape: DISTINCT keys (membership is a pure function of the
+    key, so repeated shingles probe once) explode into ``n_hashes``
+    (key, word-index, bit) probe rows — map-only; probes LEFT-join the
+    broadcast word table on word index (an absent word means no bit set
+    → probe misses, coalesced FALSE); a key is a member iff ``min(hit)``
+    over its probes — one hash aggregate on the key; member keys
+    left-semi-join ``df`` back, preserving its schema and multiplicity.
+
+    Same guarantees as the literal tier: no false negatives by
+    construction, false positives at the configured fpp — compose with
+    an exact verify when exactness is required. One divergence, stated:
+    a NULL key is never a member here (the semi-join cannot match NULL),
+    while the literal tier hashes NULL to a deterministic probe; both
+    tiers' production caller (shingle frames) never emits NULL keys.
+    """
+    probe = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("p")
+    members = (
+        df.select(col)
+        .distinct()
+        .select(F.col(col), probe)
+        .select(
+            col,
+            F.expr("p div 64").alias("w"),
+            F.expr("CAST(p % 64 AS INT)").alias("bit"),
+        )
+        .join(F.broadcast(words_df), "w", "left")
+        .select(
+            col,
+            F.coalesce(
+                F.expr("(shiftright(word, bit) & 1) = 1"), F.lit(False)
+            ).alias("hit"),
+        )
+        .groupBy(col)
+        .agg(F.min("hit").alias("member"))
+        .filter("member")
+        .select(col)
+    )
+    return df.join(members, col, "left_semi")
+
+
 def bloom_contamination_overlap(
     docs: DataFrame,
     bench_pred,
     min_overlap: int = 3,
     bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
+    membership: str = "auto",
 ) -> DataFrame:
     """``contamination_overlap`` semantics (same output, exactly) with a
     Bloom prefilter as the physical strategy — THE standard 100 TB answer
@@ -610,9 +738,15 @@ def bloom_contamination_overlap(
     the exact verify join. Three stages:
 
       1. build: one bounded ``bit_or`` aggregate over benchmark shingles
-         (``bloom_build_words`` — driver sees bits/64 words, not keys);
-      2. prefilter: pure-codegen ``bloom_might_contain`` on the corpus
-         scan — zero shuffle, no false negatives;
+         (``bloom_build_words_df`` — a sparse (w, word) table);
+      2. prefilter, two tiers behind ``membership``: ``"literal"``
+         collects the word table into a plan-literal array and tests
+         membership in pure codegen on the corpus scan (zero shuffle; the
+         default up to ``BLOOM_LITERAL_MAX_BITS``); ``"join"`` keeps the
+         word table AS a DataFrame and tests membership through a
+         broadcast join on word index (``bloom_might_contain_join`` — no
+         driver round-trip, the only executable shape past ~1e8 bits);
+         ``"auto"`` picks by ``bits``. No false negatives either way;
       3. verify: survivors (a fpp-thin slice of the corpus) semi-join the
          real benchmark set, removing false positives — so the operator
          is EXACT and the DuckDB oracle replays plain set overlap.
@@ -621,12 +755,25 @@ def bloom_contamination_overlap(
     (the filter build is pure overhead next to a 5k-entry hash set);
     the tiers are unit-pinned identical, and the bits knob is the
     memory/selectivity trade the 100 TB deployment tunes.
+
+    NULL contract: a row where ``bench_pred`` evaluates NULL is a
+    CANDIDATE (coalesced to FALSE) — same rule as ``contamination_overlap``
+    so the tiers stay pin-identical on any predicate, not just doc_id ones.
     """
+    if membership not in ("auto", "literal", "join"):
+        raise ValueError(f"membership must be auto|literal|join, got {membership!r}")
+    if membership == "auto":
+        membership = "literal" if bits <= BLOOM_LITERAL_MAX_BITS else "join"
+    bench_pred = F.coalesce(bench_pred, F.lit(False))
     sh = doc_shingles(docs)
     bench_keys = sh.filter(bench_pred).select("shingle").distinct()
-    words = bloom_build_words(bench_keys, "shingle", bits, n_hashes)
     cand = sh.filter(~bench_pred)
-    survivors = cand.filter(bloom_might_contain(words, "shingle", bits, n_hashes))
+    if membership == "literal":
+        words = bloom_build_words(bench_keys, "shingle", bits, n_hashes)
+        survivors = cand.filter(bloom_might_contain(words, "shingle", bits, n_hashes))
+    else:
+        words_df = bloom_build_words_df(bench_keys, "shingle", bits, n_hashes)
+        survivors = bloom_might_contain_join(cand, "shingle", words_df, bits, n_hashes)
     return (
         survivors.join(bench_keys, "shingle", "left_semi")
         .groupBy("doc_id")

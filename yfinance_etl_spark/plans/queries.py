@@ -4503,69 +4503,68 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r10 rotation (tools/rotate_window.py, staleness-first): r9 attested the
-# 15 new-in-r9 queries plus the r6-stale 35, so this window is the
-# complementary half — the six never-attested r10 newcomers first, then
-# the r7/r8-attested set. The registry grew to 106, so the five
-# ranking-last r8-attested names wait one extra round (the window
-# contract test pins that nothing ever falls MORE than two artifacts
-# behind without a queued slot). sketch_profile is
-# oracle-less by design (opaque HLL/GK state; accuracy pinned by the
-# epsilon test, distinct-count verifiability by kmv_distinct) — it can
-# only ever get the weak rows-only check, so it does not occupy a
-# hash-attestable window slot.
+# r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
+# the six r10 newcomers plus the r7/r8 half, so this window is the
+# complement — the five r8-attested names that the r10 window deferred
+# (sma_min_periods, sortino, text_quality, top_orders, uptrend_flags)
+# lead, then the r9-attested set. sketch_profile is oracle-less by
+# design (opaque HLL/GK state; accuracy pinned by the epsilon test,
+# distinct-count verifiability by kmv_distinct) — it can only ever get
+# the weak rows-only check, so it does not occupy a hash-attestable
+# window slot.
 _WINDOW_PRIORITY = [
-    "contamination_bloom",  # never (NEW r10: Bloom decontamination tier)
-    "dedup_delta_snapshot",  # never (NEW r10: cross-snapshot delta dedup)
-    "jsonl_ingest_profile",  # never (NEW r10: JSONL PERMISSIVE source)
-    "lm_perplexity",  # never (NEW r10: CCNet perplexity filter)
-    "multimodal_jpeg_meta",  # never (NEW r10: JPEG metadata census)
-    "split_leakage_check",  # never (NEW r10: leakage-free split check)
-    "funnel_conversions",  # r7,8
-    "cohort_retention",  # r6,7,8
-    "compacted_sink_roundtrip",  # r6,7,8
-    "contamination_check",  # r6,7,8
-    "datasource_monthly_bars",  # r6,7,8
-    "dedup_clusters",  # r6,7,8
-    "dedup_embedding_banded",  # r6,7,8
-    "doc_quality_gopher",  # r6,7,8
-    "frame_sample",  # r6,7,8
-    "fund_expense_ratio",  # r6,7,8
-    "incremental_rollup",  # r6,7,8
-    "kmeans_clusters",  # r6,7,8
-    "kmv_distinct",  # r6,7,8
-    "multimodal_resize",  # r6,7,8
-    "order_value_deciles",  # r6,7,8
-    "events_json_profile",  # r3,4,5,7,8
-    "scalar_profile",  # r3,4,5,7,8
-    "sql_top_orders_per_priority",  # r3,4,5,7,8
-    "bucketed_join_revenue",  # r2,3,4,5,7,8
-    "chunk_stats",  # r2,3,4,5,7,8
-    "datasource_history",  # r2,3,4,5,7,8
-    "doc_sentiment",  # r2,3,4,5,7,8
-    "metrics_unpivot",  # r2,3,4,5,7,8
-    "multimodal_features",  # r2,3,4,5,7,8
-    "newsfeed_sentiment",  # r2,3,4,5,7,8
-    "pdf_page_text",  # r2,3,4,5,7,8
-    "peer_group_lookup",  # r2,3,4,5,7,8
-    "rag_answers",  # r2,3,4,5,7,8
-    "rag_retrieval",  # r2,3,4,5,7,8
-    "revenue_rollup",  # r2,3,4,5,7,8
-    "rolling_fingerprint",  # r2,3,4,5,7,8
-    "sector_weights",  # r2,3,4,5,7,8
-    "sink_roundtrip",  # r2,3,4,5,7,8
-    "token_stats",  # r2,3,4,5,7,8
-    "benchmark_ols",  # r1,2,3,4,5,7,8
-    "cumulative_return",  # r1,2,3,4,5,7,8
-    "customers_without_urgent_orders_anti",  # r1,2,3,4,5,7,8
-    "dividend_yield",  # r1,2,3,4,5,7,8
-    "ema_20",  # r1,2,3,4,5,7,8
-    "flagship_risk",  # r1,2,3,4,5,7,8
-    "orders_with_lineitems_semi",  # r1,2,3,4,5,7,8
-    "positional_lookback",  # r1,2,3,4,5,7,8
-    "pricing_summary",  # r1,2,3,4,5,7,8
-    "revenue_by_region",  # r1,2,3,4,5,7,8
+    "sma_min_periods",  # r1,2,3,4,5,7,8
+    "sortino",  # r1,2,3,4,5,7,8
+    "text_quality",  # r1,2,3,4,5,7,8
+    "top_orders",  # r1,2,3,4,5,7,8
+    "uptrend_flags",  # r1,2,3,4,5,7,8
+    "char_entropy",  # r9
+    "contamination_substring",  # r9
+    "dedup_editdistance",  # r9
+    "display_formatting",  # r9
+    "dsir_importance_topk",  # r9
+    "ema_20_segmented",  # r9
+    "pdf_report_roundtrip",  # r9
+    "semantic_dedup",  # r9
+    "substring_dup_spans",  # r9
+    "substring_dup_winnowed",  # r9
+    "temperature_mix_lang",  # r9
+    "vocab_heavy_hitters",  # r9
+    "weighted_sample_topk",  # r9
+    "winsorized_order_value",  # r9
+    "zorder_curve",  # r9
+    "order_value_quantiles",  # r6,9
+    "orders_cube",  # r6,9
+    "pii_redaction",  # r6,9
+    "price_band_join",  # r6,9
+    "price_pivot_wide",  # r6,9
+    "salted_revenue_by_segment",  # r6,9
+    "shard_packing",  # r6,9
+    "stratified_sample",  # r6,9
+    "stream_interval_join",  # r6,9
+    "stream_static_enriched",  # r6,9
+    "symbol_search",  # r6,9
+    "tfidf_top_terms",  # r6,9
+    "ticker_correlation_matrix",  # r6,9
+    "train_split_counts",  # r6,9
+    "tz_normalize",  # r6,9
+    "url_domain_stats",  # r6,9
+    "watchlist_parse",  # r6,9
+    "audio_features",  # r7,8,9
+    "lang_profile",  # r1,6,9
+    "stream_dedup_distinct",  # r3,5,6,9
+    "stream_session_rollup",  # r3,5,6,9
+    "stream_sliding_avg",  # r3,5,6,9
+    "stream_tumbling_counts",  # r3,5,6,9
+    "asof_click_attribution",  # r3,4,5,6,9
+    "stream_ema_stateful",  # r3,4,5,6,9
+    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
+    "ann_bucketed_topk",  # r2,3,4,5,6,9
+    "ann_ivf_topk",  # r2,3,4,5,6,9
+    "ann_multiprobe_topk",  # r2,3,4,5,6,9
+    "dedup_embedding_cosine",  # r2,3,4,5,6,9
 ]
+
 
 
 def _reorder_registry() -> None:

@@ -524,3 +524,61 @@ def test_dsir_topk_broadcasts_ratio_table_and_heaps(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delta_candidates_is_equi_band_join_never_cartesian(spark):
+    # dedup_delta_snapshot's candidate stage (inspected pre-checkpoint —
+    # the eager localCheckpoint truncates the committed query's plan):
+    # the asymmetric new×corpus pairing is an EQUI join keyed on
+    # (band_id, band_val), so Catalyst plans a hash/sort-merge join —
+    # a cross-set band bucket, never a CartesianProduct — and the
+    # new/corpus sides are FILTERS of the same signature table (the
+    # one-signature-pass claim).
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        _delta_candidates,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bands = minhash_bands(docs)
+    pred = F.col("doc_id") % 10 < 2
+    cand = _delta_candidates(
+        bands.filter(pred), bands.filter(~pred), checkpoint=False
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "band_val" in plan and "band_id" in plan
+
+
+def test_split_leakage_composition_adds_zero_exchanges(spark):
+    # split_leakage_check = with_split ∘ contamination_overlap: the split
+    # is a map-side md5-bucket projection, so the composed query must
+    # plan NO exchanges beyond what contamination_overlap itself pays on
+    # the same corpus, and the leak-table join back must broadcast.
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import contamination_overlap
+    from yfinance_etl_spark.operators.sampling import with_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = contamination_overlap(
+        with_split(docs, key="doc_id"), F.col("split") == "train", min_overlap=3
+    )
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+
+    composed = _plan(spark, "split_leakage_check")
+    # the composition adds the per-split rollup (1 hash agg pair = 1
+    # exchange) on top of the overlap subplan — nothing else
+    assert composed.count("Exchange hashpartitioning") <= base_plan.count(
+        "Exchange hashpartitioning"
+    ) + 1, composed
+    assert "BroadcastHashJoin" in composed
+    assert "CartesianProduct" not in composed
+    # the split itself is pure projection: no exchange between the doc
+    # scan and the first aggregate/join in the with_split branch
+    split_stage = with_split(docs, key="doc_id").filter(F.col("split") != "train")
+    split_plan = split_stage._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in split_plan, split_plan

@@ -142,6 +142,26 @@ AUDITS: dict[str, str] = {
         "batches — the ONLY sanctioned Python nodes in the engine's "
         "plans (binary codec work); zero exchanges end-to-end."
     ),
+    "dedup_delta_snapshot": (
+        "ONE full-table signature stage (checkpointed — visible here as "
+        "the plan's LogicalRDD/Scan ExistingRDD leaves: both band-join "
+        "sides and both verify semi-filters read the materialized "
+        "candidates, not a recomputed subtree); the candidate join is an "
+        "EQUI band join on (band_id, band_val) between the new-side and "
+        "corpus-side filters of the same signature table — asymmetric by "
+        "construction, so corpus-internal pairs never form (the "
+        "incremental saving); verify re-shingles only the candidate-id "
+        "semi-filtered slice. No CartesianProduct anywhere."
+    ),
+    "split_leakage_check": (
+        "The split assignment is a pure map-side md5-bucket projection "
+        "over the doc scan — ZERO exchanges beyond contamination_overlap's "
+        "own (the composition adds no shuffle); the benchmark DISTINCT "
+        "shingle set broadcasts into the candidate side "
+        "(BroadcastHashJoin — the fact never shuffles for the join), and "
+        "the per-split rollup joins the (tiny) leak table back via "
+        "broadcast."
+    ),
     "temperature_mix_lang": (
         "Mixture sampling never shuffles the fact: stratum counts map-side "
         "combine to stratum-cardinality rows, rates broadcast back, and "

@@ -488,10 +488,13 @@ def minhash_delta_neardup(
     return _delta_verified(cand, sa, sb, threshold)
 
 
-def _delta_candidates(nb: DataFrame, cb: DataFrame) -> DataFrame:
+def _delta_candidates(nb: DataFrame, cb: DataFrame,
+                      checkpoint: bool = True) -> DataFrame:
     """Asymmetric cross-set band join → (new_doc_id, corpus_doc_id,
     n_shared_bands); checkpointed because it feeds three branches (result
-    join + two semi-filters) and is tiny by LSH design."""
+    join + two semi-filters) and is tiny by LSH design.
+    ``checkpoint=False`` exists for the plan-shape pins only — the
+    checkpoint truncates the physical plan the tests need to inspect."""
     cand = (
         nb.alias("n")
         .join(
@@ -505,7 +508,7 @@ def _delta_candidates(nb: DataFrame, cb: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return cand.localCheckpoint(eager=True)
+    return cand.localCheckpoint(eager=True) if checkpoint else cand
 
 
 def _delta_verified(cand: DataFrame, sa: DataFrame, sb: DataFrame,

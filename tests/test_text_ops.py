@@ -1,0 +1,124 @@
+"""Cross-engine tokenizer-unit parity on non-ASCII BMP text (r10 verdict
+item 5): each space-split text operator states a tokenizer unit contract
+in its docstring (tokens/regex_tokens, lm_perplexity, dsir_log_weights);
+this file is the contract's executable form — the REGISTERED
+query-vs-oracle compare (the same machinery as tools/compare_oracle.py)
+replayed on a multilingual BMP corpus, so the operators are one
+multilingual fixture away from NOTHING: the divergence char_entropy's r9
+advice warned about fails loudly here, engine-vs-engine, before any
+driver round can see it. Mirrors test_scalar.py's DST-edge pattern of
+pinning engine behavior on the hostile inputs."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import sys
+
+import duckdb
+
+_TOOL = pathlib.Path(__file__).resolve().parents[1] / "tools" / "compare_oracle.py"
+
+
+def _compare_mod():
+    if "compare_oracle" in sys.modules:
+        return sys.modules["compare_oracle"]
+    spec = importlib.util.spec_from_file_location("compare_oracle", str(_TOOL))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["compare_oracle"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: BMP-only multilingual corpus: 2-/3-byte UTF-8, no astral chars — the
+#: stated contract boundary (same as char_entropy's). Deliberately hostile:
+#: NBSP-joined words, unsegmented CJK, tabs/newlines, mixed-script tokens.
+BMP_DOCS = [
+    (0, "héllo wörld — café naïve über straße", "en"),
+    (1, "привет мир это тестовый документ номер один", "ru"),
+    (2, "γειά σου κόσμε δοκιμή κειμένου εδώ τώρα", "el"),
+    (3, "这是一个没有空格的中文句子在这里", "zh"),  # unsegmented: ONE token
+    (4, "中文 句子 有 空格 分词 测试 在这", "zh"),
+    (5, "nbsp\u00a0joined\u00a0words stay whole «quoted» 。句点", None),
+    (6, "tabs\tand\nnewlines   collapse here sometimes", "en"),
+    (7, "mixed英文and中文tokens numbers123 and—dashes too", "en"),
+    (8, "repeat repeat repeat повтор повтор 重复 重复", "ru"),
+    (9, "final doc ensures english bigrams train the lm model here", "en"),
+]
+
+#: every registered query whose tokenizer is the ASCII space split —
+#: token_stats additionally exercises regex_tokens' per-code-point class
+SPACE_SPLIT_QUERIES = (
+    "token_stats",
+    "lm_perplexity",
+    "dsir_importance_topk",
+    "shard_packing",
+)
+
+
+def test_space_split_operators_bmp_oracle_parity(spark, tmp_path):
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    rows = [(i, t, lang, "bmp", len(t)) for i, t, lang in BMP_DOCS]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    mod = _compare_mod()
+    for name in SPACE_SPLIT_QUERIES:
+        q = REGISTRY[name]
+        sdf = q.fn(spark, str(tmp_path))
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(q.oracle)
+        ok = mod.compare(
+            name, spark_rows, sdf.columns, rel.fetchall(), list(rel.columns)
+        )
+        assert ok, f"{name}: BMP fixture broke oracle parity"
+        assert len(spark_rows) > 0, name
+
+
+def test_bmp_semantic_traits_are_engine_shared_not_divergence(spark, tmp_path):
+    """The contract's stated limitations, pinned as FACTS both engines
+    share: NBSP joins words into one token and unsegmented CJK is one
+    token — identical counts in Spark and DuckDB, so they can never be
+    mistaken for cross-engine drift."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.text import regex_tokens, tokens
+
+    df = spark.createDataFrame(
+        [(3, BMP_DOCS[3][1]), (5, BMP_DOCS[5][1])], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.ws, r.re)
+        for r in df.select(
+            "doc_id",
+            F.size(F.filter(tokens("text"), lambda x: x != "")).alias("ws"),
+            F.size(regex_tokens("text")).alias("re"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        i: (ws, re)
+        for i, ws, re in con.execute(
+            """
+            SELECT doc_id,
+                   len(list_filter(string_split(trim(regexp_replace(t, '\\s+', ' ', 'g')), ' '),
+                                   x -> x != '')),
+                   len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            FROM (VALUES (3, ?), (5, ?)) v(doc_id, t)
+            """,
+            [BMP_DOCS[3][1], BMP_DOCS[5][1]],
+        ).fetchall()
+    }
+    assert got == duck
+    assert got[3][0] == 1  # unsegmented CJK: one whitespace token, both engines
+    # regex_tokens sees each BMP CJK code point as its own token, both engines
+    assert got[3][1] == len(BMP_DOCS[3][1])
+    # NBSP never splits: "nbsp joined words" is one whitespace token
+    assert got[5][0] == 5

@@ -325,6 +325,14 @@ def lm_perplexity(
     correctly-rounded in practice in both engines but not IEEE-guaranteed
     — so it is rounded at the coarser 4dp (the oracle gate's boundary
     alarm quantifies residual exposure).
+
+    Tokenizer unit contract (r10 verdict #5): tokens are maximal runs
+    between ASCII spaces (``split(text, ' ')`` — no regex, no
+    per-character iteration) and hash through md5 over UTF-8 BYTES —
+    both engine-identical for arbitrary Unicode text, so oracle parity
+    is NOT ASCII-limited (pinned by the BMP fixture test). The semantic
+    limitation stands apart from parity: NBSP-joined words and
+    unsegmented CJK are single tokens on both sides.
     """
     from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum, dsum_r
 

@@ -347,6 +347,13 @@ def dsir_log_weights(
     broadcasts; per-doc scoring is a (doc, feature)-grouped count joined
     against the broadcast — the corpus crosses the wire once, for the
     doc-keyed aggregate.
+
+    Tokenizer unit contract (r10 verdict #5): tokens split on the ASCII
+    space (``split(text, ' ')``) and hash through md5 over UTF-8 bytes —
+    both engine-identical for arbitrary Unicode text, so oracle parity
+    is NOT ASCII-limited (pinned by the BMP fixture test in
+    tests/test_text_ops.py); NBSP-joined words and unsegmented CJK are
+    single tokens on both sides — a semantic trait, not a divergence.
     """
     from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
 

@@ -278,8 +278,17 @@ def simhash_neardup(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     (Fewer, wider bands would deterministically miss pairs whose differing
     bits span every band.) Same cheap-filter → exact-verify shape as the
     MinHash path; the band join key is what keeps this linear-ish at
-    corpus scale."""
-    sig = simhash_signatures(docs)
+    corpus scale.
+
+    Physical shape (r11, chasing the r7-r10 placement variance — band
+    occupancy measured FLAT at sf0.1, max bucket 45/5000 docs, so the
+    embedding-banded hot-bucket salt does not apply): the signature
+    table is checkpointed, so the Arrow signature UDF — the
+    Python-worker-placement-sensitive stage — runs ONCE, not once per
+    self-join side; and the Hamming verify runs BEFORE the distinct, so
+    the dedup shuffle carries only true near-dup rows (3 small columns),
+    not every band collision with both 8-byte signatures."""
+    sig = simhash_signatures(docs).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -306,16 +315,15 @@ def simhash_neardup(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    # verify map-side BEFORE the distinct: a pair's hamming is the same in
+    # every band it collides in, so distinct over (doc_a, doc_b, hamming)
+    # is the same set — but the exchange now moves survivors only
+    return cand.filter(F.col("hamming") <= hamming_max).distinct()
 
 
 def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:

@@ -343,3 +343,81 @@ def test_image_meta_quarantines_corrupt_payloads(spark):
         r = got[bad]
         assert r.format == expect
         assert r.width is None and r.height is None and r.n_components is None
+
+
+def test_exif_orientation_walk_both_endians_and_absence():
+    """Hand-built APP1 segments: big- and little-endian TIFF both parse;
+    missing APP1, non-Exif APP1 (XMP), bad magic, out-of-range value and
+    truncation all yield None (census quarantine, never a raise)."""
+    import struct
+
+    from yfinance_etl_spark.multimodal.columns import _exif_orientation
+
+    def jpeg_with(app1_body: bytes | None) -> bytes:
+        app1 = (
+            b"\xff\xe1" + struct.pack(">H", 2 + len(app1_body)) + app1_body
+            if app1_body is not None
+            else b""
+        )
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 10, 20, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+    def tiff(orientation, big, magic=42, typ=3):
+        e = ">" if big else "<"
+        return (
+            b"Exif\x00\x00"
+            + (b"MM" if big else b"II")
+            + struct.pack(e + "HI", magic, 8)
+            + struct.pack(e + "H", 1)
+            + struct.pack(e + "HHI", 0x0112, typ, 1)
+            + struct.pack(e + "HH", orientation, 0)
+            + struct.pack(e + "I", 0)
+        )
+
+    assert _exif_orientation(jpeg_with(tiff(6, big=True))) == 6
+    assert _exif_orientation(jpeg_with(tiff(3, big=False))) == 3
+    assert _exif_orientation(jpeg_with(None)) is None                 # no APP1
+    assert _exif_orientation(jpeg_with(b"http://ns.adobe.com/xap/")) is None  # XMP
+    assert _exif_orientation(jpeg_with(tiff(6, True, magic=43))) is None      # bad magic
+    assert _exif_orientation(jpeg_with(tiff(6, True, typ=4))) is None         # wrong type
+    assert _exif_orientation(jpeg_with(tiff(9, big=True))) is None            # out of range
+    assert _exif_orientation(jpeg_with(tiff(6, True)[:12])) is None           # truncated
+    assert _exif_orientation(b"notajpeg") is None
+
+
+def test_image_exif_display_geometry_roundtrip(spark):
+    """synthesize → parse roundtrip over both endiannesses, the no-EXIF
+    third, and the dimension swap for transposing orientations 5-8."""
+    from yfinance_etl_spark.multimodal.columns import (
+        image_exif,
+        synthesize_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(24)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in image_exif(synthesize_jpeg_assets(docs)).collect()}
+    assert len(got) == 24
+    for i in range(24):
+        r, w, h = got[i], 16 + i % 240, 16 + i % 120
+        if i % 3 == 2:
+            assert r.orientation is None
+            assert (r.display_width, r.display_height) == (w, h)
+        else:
+            assert r.orientation == 1 + i % 8
+            if r.orientation >= 5:
+                assert (r.display_width, r.display_height) == (h, w)
+            else:
+                assert (r.display_width, r.display_height) == (w, h)
+
+
+def test_image_exif_quarantines_non_jpeg(spark):
+    from yfinance_etl_spark.multimodal.columns import image_exif
+
+    assets = spark.createDataFrame(
+        [(0, bytearray(b"GIF89a nope"), None)],
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+    r = image_exif(assets).collect()[0]
+    assert (r.orientation, r.display_width, r.display_height) == (None, None, None)

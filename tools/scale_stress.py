@@ -1028,6 +1028,18 @@ def main_bloom(factors: list[int]) -> None:
         )
         t_bloom = round(time.perf_counter() - t0, 2)
         assert a == b, f"tier outputs diverged at factor {f}"
+        # r11: the beyond-plan-literal membership tier, same filter
+        # geometry — word table stays a DataFrame, broadcast join on
+        # word index, zero driver round-trip
+        t0 = time.perf_counter()
+        c = sorted(
+            (r.doc_id, r.n_overlap)
+            for r in bloom_contamination_overlap(
+                docs, pred, membership="join"
+            ).collect()
+        )
+        t_join = round(time.perf_counter() - t0, 2)
+        assert a == c, f"join tier diverged at factor {f}"
         import math as _m
 
         fpp = (1 - _m.exp(-BLOOM_HASHES * n_bench / BLOOM_BITS)) ** BLOOM_HASHES
@@ -1049,6 +1061,8 @@ def main_bloom(factors: list[int]) -> None:
                     "outputs_equal": True,
                     "sec_broadcast_set": t_bc,
                     "sec_bloom": t_bloom,
+                    "sec_bloom_join": t_join,
+                    "join_outputs_equal": True,
                 }
             ),
             flush=True,

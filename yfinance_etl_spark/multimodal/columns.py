@@ -254,10 +254,14 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
         width  = 16 + doc_id % 240      height      = 16 + doc_id % 120
         ncomp  = 1 if doc_id % 4 == 0 else 3
         progressive (SOF2) iff doc_id % 5 == 0
+        EXIF APP1 present iff doc_id % 3 != 2, carrying
+        orientation = 1 + doc_id % 8 in a 1-entry IFD0, byte order
+        MM (big-endian) when doc_id % 2 == 0 else II — both TIFF
+        endiannesses exercised (r10 verdict stretch #8)
 
     Entropy data is a stub (pixel decode is out of scope, see
     ``_jpeg_meta_mini``); every segment the metadata walk touches is
-    byte-exact per T.81."""
+    byte-exact per T.81 / Exif 2.x (TIFF 6.0 IFD layout)."""
     import struct
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,12 +269,34 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
             b"\xff\xe0" + struct.pack(">H", 16)
             + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
         )
+
+        def app1_exif(orientation: int, big_endian: bool) -> bytes:
+            # TIFF header + one-entry IFD0: tag 0x0112 (Orientation),
+            # type 3 (SHORT), count 1, value left-justified in the 4-byte
+            # field per TIFF 6.0 §2
+            e = ">" if big_endian else "<"
+            tiff = (
+                (b"MM" if big_endian else b"II")
+                + struct.pack(e + "HI", 42, 8)
+                + struct.pack(e + "H", 1)
+                + struct.pack(e + "HHI", 0x0112, 3, 1)
+                + struct.pack(e + "HH", orientation, 0)
+                + struct.pack(e + "I", 0)
+            )
+            body = b"Exif\x00\x00" + tiff
+            return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
                 w, h = 16 + doc_id % 240, 16 + doc_id % 120
                 ncomp = 1 if doc_id % 4 == 0 else 3
+                app1 = (
+                    app1_exif(1 + doc_id % 8, doc_id % 2 == 0)
+                    if doc_id % 3 != 2
+                    else b""
+                )
                 com_body = (text or "")[:32].encode("utf-8")
                 com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_body)) + com_body
                 sof = (
@@ -286,7 +312,7 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
                     + b"\x00\x3f\x00"
                 )
                 payload = (
-                    JPEG_SOI + app0 + com + sof + sos
+                    JPEG_SOI + app0 + app1 + com + sof + sos
                     + b"\x12\x34\xff\x00\x56"  # stub entropy incl. FF00 stuffing
                     + b"\xff\xd9"
                 )
@@ -357,6 +383,98 @@ def image_meta(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(walk, IMAGE_META_SCHEMA)
+
+
+def _exif_orientation(b: bytes) -> int | None:
+    """Orientation (Exif tag 0x0112) from the first APP1/Exif segment, or
+    None when absent — the stdlib APP1→TIFF-IFD0 walk (Exif 2.x over
+    TIFF 6.0): marker scan to APP1 "Exif\\0\\0", byte order from II/MM,
+    magic-42 check, then a linear pass over IFD0's 12-byte entries for
+    the SHORT orientation value (left-justified in the 4-byte value
+    field). Returns None rather than raising on any malformation — this
+    feeds the census, which quarantines instead of dying."""
+    import struct
+
+    if not b.startswith(JPEG_SOI):
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 before image data
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                t = b[pos + 10 : pos + 2 + seg_len]  # the TIFF stream
+                if t[:2] == b"II":
+                    e = "<"
+                elif t[:2] == b"MM":
+                    e = ">"
+                else:
+                    return None
+                magic, ifd0 = struct.unpack_from(e + "HI", t, 2)
+                if magic != 42:
+                    return None
+                (n_entries,) = struct.unpack_from(e + "H", t, ifd0)
+                for i in range(n_entries):
+                    off = ifd0 + 2 + 12 * i
+                    tag, typ, cnt = struct.unpack_from(e + "HHI", t, off)
+                    if tag == 0x0112 and typ == 3 and cnt == 1:
+                        (val,) = struct.unpack_from(e + "H", t, off + 8)
+                        return val if 1 <= val <= 8 else None
+                return None
+            pos += 2 + seg_len
+    except struct.error:
+        return None
+    return None
+
+
+#: declared output schema of the EXIF-aware display-geometry census
+IMAGE_EXIF_SCHEMA = (
+    "doc_id bigint, orientation int, display_width int, display_height int"
+)
+
+
+def image_exif(assets: DataFrame) -> DataFrame:
+    """EXIF orientation census — the second metadata field every real
+    image pipeline reads after dimensions (r10 verdict stretch #8): a
+    stored (width, height) is WRONG for display when orientation 5-8
+    transposes the image, so the census publishes the display geometry —
+    (orientation, display_width, display_height), dims swapped for the
+    transposing orientations, raw otherwise. Missing/invalid EXIF →
+    orientation NULL with the raw dims (the de-facto "orientation 1"
+    display behavior); a payload whose SOF walk fails quarantines with
+    NULL dims (the image_meta contract). Same mapInPandas plumbing as
+    the other census ops — map-only, zero exchanges."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    w, h, _nc, _prog = _jpeg_meta_mini(b)
+                except Exception:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                o = _exif_orientation(b)
+                if o is not None and o >= 5:
+                    w, h = h, w
+                rows.append((doc_id, o, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orientation", "display_width", "display_height"],
+            )
+
+    return assets.mapInPandas(walk, IMAGE_EXIF_SCHEMA)
 
 
 def image_features(assets: DataFrame) -> DataFrame:

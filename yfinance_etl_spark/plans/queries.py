@@ -1637,6 +1637,39 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXIF orientation census (multimodal/columns.py::image_exif — APP1 →
+# TIFF-IFD0 walk, both byte orders): the Spark side PARSES the Exif
+# segment out of the synthesized streams and publishes display geometry
+# (dims swapped for the transposing orientations 5-8); the oracle
+# replays the synthesizer's arithmetic — orientation = 1 + doc_id % 8
+# when doc_id % 3 != 2 else NULL — so an endianness or IFD-offset bug
+# hash-fails.
+# ---------------------------------------------------------------------------
+
+_EXIF_META_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 != 2 THEN CAST(1 + doc_id % 8 AS INT) END AS orientation,
+         16 + doc_id % 240 AS w,
+         16 + doc_id % 120 AS h
+  FROM documents
+)
+SELECT doc_id, orientation,
+       CAST(CASE WHEN orientation >= 5 THEN h ELSE w END AS INT) AS display_width,
+       CAST(CASE WHEN orientation >= 5 THEN w ELSE h END AS INT) AS display_height
+FROM m
+"""
+
+
+@_register("multimodal_exif_meta", _EXIF_META_SQL)
+def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import image_exif, synthesize_jpeg_assets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_exif(synthesize_jpeg_assets(docs))
+
+
+# ---------------------------------------------------------------------------
 # S6/S7 + L1: news-feed REST connector (paginated, query-pushdown) feeding
 # the sentiment scorer — the reference's fetch_news → TextBlob → bucket
 # pipeline (streamlit_app.py:464-481) as one lazy plan over the source
@@ -4513,6 +4546,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the weak rows-only check, so it does not occupy a hash-attestable
 # window slot.
 _WINDOW_PRIORITY = [
+    "multimodal_exif_meta",  # never (NEW r11: EXIF orientation census)
     "sma_min_periods",  # r1,2,3,4,5,7,8
     "sortino",  # r1,2,3,4,5,7,8
     "text_quality",  # r1,2,3,4,5,7,8
@@ -4562,7 +4596,6 @@ _WINDOW_PRIORITY = [
     "ann_bucketed_topk",  # r2,3,4,5,6,9
     "ann_ivf_topk",  # r2,3,4,5,6,9
     "ann_multiprobe_topk",  # r2,3,4,5,6,9
-    "dedup_embedding_cosine",  # r2,3,4,5,6,9
 ]
 
 

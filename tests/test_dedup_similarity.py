@@ -1070,3 +1070,46 @@ def test_delta_dedup_persisted_signature_roundtrip(spark, tmp_path, monkeypatch)
     )
     assert got == want and len(got) > 0
     assert len(calls) == 1  # the delta side — never the corpus
+
+
+def test_int8_codes_hand_checked_and_zero_vector(spark):
+    from yfinance_etl_spark.operators.similarity import int8_codes
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0], 0), (1, [0.0, 0.0, 0.0, 0.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    got = {r.vec_id: list(r.codes) for r in int8_codes(df).collect()}
+    # s=1.0: floor(x*127 + .5) → 127, floor(-63.5+.5)=-63, floor(31.75+.5)=32, 0
+    assert got[0] == [127, -63, 32, 0]
+    assert got[1] == [0, 0, 0, 0]  # zero vector: all-zero codes, no divide error
+
+
+def test_int8_topk_matches_exact_knn_on_fixture(spark):
+    """Recall pin at the default rerank_factor: the two-stage quantized
+    path returns EXACTLY the brute-force float top-k on the fixture —
+    and its published cos_sim is the float score, never the code score."""
+    from yfinance_etl_spark.operators.similarity import int8_topk, knn_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r.q_id, r.knn_rank, r.neighbor_id, r.cos_sim)
+        for r in int8_topk(emb, k=5).collect()
+    )
+    b = sorted(
+        (r.q_id, r.knn_rank, r.neighbor_id, r.cos_sim)
+        for r in knn_topk(emb, k=5).collect()
+    )
+    assert a == b and len(a) == 25
+
+
+def test_int8_stage1_scans_codes_never_float_vectors(spark):
+    """The scale claim, plan-pinned: stage 1's candidate cut must rank
+    over the quantized codes with the float vectors entering only the
+    candidate-sized rerank join — and no Python node anywhere."""
+    from yfinance_etl_spark.operators.similarity import int8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = int8_topk(emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op

@@ -352,3 +352,103 @@ def ann_multiprobe_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def int8_codes(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: (vec_id, codes, label) with
+    codes_i = floor(x_i / max|x| * 127 + 0.5) — the compressed form a
+    100 TB vector store actually persists (4× smaller than float32, 8×
+    than float64; the scan of a retrieval pass is IO-bound, so smaller IS
+    faster, the same argument as the sink's zstd default). The scale is
+    per-vector, so cosine over codes needs no dequantization — scale
+    cancels out of the ratio. floor(+0.5) not round(): explicit half-up
+    in BOTH engines (Spark round() is HALF_UP but DuckDB's is
+    banker's-adjacent on doubles — the exact class of drift the oracle
+    gate exists to catch, sidestepped by construction). A zero/NULL-norm
+    vector quantizes to all-zero codes, whose cosine is NULL via
+    try_divide — ranked last, same as the float path."""
+    vec = F.col(vec_col).cast("array<double>")
+    s = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    codes = F.when(
+        s > 0, F.transform(vec, lambda x: F.floor(x / s * 127 + F.lit(0.5)))
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("bigint")))
+    return embeddings.select("vec_id", codes.alias("codes"), "label")
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage quantized retrieval — the memory-bandwidth scale path
+    (complementary to the bucketed/IVF CANDIDATE-PRUNING paths): stage 1
+    scores int8 CODES only (the small table; float vectors never enter
+    the scan) and keeps k·rerank_factor candidates per query; stage 2
+    fetches float vectors for the candidate slice alone (vec_id equi-join
+    — candidate-count-sized, the ExactSubstr text-fetch-verify pattern)
+    and reranks by exact cosine. Same output contract as every other
+    search variant (q_id, neighbor_id, label, cos_sim, knn_rank), with
+    cos_sim the EXACT float score — quantization error can only cost
+    recall at the stage-1 cut, never corrupt a published score.
+
+    Deterministic end-to-end (explicit half-up quantization, 6dp rounds
+    before both rankings, shared _rank_topk tiebreak), so the DuckDB
+    oracle replays both stages exactly — the approximation is oracle-
+    gated, not hand-waved. Recall vs the exact scan is pinned in
+    tests/test_dedup_similarity.py at 1.0 on the fixture at the default
+    rerank_factor."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+    codes = int8_codes(embeddings)
+    if query_ids is None:
+        qpred = F.col("vec_id") < 5
+    else:
+        qpred = F.col("vec_id").isin(query_ids)
+    qc = F.broadcast(
+        codes.filter(qpred).select(
+            F.col("vec_id").alias("q_id"), F.col("codes").alias("q_codes")
+        )
+    )
+    stage1 = (
+        codes.crossJoin(qc)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(
+                cosine(
+                    F.col("q_codes").cast("array<double>"),
+                    F.col("codes").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    cand = _rank_topk(stage1, k * rerank_factor).select(
+        "q_id", "neighbor_id", "label"
+    )
+    qv = F.broadcast(
+        emb.filter(qpred).select(
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+        )
+    )
+    rerank = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "vec"),
+            "neighbor_id",
+        )
+        .join(qv, "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(rerank, k)

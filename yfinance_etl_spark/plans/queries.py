@@ -845,6 +845,67 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Int8-quantized two-stage retrieval (similarity.py::int8_topk): stage 1
+# ranks per-vector-scaled int8 CODES (the 4×-smaller table a 100 TB
+# vector store scans), stage 2 fetches float vectors for the k·4
+# candidate slice only and reranks exactly. The oracle replays BOTH
+# stages — explicit half-up quantization (floor(x/s*127 + 0.5), not
+# round(): DuckDB's double round() is not HALF_UP), code cosine, the
+# stage-1 cut, then the exact rerank — so the approximation itself is
+# hash-gated.
+# ---------------------------------------------------------------------------
+
+_INT8_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+sc AS (
+  SELECT vec_id, vec, label,
+         list_max(list_transform(vec, x -> abs(x))) AS s
+  FROM emb
+),
+codes AS (
+  SELECT vec_id, label,
+         CASE WHEN s > 0
+              THEN list_transform(vec, x -> floor(x / s * 127 + 0.5))
+              ELSE list_transform(vec, x -> 0.0) END AS c
+  FROM sc
+),
+qc AS (SELECT vec_id AS q_id, c AS q_c FROM codes WHERE vec_id < 5),
+stage1 AS (
+  SELECT qc.q_id, e.vec_id AS neighbor_id, e.label,
+         ROUND({_cos_sql('qc.q_c', 'e.c')}, 6) AS icos
+  FROM codes e CROSS JOIN qc
+  WHERE e.vec_id != qc.q_id
+),
+cand AS (
+  SELECT q_id, neighbor_id, label FROM (
+    SELECT q_id, neighbor_id, label,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY icos DESC, neighbor_id) AS rn
+    FROM stage1
+  ) WHERE rn <= 20
+),
+qv AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
+rer AS (
+  SELECT cand.q_id, cand.neighbor_id, cand.label,
+         ROUND({_cos_sql('qv.q_vec', 'e.vec')}, 6) AS cos_sim
+  FROM cand
+  JOIN emb e ON e.vec_id = cand.neighbor_id
+  JOIN qv ON qv.q_id = cand.q_id
+)
+SELECT q_id, neighbor_id, label, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+FROM rer
+QUALIFY knn_rank <= 5
+"""
+
+
+@_register("ann_int8_topk", _INT8_SQL)
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import int8_topk
+
+    return int8_topk(_t(spark, sf_dir, "embeddings"), k=5, rerank_factor=4)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (north-star: quality scoring, token stats, lang-ID heuristic)
 # ---------------------------------------------------------------------------
 
@@ -4546,6 +4607,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the weak rows-only check, so it does not occupy a hash-attestable
 # window slot.
 _WINDOW_PRIORITY = [
+    "ann_int8_topk",  # never (NEW r11: int8 two-stage retrieval)
     "multimodal_exif_meta",  # never (NEW r11: EXIF orientation census)
     "sma_min_periods",  # r1,2,3,4,5,7,8
     "sortino",  # r1,2,3,4,5,7,8
@@ -4595,7 +4657,6 @@ _WINDOW_PRIORITY = [
     "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
     "ann_bucketed_topk",  # r2,3,4,5,6,9
     "ann_ivf_topk",  # r2,3,4,5,6,9
-    "ann_multiprobe_topk",  # r2,3,4,5,6,9
 ]
 
 

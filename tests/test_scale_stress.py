@@ -240,6 +240,26 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     # the recorded sweep must include a saturation point: fpp math is
     # only evidence if it was checked where the filter actually strains
     assert any(r["predicted_fpp"] > 0.1 for r in bl), bl
+    # r11 bloom join-tier leg: where recorded (the extended sweep), the
+    # beyond-plan-literal tier must agree exactly too — incl. saturation
+    joined = [r for r in bl if "join_outputs_equal" in r]
+    assert joined, "bloom join-tier leg not recorded"
+    assert all(r["join_outputs_equal"] for r in joined)
+    assert any(r["predicted_fpp"] > 0.1 for r in joined), joined
+    # r11 delta-dedup sweep: the asymmetric band join generates strictly
+    # fewer candidates than the union self-join (the corpus-internal
+    # share is structurally ZERO in the delta form), at every factor,
+    # and real cross-set dups verify
+    dl = [r for r in lines if r.get("kind") == "delta"]
+    assert len(dl) >= 3, "delta sweep not recorded"
+    for r in dl:
+        assert r["corpus_internal_in_delta"] == 0, r
+        assert (
+            r["delta_cand_volume"]
+            <= r["union_cand_volume"] - r["corpus_internal_volume"]
+        ), r
+        assert r["verified_pairs"] > 0, r
+        assert r["avoided_frac"] > 0.3, r
 
 
 def test_interval_join_state_flat_as_stream_length_grows(spark, tmp_path):

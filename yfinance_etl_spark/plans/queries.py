@@ -4599,9 +4599,12 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
 # the six r10 newcomers plus the r7/r8 half, so this window is the
-# complement — the five r8-attested names that the r10 window deferred
-# (sma_min_periods, sortino, text_quality, top_orders, uptrend_flags)
-# lead, then the r9-attested set. sketch_profile is oracle-less by
+# complement — the two never-attested r11 newcomers (ann_int8_topk,
+# multimodal_exif_meta) lead, then the five r8-attested names the r10
+# window deferred (sma_min_periods, sortino, text_quality, top_orders,
+# uptrend_flags), then the r9-attested set (its two ranking-last names
+# wait one round — the tolerance the window-contract test encodes).
+# sketch_profile is oracle-less by
 # design (opaque HLL/GK state; accuracy pinned by the epsilon test,
 # distinct-count verifiability by kmv_distinct) — it can only ever get
 # the weak rows-only check, so it does not occupy a hash-attestable

@@ -1113,3 +1113,29 @@ def test_int8_stage1_scans_codes_never_float_vectors(spark):
     plan = int8_topk(emb, k=5)._jdf.queryExecution().executedPlan().toString()
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
+
+
+def test_persisted_signature_layout_prunes_on_band_id(spark, tmp_path):
+    """The signature parquet is partitioned BY band_id so a band-sliced
+    read is directory pruning, not a scan+filter: the plan must show
+    the band predicate consumed as a PartitionFilter (zero data files of
+    other bands touched), which is the layout's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import write_minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "sigs")
+    write_minhash_signatures(docs, path)
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("band_id="))
+    assert len(dirs) >= 2  # hive layout, one directory per band
+
+    sliced = spark.read.parquet(path).filter(F.col("band_id") == 0)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the band predicate must be IN the partition filters, not a post-scan filter
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "band_id" in pf, pf

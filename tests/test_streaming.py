@@ -468,3 +468,52 @@ def test_session_gap_boundary_event_merges_not_splits(spark, tmp_path):
     ).parquet(d + "/*")
     out = ST.run_to_memory(ST.session_rollup(stream, gap="6 hours"), "complete").collect()
     assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_stream_delta_candidates_equals_batch_band_join(spark):
+    """The continuous delta-dedup form (stream ingest → stateless
+    per-batch minhash bands → stream-static band join against the
+    corpus signature table): bounded-input output must equal the batch
+    band join exactly — the §2.10 stream/batch-equivalence claim on the
+    dedup composition."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import minhash_bands
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in REGISTRY["stream_delta_candidates"].fn(spark, sf).collect()
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    nb = minhash_bands(docs.filter(pred)).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_val"
+    )
+    cb = minhash_bands(docs.filter(~pred)).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_val"
+    )
+    want = sorted(
+        tuple(r)
+        for r in nb.join(cb, ["band_id", "band_val"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_spread_passes_streaming_frames_through(spark, tmp_path):
+    """spread() must not touch streaming frames (df.rdd is an
+    AnalysisException there) — the guard targets single-row-group BATCH
+    fixture scans only."""
+    from yfinance_etl_spark.operators.partitioning import spread
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "some text here")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = spread(stream)
+    assert out is stream  # identity, not a repartition

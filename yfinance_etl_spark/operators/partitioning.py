@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism iff it currently has fewer partitions; identity
-    otherwise."""
+    otherwise. Streaming frames pass through untouched: partition count
+    is a per-micro-batch source property there (asking the RDD is an
+    AnalysisException), and the guard exists for single-row-group BATCH
+    fixture scans — a streaming micro-batch inherits the source's file
+    split parallelism."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par) if df.rdd.getNumPartitions() < par else df

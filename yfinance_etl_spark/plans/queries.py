@@ -795,6 +795,67 @@ WHERE ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) >= 0.7
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming delta-dedup candidates (St + dedup composition): the
+# CONTINUOUS form of the incremental crawl dedup — new documents arrive
+# as a stream, minhash-band signatures are computed stateless per
+# micro-batch (the same map-only minhash_bands subplan; scalar pandas
+# UDFs are streaming-legal), and each batch band-joins the STATIC
+# persisted corpus signature table (stream-static join — the corpus side
+# is exactly what write_minhash_signatures persists). Output = candidate
+# pairs with shared-band counts; the exact-Jaccard verify is a
+# candidate-sized batch step downstream (foreachBatch in production),
+# kept out of the stream so stream state stays bounded by the
+# micro-batch, not the corpus. Oracle replays the band join over the
+# same split — bounded-input stream/batch equivalence, the §2.10 claim.
+# ---------------------------------------------------------------------------
+
+_STREAM_DELTA_CAND_SQL = f"""
+WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+minh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       COUNT(*) AS n_shared_bands
+FROM (SELECT * FROM bands WHERE {_DELTA_NEW_PRED}) n
+JOIN (SELECT * FROM bands WHERE NOT ({_DELTA_NEW_PRED})) c
+  ON n.band_id = c.band_id AND n.band_val = c.band_val
+GROUP BY 1, 2
+"""
+
+
+@_register("stream_delta_candidates", _STREAM_DELTA_CAND_SQL)
+def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import minhash_bands
+    from yfinance_etl_spark.streaming import streams as ST
+
+    pred = F.col("doc_id") % 10 < 2
+    corpus_bands = minhash_bands(_t(spark, sf_dir, "documents").filter(~pred)).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_val"
+    )
+    new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
+    nb = minhash_bands(new_stream).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_val"
+    )
+    cand = (
+        nb.join(F.broadcast(corpus_bands), ["band_id", "band_val"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return ST.run_to_memory(cand, "complete")
+
+
 @_register("dedup_delta_snapshot", _MINHASH_DELTA_SQL)
 def q_dedup_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.dedup import minhash_delta_neardup_split
@@ -4610,6 +4671,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the weak rows-only check, so it does not occupy a hash-attestable
 # window slot.
 _WINDOW_PRIORITY = [
+    "stream_delta_candidates",  # never (NEW r11: streaming delta-dedup candidates)
     "ann_int8_topk",  # never (NEW r11: int8 two-stage retrieval)
     "multimodal_exif_meta",  # never (NEW r11: EXIF orientation census)
     "sma_min_periods",  # r1,2,3,4,5,7,8
@@ -4659,7 +4721,6 @@ _WINDOW_PRIORITY = [
     "stream_ema_stateful",  # r3,4,5,6,9
     "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
     "ann_bucketed_topk",  # r2,3,4,5,6,9
-    "ann_ivf_topk",  # r2,3,4,5,6,9
 ]
 
 

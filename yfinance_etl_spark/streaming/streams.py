@@ -77,6 +77,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time(ns_ts_to_micros(spark.readStream.schema(schema).parquet(src)))
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St1 for the document corpus: streaming scan of the documents table
+    — the ingest side of the continuous (streaming) delta-dedup pipeline.
+    Same explicit-schema + staged-directory handling as the events
+    stream; documents carry no event time, so no watermark plumbing."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    src = path if os.path.isdir(path) else _stage_dir(path)
+    return spark.readStream.schema(schema).parquet(src)
+
+
 def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 4) -> DataFrame:
     """Execute a streaming plan to completion (AvailableNow) into a memory
     sink and return the result as a batch DataFrame.

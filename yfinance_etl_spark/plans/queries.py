@@ -4660,8 +4660,9 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
 # the six r10 newcomers plus the r7/r8 half, so this window is the
-# complement — the two never-attested r11 newcomers (ann_int8_topk,
-# multimodal_exif_meta) lead, then the five r8-attested names the r10
+# complement — the three never-attested r11 newcomers
+# (stream_delta_candidates, ann_int8_topk, multimodal_exif_meta) lead,
+# then the five r8-attested names the r10
 # window deferred (sma_min_periods, sortino, text_quality, top_orders,
 # uptrend_flags), then the r9-attested set (its two ranking-last names
 # wait one round — the tolerance the window-contract test encodes).

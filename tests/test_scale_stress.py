@@ -250,6 +250,14 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     # fewer candidates than the union self-join (the corpus-internal
     # share is structurally ZERO in the delta form), at every factor,
     # and real cross-set dups verify
+    # r11 int8 two-stage sweep: recall@5 must hold at 1.0 as the corpus
+    # grows denser with near-duplicate vectors (the rerank slice absorbs
+    # quantization error); wall is recorded honestly — the 4x IO win is
+    # a codes-TABLE property no single cached local parquet can show
+    i8 = [r for r in lines if r.get("kind") == "int8"]
+    assert len(i8) >= 3, "int8 sweep not recorded"
+    assert all(r["recall_at_5"] == 1.0 for r in i8), i8
+    assert max(r["n_vectors"] for r in i8) >= 16 * min(r["n_vectors"] for r in i8)
     dl = [r for r in lines if r.get("kind") == "delta"]
     assert len(dl) >= 3, "delta sweep not recorded"
     for r in dl:

@@ -1190,9 +1190,65 @@ def main_delta(factors: list[int]) -> None:
         )
 
 
+
+def main_int8(factors: list[int]) -> None:
+    """Int8 two-stage retrieval sweep (r11): blow the embeddings table up
+    ×factor and measure, per factor, the quantized path's end-to-end wall
+    (codes stage-1 cut at k·4 + float rerank of the slice) against the
+    exact float brute-force scan, plus recall@5 of the two-stage result
+    against the exact top-k. The local box can't show the 4× IO cut a
+    100 TB codes TABLE delivers (both sides read the same cached parquet
+    here); what it CAN show is that the two-stage plan costs no more
+    wall while the published scores stay exact, and that recall holds as
+    the corpus grows denser with near-duplicate vectors. One JSON line
+    per factor, kind="int8"."""
+    from yfinance_etl_spark.operators.similarity import int8_topk, knn_topk
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-int8")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # warm-up: one-time codegen costs would swamp factor 1
+    knn_topk(emb0.limit(50), k=2).count()
+
+    for f in factors:
+        emb = blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        t0 = time.perf_counter()
+        exact = {
+            (r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()
+        }
+        t_float = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        twostage = {
+            (r.q_id, r.neighbor_id) for r in int8_topk(emb, k=5).collect()
+        }
+        t_int8 = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "kind": "int8",
+                    "sf_dir": sf_dir,
+                    "factor": f,
+                    "n_vectors": n_vec,
+                    "recall_at_5": round(
+                        len(exact & twostage) / max(len(exact), 1), 3
+                    ),
+                    "sec_float_exact": t_float,
+                    "sec_int8_twostage": t_int8,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "delta":
+    if argv and argv[0] == "int8":
+        main_int8([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "delta":
         main_delta([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "bloom":
         main_bloom([int(x) for x in argv[1:]] or [1, 4, 16])

@@ -265,3 +265,40 @@ def test_lm_perplexity_rejects_unwidened_feature_count(spark):
     docs = spark.createDataFrame([(0, "en", "a b")], "doc_id bigint, lang string, text string")
     with pytest.raises(ValueError, match="pinned to 256"):
         lm_perplexity(docs, F.col("lang") == "en", n_features=64)
+
+
+# ---------------------------------------------------------------------------
+# Encoding-health / mojibake filter (r11, CCNet decode rule + C4 control strip)
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_quality_counts_and_edges(spark):
+    """Hand-checkable counts: U+FFFD runs, C0 controls with the
+    whitespace exemptions (\\t \\n \\r are NOT control noise), NULL text
+    drops the row, empty text yields NULL ratio instead of a divide
+    error, and clean multilingual BMP text scores zero."""
+    from yfinance_etl_spark.operators.quality import encoding_quality
+
+    rows = [
+        (0, "clean text"),
+        (1, "bad��tail�"),
+        (2, "ctl\x01\x02mid\x1fend"),
+        (3, "tabs\tand\nnewlines\rok"),   # exempt whitespace: 0 control
+        (4, "mixed�\x0b\x0c"),
+        (5, None),
+        (6, ""),
+        (7, "héllo 中文 привет"),          # non-ASCII is NOT mojibake
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.n_replacement, r.n_control, r.bad_ratio)
+        for r in encoding_quality(df).collect()
+    }
+    assert 5 not in got and len(got) == 7
+    assert got[0] == (10, 0, 0, 0.0)
+    assert got[1] == (10, 3, 0, 0.3)
+    assert got[2] == (12, 0, 3, 0.25)
+    assert got[3] == (20, 0, 0, 0.0)
+    assert got[4] == (8, 1, 2, 0.375)
+    assert got[6] == (0, 0, 0, None)
+    assert got[7] == (15, 0, 0, 0.0)

@@ -397,3 +397,35 @@ def lm_perplexity(
         dsum_r("__lp", 6, STAT_SCALE).alias("sum_logp"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )
+
+
+def encoding_quality(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health score — the mojibake filter every web-scale text
+    pipeline runs before training (CCNet drops docs whose decode left
+    U+FFFD replacement chars; C4 strips pages with stray C0 controls):
+    per doc, the count of replacement characters, the count of C0
+    control characters (excluding \\t \\n \\r, which are legitimate
+    whitespace), and their combined ratio of total characters. Returns
+    (id_col, n_chars, n_replacement, n_control, bad_ratio); NULL text →
+    no row (nothing was decoded), empty text → NULL ratio via
+    try_divide, never a divide error.
+
+    Pure Catalyst — two regexp_count over the scan, zero shuffle, rides
+    whole-stage codegen. Both patterns use hex escapes interpreted
+    identically by Java regex and RE2, and U+FFFD is matched as a
+    literal code point — engine parity for arbitrary Unicode (the
+    tokenizer-contract discipline of tests/test_text_ops.py)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_rep = F.regexp_count(text, F.lit("�"))
+    n_ctl = F.regexp_count(text, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+    return docs.filter(text.isNotNull()).select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        F.round(
+            F.try_divide((n_rep + n_ctl).cast("double"), n_chars.cast("double")), 6
+        ).alias("bad_ratio"),
+    )

@@ -4571,6 +4571,62 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Encoding-health / mojibake filter (quality.py::encoding_quality — the
+# CCNet decode-health rule: drop docs whose decode left U+FFFD, and C4's
+# stray-control-char strip). The fixture corpus is clean ASCII, so the
+# query follows the JPEG-census synthesize-then-measure pattern:
+# corruption is INJECTED deterministically from doc_id arithmetic
+# (U+FFFD runs on doc_id%3==0, C0 controls on doc_id%4==1), Spark
+# MEASURES it back with regexp_count, and the oracle replays injection
+# and measurement — so a regex-class or code-point-counting divergence
+# between Java regex and RE2 hash-fails.
+# ---------------------------------------------------------------------------
+
+_ENCODING_QUALITY_SQL = """
+WITH corrupted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN repeat(chr(65533), CAST(doc_id % 5 + 1 AS INT)) ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN repeat(chr(1) || chr(27), 2) ELSE '' END AS text
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       len(text) AS n_chars,
+       len(regexp_extract_all(text, chr(65533))) AS n_replacement,
+       len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS n_control,
+       ROUND((len(regexp_extract_all(text, chr(65533)))
+              + len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')))
+             / CAST(len(text) AS DOUBLE), 6) AS bad_ratio
+FROM corrupted
+"""
+
+
+@_register("encoding_quality", _ENCODING_QUALITY_SQL)
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_id = F.col("doc_id")
+    corrupted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                doc_id % 3 == 0,
+                F.repeat(F.lit("�"), (doc_id % 5 + 1).cast("int")),
+            ).otherwise(F.lit("")),
+            F.when(doc_id % 4 == 1, F.repeat(F.lit("\x01\x1b"), 2)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return encoding_quality(corrupted)
+
+
+# ---------------------------------------------------------------------------
 # Weighted deterministic sampling (operators/sampling.py::weighted_sample):
 # Efraimidis-Spirakis keys from md5(salt:doc_id) — reproducible across
 # engines and partition layouts, like the split/stratified family. The
@@ -4660,8 +4716,8 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
 # the six r10 newcomers plus the r7/r8 half, so this window is the
-# complement — the three never-attested r11 newcomers
-# (stream_delta_candidates, ann_int8_topk, multimodal_exif_meta) lead,
+# complement — the four never-attested r11 newcomers (encoding_quality,
+# stream_delta_candidates, ann_int8_topk, multimodal_exif_meta) lead,
 # then the five r8-attested names the r10
 # window deferred (sma_min_periods, sortino, text_quality, top_orders,
 # uptrend_flags), then the r9-attested set (its two ranking-last names
@@ -4672,6 +4728,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the weak rows-only check, so it does not occupy a hash-attestable
 # window slot.
 _WINDOW_PRIORITY = [
+    "encoding_quality",  # never (NEW r11: mojibake/decode-health filter)
     "stream_delta_candidates",  # never (NEW r11: streaming delta-dedup candidates)
     "ann_int8_topk",  # never (NEW r11: int8 two-stage retrieval)
     "multimodal_exif_meta",  # never (NEW r11: EXIF orientation census)
@@ -4721,7 +4778,6 @@ _WINDOW_PRIORITY = [
     "asof_click_attribution",  # r3,4,5,6,9
     "stream_ema_stateful",  # r3,4,5,6,9
     "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
-    "ann_bucketed_topk",  # r2,3,4,5,6,9
 ]
 
 

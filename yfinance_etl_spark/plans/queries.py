@@ -848,8 +848,13 @@ def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = minhash_bands(new_stream).select(
         F.col("doc_id").alias("new_doc_id"), "band_id", "band_val"
     )
+    # NO broadcast hint on the corpus side: the signature table is
+    # corpus-sized in production (it only happens to fit the auto-
+    # broadcast threshold on the fixture) — the stream-static equi-join
+    # re-plans per micro-batch, and the planner picks broadcast vs
+    # shuffle from the static side's actual size
     cand = (
-        nb.join(F.broadcast(corpus_bands), ["band_id", "band_val"])
+        nb.join(corpus_bands, ["band_id", "band_val"])
         .groupBy("new_doc_id", "corpus_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

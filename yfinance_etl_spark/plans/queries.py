@@ -841,8 +841,19 @@ def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.streaming import streams as ST
 
     pred = F.col("doc_id") % 10 < 2
-    corpus_bands = minhash_bands(_t(spark, sf_dir, "documents").filter(~pred)).select(
-        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_val"
+    # static side: signatures built on the FULL-table subplan then
+    # filtered (bands are per-doc, so filter-after == filter-before —
+    # the split-form algebra), which lets a cached doc_hashes stage
+    # substitute; eagerly checkpointed because the streaming engine
+    # otherwise re-resolves — and re-runs — the batch subplan (Arrow
+    # signature UDF included) on every micro-batch trigger. In
+    # production this side IS the persisted signature parquet
+    # (read_minhash_signatures), already materialized on disk.
+    corpus_bands = (
+        minhash_bands(_t(spark, sf_dir, "documents"))
+        .filter(~pred)
+        .select(F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_val")
+        .localCheckpoint(eager=True)
     )
     new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
     nb = minhash_bands(new_stream).select(

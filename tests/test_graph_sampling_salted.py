@@ -576,3 +576,29 @@ def test_temperature_mix_oracle_agrees_on_null_strata(spark):
     con.close()
     assert got == want
     assert any(r[0] is None and r[3] > 0 for r in got)  # NULL stratum sampled
+
+
+def test_pack_documents_boundaries_and_order(spark):
+    """Hand-checkable sequence assembly: doc_id order inside each shard,
+    separator arithmetic in the boundary offsets, singleton shards, and
+    the seq reconstructing exactly from (boundaries, texts)."""
+    from yfinance_etl_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(0, "aaa bb", 2), (1, "cccc", 1), (2, "dd ee ff", 3), (3, "g", 1)],
+        "doc_id bigint, text string, n_tokens int",
+    )
+    got = {r.shard_id: r for r in pack_documents(df, budget=3).collect()}
+    assert set(got) == {0, 1, 2}
+    r0 = got[0]
+    assert (r0.n_docs, r0.seq_text, r0.boundaries) == (2, "aaa bb\n\ncccc", "0|8")
+    assert (got[1].n_docs, got[1].seq_text, got[1].boundaries) == (1, "dd ee ff", "0")
+    assert (got[2].n_docs, got[2].seq_text, got[2].boundaries) == (1, "g", "0")
+    # reconstruction: each boundary offset points at its doc's first char
+    for r in got.values():
+        offs = [int(x) for x in r.boundaries.split("|")]
+        docs = r.seq_text.split("\n\n")
+        pos = 0
+        for off, d in zip(offs, docs):
+            assert off == pos and r.seq_text[off : off + len(d)] == d
+            pos += len(d) + 2

@@ -408,3 +408,62 @@ def dsir_log_weights(
             ).alias("logw"),
         )
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    key: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence assembly — the step AFTER ``pack_shards``: emit the actual
+    training sequences, one row per shard, with the document-boundary
+    offsets a trainer needs to reset attention masks across packed docs.
+    ``docs`` must carry (key, text_col, weight_col); returns
+    (shard_id, n_docs, seq_text, boundaries) where seq_text is the
+    shard's documents joined by ``sep`` in ``key`` order and boundaries
+    is the '|'-joined list of 0-based codepoint offsets where each
+    document starts.
+
+    Scale shape: shard assignment is ``pack_shards``'s distributed
+    prefix sum; assembly is ONE hash aggregate on shard_id —
+    collect_list is bounded by construction (a shard holds ~budget
+    tokens, the size of one training file, never "a group might be the
+    whole corpus"), and the boundary offsets fold inside the same row
+    via an aggregate HOF (running char position), so nothing but the
+    packed rows crosses the wire. Codepoint offsets (Spark length ==
+    DuckDB len on any text; code-unit vs -point only diverges off the
+    BMP, the engine-wide contract boundary)."""
+    packed = pack_shards(
+        docs.select(key, text_col, weight_col), weight_col, key, budget
+    )
+    ds = F.sort_array(F.collect_list(F.struct(key, text_col)))
+    sep_len = len(sep)
+    bounds = F.aggregate(
+        F.col("__ds"),
+        F.struct(
+            F.array().cast("array<long>").alias("b"),
+            F.lit(0).cast("long").alias("pos"),
+        ),
+        lambda acc, d: F.struct(
+            F.concat(acc["b"], F.array(acc["pos"])).alias("b"),
+            (acc["pos"] + F.length(d[text_col]) + sep_len).alias("pos"),
+        ),
+        lambda acc: acc["b"],
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(ds.alias("__ds"))
+        .select(
+            "shard_id",
+            F.size("__ds").cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform("__ds", lambda d: d[text_col]), sep
+            ).alias("seq_text"),
+            F.array_join(
+                F.transform(bounds, lambda x: x.cast("string")), "|"
+            ).alias("boundaries"),
+        )
+    )

@@ -3865,6 +3865,60 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence assembly (sampling.py::pack_documents — the step AFTER shard
+# packing): one row per shard with the ACTUAL packed training sequence
+# (docs joined by a blank-line separator in doc_id order) and the
+# 0-based codepoint offsets where each document starts — what a trainer
+# needs to reset attention masks across packed documents. The oracle
+# replays the running sum, the ordered string_agg, and the boundary
+# window — so ordering, separator arithmetic, and codepoint-length
+# semantics are all hash-gated.
+# ---------------------------------------------------------------------------
+
+_SEQ_PACKING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, text, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, text,
+         CAST((c - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+  FROM cum
+),
+offs AS (
+  SELECT shard_id, doc_id, text,
+         SUM(len(text) + 2) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+           - (len(text) + 2) AS off
+  FROM sh
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS seq_text,
+       string_agg(CAST(off AS VARCHAR), '|' ORDER BY doc_id) AS boundaries
+FROM offs
+GROUP BY shard_id
+"""
+
+
+@_register("sequence_packing", _SEQ_PACKING_SQL)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import pack_documents
+    from yfinance_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, budget=_SHARD_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # S10 operational path: small-file compaction. A fragmented sink (here: a
 # deliberate 32-task write) is compacted to ~target-size files with an
 # atomic directory swap; the read-back aggregate must equal the oracle on
@@ -4732,8 +4786,9 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
 # the six r10 newcomers plus the r7/r8 half, so this window is the
-# complement — the four never-attested r11 newcomers (encoding_quality,
-# stream_delta_candidates, ann_int8_topk, multimodal_exif_meta) lead,
+# complement — the five never-attested r11 newcomers (sequence_packing,
+# encoding_quality, stream_delta_candidates, ann_int8_topk,
+# multimodal_exif_meta) lead,
 # then the five r8-attested names the r10
 # window deferred (sma_min_periods, sortino, text_quality, top_orders,
 # uptrend_flags), then the r9-attested set (its two ranking-last names
@@ -4744,6 +4799,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the weak rows-only check, so it does not occupy a hash-attestable
 # window slot.
 _WINDOW_PRIORITY = [
+    "sequence_packing",  # never (NEW r11: packed-sequence assembly)
     "encoding_quality",  # never (NEW r11: mojibake/decode-health filter)
     "stream_delta_candidates",  # never (NEW r11: streaming delta-dedup candidates)
     "ann_int8_topk",  # never (NEW r11: int8 two-stage retrieval)
@@ -4793,7 +4849,6 @@ _WINDOW_PRIORITY = [
     "stream_tumbling_counts",  # r3,5,6,9
     "asof_click_attribution",  # r3,4,5,6,9
     "stream_ema_stateful",  # r3,4,5,6,9
-    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
 ]
 
 

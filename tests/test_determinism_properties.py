@@ -153,3 +153,69 @@ def test_dsum_r_matches_duckdb_on_money_products(spark, pairs):
     df = spark.createDataFrame(pairs, "p double, d double")
     got = df.agg(dsum_r(F.col("p") * F.col("d")).alias("s")).collect()[0].s
     assert got == _duck_dsum_r(pairs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    categories=("Lu", "Ll", "Nd", "Zs"),
+                    max_codepoint=0xFFFF,  # BMP, the engine-wide contract
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=6),
+)
+def test_pack_documents_reconstructs_for_arbitrary_corpora(
+    spark, rows, budget, n_parts
+):
+    """Property: for ANY (BMP) corpus, budget, and partition layout,
+    pack_documents' output fully reconstructs — every shard's boundary
+    offsets slice seq_text back into exactly the shard's documents in
+    doc_id order, every doc appears exactly once across shards, and
+    shard assignment is partitioning-invariant (the distributed
+    prefix-sum claim)."""
+    from yfinance_etl_spark.operators.sampling import pack_documents
+
+    data = [(i, t, max(1, len(t.split()))) for i, t in rows]
+    df = spark.createDataFrame(data, "doc_id bigint, text string, n_tokens int")
+    out = {
+        r.shard_id: r
+        for r in pack_documents(df.repartition(n_parts), budget=budget).collect()
+    }
+    seen: list[str] = []
+    for sid in sorted(out):
+        r = out[sid]
+        offs = [int(x) for x in r.boundaries.split("|")]
+        assert r.n_docs == len(offs)
+        docs = r.seq_text.split("\n\n") if r.seq_text else [""]
+        # NOTE: a doc containing a literal blank line would break the
+        # naive split; the generator's alphabet has no newlines, and the
+        # reconstruction below uses OFFSETS, not the split, as truth
+        pos = 0
+        for k, off in enumerate(offs):
+            assert off == pos
+            end = offs[k + 1] - 2 if k + 1 < len(offs) else len(r.seq_text)
+            seen.append(r.seq_text[off:end])
+            pos = end + 2
+    expected = [t for _, t in sorted(rows)]
+    assert seen == expected
+    # partitioning invariance
+    single = {
+        r.shard_id: (r.n_docs, r.seq_text, r.boundaries)
+        for r in pack_documents(df.coalesce(1), budget=budget).collect()
+    }
+    assert single == {
+        s: (r.n_docs, r.seq_text, r.boundaries) for s, r in out.items()
+    }

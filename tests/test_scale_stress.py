@@ -258,6 +258,15 @@ def test_recorded_join_and_stream_sweeps_support_the_scale_claims():
     assert len(i8) >= 3, "int8 sweep not recorded"
     assert all(r["recall_at_5"] == 1.0 for r in i8), i8
     assert max(r["n_vectors"] for r in i8) >= 16 * min(r["n_vectors"] for r in i8)
+    # r11 sequence-packing sweep: shard count must EXACTLY track
+    # total_tokens/budget at every factor (the prefix-sum is exact), and
+    # the per-shard doc count must stay budget-bounded (far below n_docs)
+    # — the bounded-group claim behind the assembly collect_list
+    pk = [r for r in lines if r.get("kind") == "pack"]
+    assert len(pk) >= 3, "pack sweep not recorded"
+    for r in pk:
+        assert r["n_shards"] == r["expected_shards"], r
+        assert r["max_docs_per_shard"] < r["n_docs"] / 10, r
     dl = [r for r in lines if r.get("kind") == "delta"]
     assert len(dl) >= 3, "delta sweep not recorded"
     for r in dl:

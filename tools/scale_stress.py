@@ -1244,9 +1244,91 @@ def main_int8(factors: list[int]) -> None:
         )
 
 
+
+def main_pack(factors: list[int]) -> None:
+    """Sequence-packing sweep (r11): blow the corpus up ×factor and
+    measure the distributed prefix-sum + assembly path end to end —
+    wall, shard count (must track total tokens / budget), and the
+    max-shard-docs bound (collect_list is budget-bounded BY
+    CONSTRUCTION, so the per-group row count must stay flat as the
+    corpus grows). One JSON line per factor, kind="pack"."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.sampling import pack_documents
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+    from yfinance_etl_spark.operators.text import tokens
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-pack")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 2000
+
+    pack_documents(
+        docs0.limit(40).select(
+            "doc_id", "text", F.size(tokens("text")).alias("n_tokens")
+        ),
+        budget=budget,
+    ).count()  # warm-up
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0, f)
+            .select("doc_id", "text", F.size(tokens("text")).alias("n_tokens"))
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+        t0 = time.perf_counter()
+        packed = pack_documents(docs, budget=budget)
+        stats = packed.agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.max("n_docs").alias("max_docs_per_shard"),
+            F.max(F.length("seq_text")).alias("max_seq_chars"),
+        ).collect()[0]
+        wall = round(time.perf_counter() - t0, 2)
+        r = {
+            "kind": "pack",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": n_docs,
+            "total_tokens": int(total_tokens),
+            "n_shards": int(stats["n_shards"]),
+            "expected_shards": int(total_tokens // budget) + 1,
+            "max_docs_per_shard": int(stats["max_docs_per_shard"]),
+            "max_seq_chars": int(stats["max_seq_chars"]),
+            "sec_pack": wall,
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+        print(
+            json.dumps(
+                {
+                    "kind": "pack_summary",
+                    "wall_growth_exponent": round(
+                        math.log(max(b["sec_pack"], 0.01) / max(a["sec_pack"], 0.01))
+                        / math.log(b["n_docs"] / a["n_docs"]),
+                        2,
+                    ),
+                    "note": "n_shards must track total_tokens/budget and "
+                    "max_docs_per_shard must stay flat — the bounded-group "
+                    "claim behind the assembly collect_list",
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "int8":
+    if argv and argv[0] == "pack":
+        main_pack([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "int8":
         main_int8([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "delta":
         main_delta([int(x) for x in argv[1:]] or [1, 4, 16])

@@ -582,3 +582,23 @@ def test_split_leakage_composition_adds_zero_exchanges(spark):
     split_stage = with_split(docs, key="doc_id").filter(F.col("split") != "train")
     split_plan = split_stage._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in split_plan, split_plan
+
+
+def test_encoding_quality_is_map_side_zero_exchange(spark):
+    # injection + both regexp_count measurements ride one projection over
+    # the scan — a second pass or a shuffle here would be a plan bug
+    plan = _plan(spark, "encoding_quality")
+    assert "Exchange" not in plan, plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op
+
+
+def test_sequence_packing_is_one_assembly_aggregate(spark):
+    # beyond pack_shards' checkpointed prefix-sum stage (a LogicalRDD leaf
+    # here), assembly must cost exactly one hash-aggregate exchange on
+    # shard_id — and the whole query stays JVM-side
+    plan = _plan(spark, "sequence_packing")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, py_op

@@ -175,6 +175,28 @@ AUDITS: dict[str, str] = {
         "the top-20 is TakeOrderedAndProject — per-partition k-heaps plus "
         "a k-row driver merge, never a global sort of the scored corpus."
     ),
+    "sequence_packing": (
+        "Distributed prefix sum (range exchange + pid-window exchange, "
+        "then the k-scalar offset broadcast — the LogicalRDD leaf is "
+        "pack_shards' checkpoint pin) followed by ONE shard_id hash "
+        "aggregate for assembly; the collect_list group is budget-bounded "
+        "by construction. No Python nodes, no CartesianProduct."
+    ),
+    "encoding_quality": (
+        "Pure map-side: corruption injection (concat/when/repeat) and "
+        "both regexp_count measurements ride the SAME projection over the "
+        "documents scan inside whole-stage codegen — zero exchanges, zero "
+        "Python nodes; the only post-scan operator is the NULL-text "
+        "filter, pushed to the scan."
+    ),
+    "ann_int8_topk": (
+        "Stage 1 ranks int8 CODES only (per-vector quantization is a "
+        "map-side transform over the scan; queries broadcast into the "
+        "sanctioned small-side crossJoin, per-query k-heaps via window "
+        "rank); float vectors enter ONLY the candidate-sized rerank join. "
+        "No Python nodes anywhere — quantization, dot products, and both "
+        "rankings are pure Catalyst."
+    ),
     "winsorized_order_value": (
         "Two-pass quantile clip: the bounds aggregate is group-cardinality"
         "-sized and joins back via BroadcastHashJoin (the fact side never "

@@ -1115,6 +1115,131 @@ def test_int8_stage1_scans_codes_never_float_vectors(spark):
         assert py_op not in plan, py_op
 
 
+def test_counting_bloom_conservation_and_no_false_negatives(spark):
+    """The counter invariant Σcnt = n_distinct_keys · n_hashes must hold
+    through build and remove (set semantics: duplicates in the input
+    count once), and membership must have NO false negatives for every
+    still-present key after a removal — the hard guarantee the exact
+    verify relies on."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        counting_bloom_build,
+        counting_bloom_member_keys,
+        counting_bloom_remove,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)] + [("k0",), ("k1",)], "k string"
+    )
+    c = counting_bloom_build(keys, "k")
+    assert c.agg(F.sum("cnt")).collect()[0][0] == 40 * 5
+
+    retired = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    c2 = counting_bloom_remove(c, retired, "k")
+    assert c2.agg(F.sum("cnt")).collect()[0][0] == 30 * 5
+
+    present = {f"k{i}" for i in range(10, 40)}
+    members = {
+        r.k for r in counting_bloom_member_keys(keys, "k", c2).collect()
+    }
+    assert present <= members  # no false negatives, ever
+
+
+def test_frontier_to_fetch_exact_even_with_forced_false_positives(spark):
+    """to_fetch is EXACT regardless of filter geometry: at bits=8 nearly
+    every probe is a Bloom maybe, and the verify join must kill every
+    false positive — tier-identical output at bits=8 and the default,
+    both equal to the plain anti-join semantics, with the deletion path
+    load-bearing (retired URLs come back as to_fetch)."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import frontier_to_fetch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    mod = F.col("doc_id") % 10
+
+    def run(**kw):
+        return sorted(
+            (r.doc_id, r.to_fetch)
+            for r in frontier_to_fetch(
+                probes=u, seen=u.filter(mod >= 2), retired=u.filter(mod >= 8),
+                col="url", **kw,
+            ).collect()
+        )
+
+    got = run()
+    assert got == run(bits=8)  # forced-FP geometry, identical output
+    status = dict(got)
+    assert len(status) == docs.count()
+    for doc_id, to_fetch in status.items():
+        assert to_fetch == (doc_id % 10 < 2 or doc_id % 10 >= 8)
+
+
+def test_int8_codes_persist_roundtrip_and_tier_parity(spark, tmp_path):
+    """write_int8_codes → read_int8_codes must be value-invisible: the
+    persisted-codes form of int8_topk returns EXACTLY the inline form's
+    output, and the persisted schema is the documented tinyint contract
+    (the honest int8 — the 4× size claim is the file's, not a
+    comment's)."""
+    from yfinance_etl_spark.operators.similarity import (
+        int8_topk,
+        read_int8_codes,
+        write_int8_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "codes")
+    write_int8_codes(emb, path)
+    codes = read_int8_codes(spark, path)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+
+    a = sorted(
+        tuple(r)
+        for r in int8_topk(emb, k=5, rerank_factor=4, codes_df=codes).collect()
+    )
+    b = sorted(tuple(r) for r in int8_topk(emb, k=5, rerank_factor=4).collect())
+    assert a == b and len(a) == 25
+
+
+def test_int8_persisted_stage1_scans_codes_path_not_embeddings(spark, tmp_path):
+    """The 100 TB reason the codes table exists, plan-pinned: with a
+    persisted codes table, stage 1's candidate cut reads the codes
+    parquet and NEVER touches embeddings.parquet — float vectors enter
+    the full plan only at the candidate-sized rerank joins."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.similarity import (
+        _int8_stage1,
+        int8_topk,
+        read_int8_codes,
+        write_int8_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "codes")
+    write_int8_codes(emb, path)
+    codes = read_int8_codes(spark, path)
+
+    stage1 = _int8_stage1(codes, F.col("vec_id") < 5, k=5, rerank_factor=4)
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan and "embeddings.parquet" not in plan
+
+    # and the composed query keeps the embeddings scan out of stage 1:
+    # every scan in the full plan is either the codes path or a rerank-
+    # side embeddings read joined on the candidate slice
+    full = int8_topk(emb, k=5, rerank_factor=4, codes_df=codes)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in fplan  # stage 1 feeds from the persisted table
+
+
 def test_persisted_signature_layout_prunes_on_band_id(spark, tmp_path):
     """The signature parquet is partitioned BY band_id so a band-sliced
     read is directory pruning, not a scan+filter: the plan must show

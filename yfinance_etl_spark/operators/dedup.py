@@ -575,6 +575,62 @@ def minhash_delta_neardup_split(
     return _delta_verified(cand, sa, sb, threshold)
 
 
+def delta_neardup_stream(
+    new_stream: DataFrame,
+    corpus_bands: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    corpus_docs: DataFrame | None = None,
+    threshold: float = 0.7,
+) -> list:
+    """Continuous (streaming) form of ``minhash_delta_neardup``: new
+    documents arrive as a STREAM; every micro-batch runs the batch delta
+    pass against the STATIC persisted corpus signature table inside
+    ``foreachBatch`` and appends its result to ``out_dir``. With
+    ``corpus_docs`` given, each batch emits fully VERIFIED pairs
+    (new_doc_id, corpus_doc_id, n_shared_bands, jaccard) — the exact
+    ``minhash_delta_neardup`` output; without it, raw band-join
+    candidates (new_doc_id, corpus_doc_id, n_shared_bands).
+
+    Why per-batch aggregation is globally EXACT, not an approximation: a
+    document's entire signature derives from its single (doc_id, text)
+    row, so every band of a new doc lands in the one micro-batch that
+    carries that row; the corpus side is static. A candidate pair
+    (new, corpus) therefore materializes in exactly one batch, and the
+    per-batch ``groupBy(new_doc_id, corpus_doc_id)`` sees all of its
+    shared-band rows — batch-local aggregation loses nothing versus a
+    global one. That is what lets this run through ``run_foreachbatch``
+    with ZERO streaming state (the returned progress list pins
+    ``stateOperators == []``): on a continuous crawl, memory is bounded
+    by the micro-batch, not the stream's lifetime — the scale property a
+    complete-mode streaming aggregation (state = every pair ever
+    emitted) cannot offer.
+
+    Scale shape per batch: signature compute for the DELTA alone
+    (map-only minhash over the batch), band equi-join against
+    ``corpus_bands`` (in production ``read_minhash_signatures`` over the
+    persisted, band_id-partitioned parquet — the planner sizes broadcast
+    vs shuffle per batch from the static side's real size), verify
+    re-shingles only the candidate slice of ``corpus_docs``.
+    Reference analog: the re-download-and-recompute loop
+    (streamlit_app.py:819-822) is the batch antipattern this replaces.
+    """
+    from yfinance_etl_spark.streaming.streams import run_foreachbatch
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if corpus_docs is None:
+            out = _delta_candidates(
+                minhash_bands(batch_df), corpus_bands, checkpoint=False
+            )
+        else:
+            out = minhash_delta_neardup(
+                batch_df, corpus_docs, threshold, corpus_bands=corpus_bands
+            )
+        out.write.mode("append").option("compression", "zstd").parquet(out_dir)
+
+    return run_foreachbatch(new_stream, _batch, checkpoint_dir)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination tier (Bloom 1970, CACM 13(7))
 # ---------------------------------------------------------------------------
@@ -730,6 +786,148 @@ def bloom_might_contain_join(df: DataFrame, col: str, words_df: DataFrame,
         .select(col)
     )
     return df.join(members, col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Counting-Bloom frontier tier (Fan et al. 2000, "Summary Cache",
+# IEEE/ACM ToN 8(3) — the deletable Bloom variant every crawl frontier
+# uses): counters instead of bits, so retiring a URL decrements its
+# positions instead of forcing a full filter rebuild. The counter table
+# stays a DataFrame (pos, cnt) end to end — the join tier's zero-driver-
+# round-trip discipline; row count is bounded by min(bits, keys·hashes),
+# the same sparse-table budget as bloom_build_words_df.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col: str, bits: int, n_hashes: int):
+    """The ONE position derivation all Bloom tiers share: n_hashes
+    xxhash64 probes seeded by index, folded into [0, bits)."""
+    return F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+                for i in range(n_hashes)
+            ]
+        )
+    )
+
+
+def counting_bloom_build(keys: DataFrame, col: str,
+                         bits: int = BLOOM_BITS,
+                         n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Build a counting-Bloom counter table ``(pos, cnt)`` over the
+    DISTINCT keys of ``keys[col]`` — set semantics: each distinct key
+    increments its ``n_hashes`` positions exactly once (a key whose
+    hashes collide self-wise increments that position with multiplicity,
+    and ``counting_bloom_remove`` decrements symmetrically, so the
+    invariant Σcnt = n_distinct_keys · n_hashes holds through any
+    insert/remove sequence). Map-only explode → one hash aggregate,
+    partial-aggregated map-side; only positions actually hit appear
+    (sparse), so the table is min(bits, keys·hashes) rows."""
+    return (
+        keys.select(col)
+        .distinct()
+        .select(_bloom_positions(col, bits, n_hashes).alias("pos"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def counting_bloom_remove(counters: DataFrame, keys: DataFrame, col: str,
+                          bits: int = BLOOM_BITS,
+                          n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Delete the distinct keys of ``keys[col]`` from a counter table —
+    the operation a plain Bloom filter cannot do and the reason the
+    counting variant exists: a crawl frontier retires URLs continuously,
+    and rebuilding a 1e9-bit filter per retirement batch is the
+    recompute antipattern. Decrement = the same build aggregation on the
+    retired keys, joined on pos and subtracted; positions reaching 0
+    drop out (keeping the table sparse).
+
+    CONTRACT (the classic counting-Bloom caveat, stated not hidden):
+    removing a key that was never inserted — or removing one twice —
+    drives shared counters negative-ward and can create FALSE NEGATIVES
+    for still-present keys. Callers must remove subsets of what they
+    inserted; ``frontier_to_fetch`` guarantees this by construction
+    (retired ⊆ seen)."""
+    dec = counting_bloom_build(keys, col, bits, n_hashes).withColumnRenamed(
+        "cnt", "dec"
+    )
+    return (
+        counters.join(dec, "pos", "left")
+        .select(
+            "pos",
+            (F.col("cnt") - F.coalesce(F.col("dec"), F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def counting_bloom_member_keys(probes: DataFrame, col: str,
+                               counters: DataFrame,
+                               bits: int = BLOOM_BITS,
+                               n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Distinct probe keys that MIGHT be in the counter table —
+    ``bloom_might_contain_join``'s physical shape over counters instead
+    of words: probes explode to position rows (map-only), LEFT-join the
+    broadcast sparse counter table (an absent position means count 0 →
+    probe misses, coalesced FALSE), member iff ``min(hit)`` over the
+    key's probes — one hash aggregate on the key. No false negatives by
+    construction; false positives at the configured fpp — compose with
+    an exact verify when exactness is required. Same NULL divergence as
+    the join tier: a NULL key is never a member."""
+    live = counters.filter(F.col("cnt") > 0).select("pos")
+    return (
+        probes.select(col)
+        .distinct()
+        .select(F.col(col), _bloom_positions(col, bits, n_hashes).alias("pos"))
+        .join(F.broadcast(live.withColumn("_hit", F.lit(True))), "pos", "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(False))).alias("member"))
+        .filter("member")
+        .select(col)
+    )
+
+
+def frontier_to_fetch(probes: DataFrame, seen: DataFrame, retired: DataFrame,
+                      col: str,
+                      bits: int = BLOOM_BITS,
+                      n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Exact crawl-frontier dedup with a counting-Bloom prefilter:
+    annotate every probe row with ``to_fetch`` — TRUE iff its ``col`` is
+    NOT in the live frontier (seen minus retired). Exactness is the
+    output contract (oracle-gated); the Bloom is the physical strategy:
+    a Bloom "no" is DEFINITIVE (no false negatives), so the typical
+    crawl probe — a never-seen URL — never reaches the exact join at
+    all; only the maybe-slice (true hits + fpp·probes) exact-verifies
+    against the frontier, and the prefilter's false positives die there.
+    Deletion support is why the counting variant: the retired set
+    DECREMENTS the standing counter table instead of forcing a rebuild
+    per retirement batch — the filter is a long-lived incremental
+    structure, exactly like the persisted MinHash signatures.
+
+    Reference analog: the re-download loop (streamlit_app.py:819-822)
+    refetches unconditionally; this is the membership structure that
+    makes fetch work O(new), not O(seen)."""
+    counters = counting_bloom_remove(
+        counting_bloom_build(seen, col, bits, n_hashes),
+        retired, col, bits, n_hashes,
+    )
+    maybe = counting_bloom_member_keys(probes, col, counters, bits, n_hashes)
+    live = (
+        seen.select(col).distinct()
+        .join(retired.select(col).distinct(), col, "left_anti")
+    )
+    # exact verify over the maybe-slice only: probe side is candidate-
+    # sized; the frontier side is scanned once (the verify join every
+    # prefilter op in this module pays — candidates, never all-pairs)
+    present = maybe.join(live, col, "left_semi")
+    return probes.join(
+        present.withColumn("_in_frontier", F.lit(True)), col, "left"
+    ).select(
+        *probes.columns,
+        F.coalesce(~F.col("_in_frontier"), F.lit(True)).alias("to_fetch"),
+    )
 
 
 def bloom_contamination_overlap(

@@ -356,17 +356,22 @@ def ann_multiprobe_topk(
 
 def int8_codes(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: (vec_id, codes, label) with
-    codes_i = floor(x_i / max|x| * 127 + 0.5) — the compressed form a
-    100 TB vector store actually persists (4× smaller than float32, 8×
-    than float64; the scan of a retrieval pass is IO-bound, so smaller IS
-    faster, the same argument as the sink's zstd default). The scale is
-    per-vector, so cosine over codes needs no dequantization — scale
-    cancels out of the ratio. floor(+0.5) not round(): explicit half-up
-    in BOTH engines (Spark round() is HALF_UP but DuckDB's is
-    banker's-adjacent on doubles — the exact class of drift the oracle
-    gate exists to catch, sidestepped by construction). A zero/NULL-norm
-    vector quantizes to all-zero codes, whose cosine is NULL via
-    try_divide — ranked last, same as the float path."""
+    codes_i = floor(x_i / max|x| * 127 + 0.5), emitted as array<tinyint>
+    — the compressed form a 100 TB vector store actually persists (4×
+    smaller than float32, 8× than float64; the scan of a retrieval pass
+    is IO-bound, so smaller IS faster, the same argument as the sink's
+    zstd default; ``write_int8_codes`` is the persistence path). The
+    scale is per-vector, so cosine over codes needs no dequantization —
+    scale cancels out of the ratio. floor(x+0.5), not round(): a
+    deterministic rule both engines share — note it is half-toward-
+    positive-infinity, not HALF_UP (a negative tie rounds up: -63.5 →
+    -63, as the hand test pins); Spark round() is HALF_UP but DuckDB's
+    is banker's-adjacent on doubles — the exact class of drift the
+    oracle gate exists to catch, sidestepped by construction. A
+    zero-norm vector quantizes to all-zero codes, whose cosine is NULL
+    via try_divide — ranked last, same as the float path. A NULL vector
+    yields NULL codes (transform of a NULL array is NULL), whose cosine
+    is likewise NULL — also ranked last."""
     vec = F.col(vec_col).cast("array<double>")
     s = F.aggregate(
         F.transform(vec, lambda x: F.abs(x)), F.lit(0.0),
@@ -375,40 +380,38 @@ def int8_codes(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     codes = F.when(
         s > 0, F.transform(vec, lambda x: F.floor(x / s * 127 + F.lit(0.5)))
     ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("bigint")))
-    return embeddings.select("vec_id", codes.alias("codes"), "label")
-
-
-def int8_topk(
-    embeddings: DataFrame,
-    query_ids: list[int] | None = None,
-    k: int = 5,
-    rerank_factor: int = 4,
-) -> DataFrame:
-    """Two-stage quantized retrieval — the memory-bandwidth scale path
-    (complementary to the bucketed/IVF CANDIDATE-PRUNING paths): stage 1
-    scores int8 CODES only (the small table; float vectors never enter
-    the scan) and keeps k·rerank_factor candidates per query; stage 2
-    fetches float vectors for the candidate slice alone (vec_id equi-join
-    — candidate-count-sized, the ExactSubstr text-fetch-verify pattern)
-    and reranks by exact cosine. Same output contract as every other
-    search variant (q_id, neighbor_id, label, cos_sim, knn_rank), with
-    cos_sim the EXACT float score — quantization error can only cost
-    recall at the stage-1 cut, never corrupt a published score.
-
-    Deterministic end-to-end (explicit half-up quantization, 6dp rounds
-    before both rankings, shared _rank_topk tiebreak), so the DuckDB
-    oracle replays both stages exactly — the approximation is oracle-
-    gated, not hand-waved. Recall vs the exact scan is pinned in
-    tests/test_dedup_similarity.py at 1.0 on the fixture at the default
-    rerank_factor."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    # tinyint is the honest int8: |code| <= 127 by construction, so the
+    # ANSI cast can never overflow, and the persisted parquet carries
+    # INT(8)-annotated values — the 4× claim is the file's, not a comment's
+    return embeddings.select(
+        "vec_id", codes.cast("array<tinyint>").alias("codes"), "label"
     )
-    codes = int8_codes(embeddings)
-    if query_ids is None:
-        qpred = F.col("vec_id") < 5
-    else:
-        qpred = F.col("vec_id").isin(query_ids)
+
+
+def write_int8_codes(embeddings: DataFrame, path: str) -> None:
+    """Persist ``int8_codes(embeddings)`` through the S10 sink — the
+    codes table a production retrieval pass scans in stage 1. Written
+    once per embedding snapshot (linear, map-only); float vectors then
+    enter only the candidate-sized rerank join
+    (``int8_topk(codes_df=read_int8_codes(...))``), which is what makes
+    the 4× scan-bandwidth claim an executable path rather than a
+    docstring promise."""
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    write_partitioned(int8_codes(embeddings), path)
+
+
+def read_int8_codes(spark, path: str) -> DataFrame:
+    """Read a persisted codes table back for stage 1 of ``int8_topk`` —
+    schema (vec_id, codes array<tinyint>, label) exactly as written."""
+    return spark.read.parquet(path).select("vec_id", "codes", "label")
+
+
+def _int8_stage1(codes: DataFrame, qpred, k: int, rerank_factor: int) -> DataFrame:
+    """Stage 1 of the two-stage quantized retrieval, taking ONLY the
+    codes table — the separation exists so the plan pin can prove the
+    candidate cut never scans the float vectors: rank every candidate by
+    code-space cosine and keep k·rerank_factor per query."""
     qc = F.broadcast(
         codes.filter(qpred).select(
             F.col("vec_id").alias("q_id"), F.col("codes").alias("q_codes")
@@ -430,9 +433,51 @@ def int8_topk(
             ).alias("cos_sim"),
         )
     )
-    cand = _rank_topk(stage1, k * rerank_factor).select(
+    return _rank_topk(stage1, k * rerank_factor).select(
         "q_id", "neighbor_id", "label"
     )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 4,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage quantized retrieval — the memory-bandwidth scale path
+    (complementary to the bucketed/IVF CANDIDATE-PRUNING paths): stage 1
+    scores int8 CODES only (the small table; float vectors never enter
+    the scan) and keeps k·rerank_factor candidates per query; stage 2
+    fetches float vectors for the candidate slice alone (vec_id equi-join
+    — candidate-count-sized, the ExactSubstr text-fetch-verify pattern)
+    and reranks by exact cosine. Same output contract as every other
+    search variant (q_id, neighbor_id, label, cos_sim, knn_rank), with
+    cos_sim the EXACT float score — quantization error can only cost
+    recall at the stage-1 cut, never corrupt a published score.
+
+    Deterministic end-to-end (explicit half-up quantization, 6dp rounds
+    before both rankings, shared _rank_topk tiebreak), so the DuckDB
+    oracle replays both stages exactly — the approximation is oracle-
+    gated, not hand-waved. Recall vs the exact scan is pinned in
+    tests/test_dedup_similarity.py at 1.0 on the fixture at the default
+    rerank_factor.
+
+    ``codes_df`` is the production form: pass a PERSISTED codes table
+    (``read_int8_codes``) and stage 1 scans only that parquet — the
+    float ``embeddings`` scan survives solely under the rerank joins,
+    where it reads a candidate-sized slice. Omitting it derives codes
+    inline from the float column (the ad-hoc/test form, where stage 1's
+    bandwidth win is rhetorical: the same scan feeds both stages)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+    codes = codes_df if codes_df is not None else int8_codes(embeddings)
+    if query_ids is None:
+        qpred = F.col("vec_id") < 5
+    else:
+        qpred = F.col("vec_id").isin(query_ids)
+    cand = _int8_stage1(codes, qpred, k, rerank_factor)
     qv = F.broadcast(
         emb.filter(qpred).select(
             F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")

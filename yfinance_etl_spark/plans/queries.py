@@ -796,18 +796,21 @@ WHERE ROUND(inter.c / (sa.sz + sb.sz - inter.c), 6) >= 0.7
 
 
 # ---------------------------------------------------------------------------
-# Streaming delta-dedup candidates (St + dedup composition): the
-# CONTINUOUS form of the incremental crawl dedup — new documents arrive
-# as a stream, minhash-band signatures are computed stateless per
-# micro-batch (the same map-only minhash_bands subplan; scalar pandas
-# UDFs are streaming-legal), and each batch band-joins the STATIC
-# persisted corpus signature table (stream-static join — the corpus side
-# is exactly what write_minhash_signatures persists). Output = candidate
-# pairs with shared-band counts; the exact-Jaccard verify is a
-# candidate-sized batch step downstream (foreachBatch in production),
-# kept out of the stream so stream state stays bounded by the
-# micro-batch, not the corpus. Oracle replays the band join over the
-# same split — bounded-input stream/batch equivalence, the §2.10 claim.
+# Streaming delta-dedup (St + dedup composition): the CONTINUOUS form of
+# the incremental crawl dedup — new documents arrive as a stream, and
+# every micro-batch runs the batch delta pass inside foreachBatch
+# (delta_neardup_stream): minhash-band signatures for the batch alone,
+# band join against the STATIC persisted corpus signature table, pair
+# aggregation and (in the verified form) exact-Jaccard verify as plain
+# BATCH operators over the one micro-batch, result appended to a parquet
+# sink. Per-batch aggregation is globally exact because a doc's whole
+# signature derives from its single row (see delta_neardup_stream), so
+# NO streaming state store exists at all — state is bounded by the
+# micro-batch by construction (progress pins stateOperators == [];
+# tests/test_streaming.py), not by a watermark/TTL policy, which is the
+# property a continuous crawl needs. Oracle replays the band join over
+# the same split — bounded-input stream/batch equivalence, the §2.10
+# claim.
 # ---------------------------------------------------------------------------
 
 _STREAM_DELTA_CAND_SQL = f"""
@@ -835,41 +838,123 @@ GROUP BY 1, 2
 """
 
 
-@_register("stream_delta_candidates", _STREAM_DELTA_CAND_SQL)
-def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_delta_common(spark: SparkSession, sf_dir: str):
+    """Shared setup for the streaming delta-dedup queries: the new-side
+    document stream and the static corpus band table. The static side is
+    built on the FULL-table subplan then filtered (bands are per-doc, so
+    filter-after == filter-before — the split-form algebra), eagerly
+    checkpointed because the streaming engine otherwise re-resolves —
+    and re-runs — the batch subplan (Arrow signature UDF included) on
+    every micro-batch trigger. In production this side IS the persisted
+    signature parquet (read_minhash_signatures), already materialized on
+    disk — which is exactly what crawl_incremental_dedup stages."""
     from yfinance_etl_spark.operators.dedup import minhash_bands
     from yfinance_etl_spark.streaming import streams as ST
 
     pred = F.col("doc_id") % 10 < 2
-    # static side: signatures built on the FULL-table subplan then
-    # filtered (bands are per-doc, so filter-after == filter-before —
-    # the split-form algebra), which lets a cached doc_hashes stage
-    # substitute; eagerly checkpointed because the streaming engine
-    # otherwise re-resolves — and re-runs — the batch subplan (Arrow
-    # signature UDF included) on every micro-batch trigger. In
-    # production this side IS the persisted signature parquet
-    # (read_minhash_signatures), already materialized on disk.
+    docs = _t(spark, sf_dir, "documents")
     corpus_bands = (
-        minhash_bands(_t(spark, sf_dir, "documents"))
-        .filter(~pred)
-        .select(F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_val")
-        .localCheckpoint(eager=True)
+        minhash_bands(docs).filter(~pred).localCheckpoint(eager=True)
     )
     new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
-    nb = minhash_bands(new_stream).select(
-        F.col("doc_id").alias("new_doc_id"), "band_id", "band_val"
-    )
-    # NO broadcast hint on the corpus side: the signature table is
+    return pred, docs, corpus_bands, new_stream
+
+
+@_register("stream_delta_candidates", _STREAM_DELTA_CAND_SQL)
+def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import delta_neardup_stream
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    _, _, corpus_bands, new_stream = _stream_delta_common(spark, sf_dir)
+    # No broadcast hint on the corpus side: the signature table is
     # corpus-sized in production (it only happens to fit the auto-
-    # broadcast threshold on the fixture) — the stream-static equi-join
-    # re-plans per micro-batch, and the planner picks broadcast vs
-    # shuffle from the static side's actual size
-    cand = (
-        nb.join(corpus_bands, ["band_id", "band_val"])
-        .groupBy("new_doc_id", "corpus_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    # broadcast threshold on the fixture) — inside foreachBatch the join
+    # re-plans per micro-batch from the static side's actual size.
+    base = scratch_dir("yfinance_etl_stream_delta", f"{sf_dir}:cand", fresh=True)
+    delta_neardup_stream(new_stream, corpus_bands, f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out")
+
+
+@_register("stream_delta_verified", _MINHASH_DELTA_SQL)
+def q_stream_delta_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified continuous form: each micro-batch emits EXACT-Jaccard
+    verified duplicate pairs, so the sink holds the finished drop list —
+    identical by contract to the batch minhash_delta_neardup_split on
+    the same split (same oracle as dedup_delta_snapshot)."""
+    from yfinance_etl_spark.operators.dedup import delta_neardup_stream
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    pred, docs, corpus_bands, new_stream = _stream_delta_common(spark, sf_dir)
+    base = scratch_dir("yfinance_etl_stream_delta", f"{sf_dir}:verified", fresh=True)
+    delta_neardup_stream(
+        new_stream,
+        corpus_bands,
+        f"{base}/out",
+        f"{base}/ckpt",
+        corpus_docs=docs.filter(~pred),
+        threshold=0.7,
     )
-    return ST.run_to_memory(cand, "complete")
+    return spark.read.parquet(f"{base}/out")
+
+
+# End-to-end incremental-crawl composition: the pieces the last two
+# rounds built — persisted corpus signatures (write/read_minhash_
+# signatures, band_id-partitioned), streaming per-batch delta verify
+# (delta_neardup_stream), and the kept/dropped roll-up — run as ONE
+# query for crawl-day-N: stage the corpus signature parquet, stream the
+# new snapshot through foreachBatch verify (delta-side-only signature
+# compute — the corpus is never re-shingled beyond the candidate slice),
+# read the emitted pair sink back, and label every new doc kept/dropped.
+# Reference analog: the repeated re-download loop
+# (streamlit_app.py:819-822) is the full-recompute antipattern this
+# replaces with O(delta) incremental work.
+_CRAWL_STATUS_SQL = f"""
+SELECT d.doc_id, (v.new_doc_id IS NULL) AS kept
+FROM (SELECT doc_id FROM documents WHERE {_DELTA_NEW_PRED}) d
+LEFT JOIN (
+  SELECT DISTINCT new_doc_id FROM ({_MINHASH_DELTA_SQL}) vv
+) v ON v.new_doc_id = d.doc_id
+"""
+
+
+@_register("crawl_incremental_dedup", _CRAWL_STATUS_SQL)
+def q_crawl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import (
+        delta_neardup_stream,
+        read_minhash_signatures,
+        write_minhash_signatures,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.streaming import streams as ST
+
+    pred = F.col("doc_id") % 10 < 2
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(~pred)
+    base = scratch_dir("yfinance_etl_crawl", sf_dir, fresh=True)
+    # day N-1's close: persist the corpus signature snapshot (linear,
+    # once per snapshot; band_id directory layout prunes band-sliced reads)
+    write_minhash_signatures(corpus, f"{base}/sigs")
+    corpus_bands = read_minhash_signatures(spark, f"{base}/sigs")
+    # day N: stream the delta through per-batch band join + exact verify
+    new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
+    delta_neardup_stream(
+        new_stream,
+        corpus_bands,
+        f"{base}/out",
+        f"{base}/ckpt",
+        corpus_docs=corpus,
+        threshold=0.7,
+    )
+    pairs = spark.read.parquet(f"{base}/out")
+    # roll up the emitted pair sink into the snapshot's kept/dropped
+    # labels — the docs that survive union into tomorrow's corpus
+    drops = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
+    return (
+        docs.filter(pred)
+        .select("doc_id")
+        .join(drops.withColumn("dup", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"))
+    )
 
 
 @_register("dedup_delta_snapshot", _MINHASH_DELTA_SQL)
@@ -980,6 +1065,31 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.similarity import int8_topk
 
     return int8_topk(_t(spark, sf_dir, "embeddings"), k=5, rerank_factor=4)
+
+
+@_register("ann_int8_persisted", _INT8_SQL)
+def q_ann_int8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of the two-stage retrieval: quantized codes
+    are PERSISTED through the S10 sink once per snapshot and stage 1
+    scans only that parquet (tinyint arrays — 4× smaller than float32,
+    8× than the double fixture); the float embeddings scan survives
+    solely under the candidate-sized rerank joins. The plan pin lives in
+    tests/test_dedup_similarity.py (stage-1 FileScan reads the codes
+    path, never embeddings.parquet); same oracle as ann_int8_topk — the
+    roundtrip must be value-invisible."""
+    from yfinance_etl_spark.operators.similarity import (
+        int8_topk,
+        read_int8_codes,
+        write_int8_codes,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = scratch_dir("yfinance_etl_int8_codes", sf_dir, fresh=True)
+    write_int8_codes(emb, f"{base}/codes")
+    return int8_topk(
+        emb, k=5, rerank_factor=4, codes_df=read_int8_codes(spark, f"{base}/codes")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4073,6 +4183,51 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL-frontier dedup (counting-Bloom tier): the crawl-frontier membership
+# structure — seen URLs build a deletable counter-table filter, retired
+# URLs DECREMENT it (no rebuild), and probe URLs exact-verify only the
+# maybe-slice. Output is EXACT (the verify removes Bloom false
+# positives; a Bloom "no" is definitive), so the oracle is the plain
+# anti-join semantics. URLs are synthesized deterministically from the
+# documents table, same construction as url_domain_stats; the live
+# frontier is doc_id%10 in 2..7 (seen = %10>=2, retired = %10>=8), so
+# to_fetch covers never-seen (0,1) AND retired (8,9) probes — the
+# deletion path is load-bearing in the expected output.
+# ---------------------------------------------------------------------------
+
+_FRONTIER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+live AS (SELECT url FROM u WHERE doc_id % 10 BETWEEN 2 AND 7)
+SELECT p.doc_id, p.url, (l.url IS NULL) AS to_fetch
+FROM u p LEFT JOIN live l ON l.url = p.url
+"""
+
+
+@_register("url_frontier_dedup", _FRONTIER_SQL)
+def q_url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import frontier_to_fetch
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    mod = F.col("doc_id") % 10
+    return frontier_to_fetch(
+        probes=u, seen=u.filter(mod >= 2), retired=u.filter(mod >= 8), col="url"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal resize: assets normalized so the longest side is <= 64 (never
 # upscaled), then re-decoded through the SAME feature extractor — the
 # composability claim (resize output keeps the asset contract) is what the
@@ -4784,71 +4939,66 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r11 rotation (tools/rotate_window.py, staleness-first): r10 attested
-# the six r10 newcomers plus the r7/r8 half, so this window is the
-# complement — the five never-attested r11 newcomers (sequence_packing,
-# encoding_quality, stream_delta_candidates, ann_int8_topk,
-# multimodal_exif_meta) lead,
-# then the five r8-attested names the r10
-# window deferred (sma_min_periods, sortino, text_quality, top_orders,
-# uptrend_flags), then the r9-attested set (its two ranking-last names
-# wait one round — the tolerance the window-contract test encodes).
-# sketch_profile is oracle-less by
-# design (opaque HLL/GK state; accuracy pinned by the epsilon test,
-# distinct-count verifiability by kmv_distinct) — it can only ever get
-# the weak rows-only check, so it does not occupy a hash-attestable
-# window slot.
+# r12 rotation (tools/rotate_window.py, staleness-first): the four
+# never-attested r12 newcomers (ann_int8_persisted,
+# crawl_incremental_dedup, stream_delta_verified, url_frontier_dedup)
+# lead, then the r9-last-attested dedup/ANN half (their r11 slots went
+# to the r11 newcomers), then the r10-attested set in staleness order.
+# sketch_profile is oracle-less by design (opaque HLL/GK state;
+# accuracy pinned by the epsilon test, distinct-count verifiability by
+# kmv_distinct) — it can only ever get the weak rows-only check, so it
+# does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "sequence_packing",  # never (NEW r11: packed-sequence assembly)
-    "encoding_quality",  # never (NEW r11: mojibake/decode-health filter)
-    "stream_delta_candidates",  # never (NEW r11: streaming delta-dedup candidates)
-    "ann_int8_topk",  # never (NEW r11: int8 two-stage retrieval)
-    "multimodal_exif_meta",  # never (NEW r11: EXIF orientation census)
-    "sma_min_periods",  # r1,2,3,4,5,7,8
-    "sortino",  # r1,2,3,4,5,7,8
-    "text_quality",  # r1,2,3,4,5,7,8
-    "top_orders",  # r1,2,3,4,5,7,8
-    "uptrend_flags",  # r1,2,3,4,5,7,8
-    "char_entropy",  # r9
-    "contamination_substring",  # r9
-    "dedup_editdistance",  # r9
-    "display_formatting",  # r9
-    "dsir_importance_topk",  # r9
-    "ema_20_segmented",  # r9
-    "pdf_report_roundtrip",  # r9
-    "semantic_dedup",  # r9
-    "substring_dup_spans",  # r9
-    "substring_dup_winnowed",  # r9
-    "temperature_mix_lang",  # r9
-    "vocab_heavy_hitters",  # r9
-    "weighted_sample_topk",  # r9
-    "winsorized_order_value",  # r9
-    "zorder_curve",  # r9
-    "order_value_quantiles",  # r6,9
-    "orders_cube",  # r6,9
-    "pii_redaction",  # r6,9
-    "price_band_join",  # r6,9
-    "price_pivot_wide",  # r6,9
-    "salted_revenue_by_segment",  # r6,9
-    "shard_packing",  # r6,9
-    "stratified_sample",  # r6,9
-    "stream_interval_join",  # r6,9
-    "stream_static_enriched",  # r6,9
-    "symbol_search",  # r6,9
-    "tfidf_top_terms",  # r6,9
-    "ticker_correlation_matrix",  # r6,9
-    "train_split_counts",  # r6,9
-    "tz_normalize",  # r6,9
-    "url_domain_stats",  # r6,9
-    "watchlist_parse",  # r6,9
-    "audio_features",  # r7,8,9
-    "lang_profile",  # r1,6,9
-    "stream_dedup_distinct",  # r3,5,6,9
-    "stream_session_rollup",  # r3,5,6,9
-    "stream_sliding_avg",  # r3,5,6,9
-    "stream_tumbling_counts",  # r3,5,6,9
-    "asof_click_attribution",  # r3,4,5,6,9
-    "stream_ema_stateful",  # r3,4,5,6,9
+    "ann_int8_persisted",  # never
+    "crawl_incremental_dedup",  # never
+    "stream_delta_verified",  # never
+    "url_frontier_dedup",  # never
+    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
+    "ann_bucketed_topk",  # r2,3,4,5,6,9
+    "ann_ivf_topk",  # r2,3,4,5,6,9
+    "ann_multiprobe_topk",  # r2,3,4,5,6,9
+    "dedup_embedding_cosine",  # r2,3,4,5,6,9
+    "dedup_simhash",  # r2,3,4,5,6,9
+    "dedup_exact_fingerprint",  # r1,2,3,4,5,6,9
+    "dedup_minhash_lsh",  # r1,2,3,4,5,6,9
+    "dedup_ngram_jaccard",  # r1,2,3,4,5,6,9
+    "knn_cosine_topk",  # r1,2,3,4,5,6,9
+    "contamination_bloom",  # r10
+    "dedup_delta_snapshot",  # r10
+    "jsonl_ingest_profile",  # r10
+    "lm_perplexity",  # r10
+    "multimodal_jpeg_meta",  # r10
+    "split_leakage_check",  # r10
+    "funnel_conversions",  # r7,8,10
+    "cohort_retention",  # r6,7,8,10
+    "compacted_sink_roundtrip",  # r6,7,8,10
+    "contamination_check",  # r6,7,8,10
+    "datasource_monthly_bars",  # r6,7,8,10
+    "dedup_clusters",  # r6,7,8,10
+    "dedup_embedding_banded",  # r6,7,8,10
+    "doc_quality_gopher",  # r6,7,8,10
+    "frame_sample",  # r6,7,8,10
+    "fund_expense_ratio",  # r6,7,8,10
+    "incremental_rollup",  # r6,7,8,10
+    "kmeans_clusters",  # r6,7,8,10
+    "kmv_distinct",  # r6,7,8,10
+    "multimodal_resize",  # r6,7,8,10
+    "order_value_deciles",  # r6,7,8,10
+    "events_json_profile",  # r3,4,5,7,8,10
+    "scalar_profile",  # r3,4,5,7,8,10
+    "sql_top_orders_per_priority",  # r3,4,5,7,8,10
+    "bucketed_join_revenue",  # r2,3,4,5,7,8,10
+    "chunk_stats",  # r2,3,4,5,7,8,10
+    "datasource_history",  # r2,3,4,5,7,8,10
+    "doc_sentiment",  # r2,3,4,5,7,8,10
+    "metrics_unpivot",  # r2,3,4,5,7,8,10
+    "multimodal_features",  # r2,3,4,5,7,8,10
+    "newsfeed_sentiment",  # r2,3,4,5,7,8,10
+    "pdf_page_text",  # r2,3,4,5,7,8,10
+    "peer_group_lookup",  # r2,3,4,5,7,8,10
+    "rag_answers",  # r2,3,4,5,7,8,10
+    "rag_retrieval",  # r2,3,4,5,7,8,10
+    "revenue_rollup",  # r2,3,4,5,7,8,10
 ]
 
 

@@ -220,6 +220,54 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     )
 
 
+def run_foreachbatch(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    state_partitions: int | None = 4,
+) -> list:
+    """Execute a streaming plan to completion (AvailableNow) through
+    ``foreachBatch`` — the per-micro-batch production shape for
+    compositions whose aggregation must be BATCH-LOCAL rather than
+    stream-lifetime stateful. ``batch_fn(batch_df, batch_id)`` receives
+    each micro-batch as a plain BATCH DataFrame (every batch operator is
+    legal inside — multi-pass joins, groupBy, even localCheckpoint) and
+    is responsible for its own idempotent writes (append to a parquet
+    dir here; MERGE into a table store in production — the checkpoint's
+    write-ahead offsets give at-least-once per batch, so the sink write
+    carries the exactly-once contract).
+
+    The point of this runner over ``run_to_memory(..., "complete")``: a
+    groupBy inside ``batch_fn`` is a plain batch aggregation over ONE
+    micro-batch — no streaming state store is created at all, so state
+    is bounded by the micro-batch BY CONSTRUCTION, not by a watermark or
+    TTL policy. On a continuous crawl that distinction is the difference
+    between O(batch) and O(stream lifetime) memory. The returned
+    progress list (one dict per micro-batch) lets tests pin exactly
+    that: ``progress["stateOperators"] == []`` for every batch.
+
+    Same session-global shuffle-conf scoping (and lock) as
+    ``run_to_memory`` — here it sizes the per-batch shuffles, not state
+    stores.
+    """
+    spark = df.sparkSession
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                df.writeStream.foreachBatch(batch_fn)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return list(q.recentProgress)
+
+
 def run_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """Execute a streaming plan to completion into a PARQUET sink with a
     real checkpoint — the production write path (exactly-once via the

@@ -602,3 +602,24 @@ def test_pack_documents_boundaries_and_order(spark):
         for off, d in zip(offs, docs):
             assert off == pos and r.seq_text[off : off + len(d)] == d
             pos += len(d) + 2
+
+
+def test_pack_documents_raises_loudly_on_null_text(spark):
+    """The enforced non-NULL contract (r11 ADVICE): a NULL text must
+    raise at execution naming the doc — never vanish silently from
+    seq_text while its boundary offsets go missing."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    from yfinance_etl_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(0, "aaa bb", 2), (1, None, 1), (2, "dd", 1)],
+        "doc_id bigint, text string, n_tokens int",
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException)
+    ) as exc:
+        pack_documents(df, budget=3).collect()
+    assert "NULL text at doc_id=1" in str(exc.value)

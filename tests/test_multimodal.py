@@ -411,6 +411,47 @@ def test_image_exif_display_geometry_roundtrip(spark):
                 assert (r.display_width, r.display_height) == (w, h)
 
 
+def test_image_exif_multi_app1_and_multi_entry_ifd0_shapes(spark):
+    """The r11 verdict's real-world EXIF shapes, pinned as genuinely
+    present in the fixture AND correctly parsed: doc_id%7==1 payloads
+    carry TWO APP1 segments (XMP first — the walk must skip by
+    namespace, not stop at first-APP1); doc_id%7==3 payloads carry a
+    THREE-entry IFD0 at non-minimal offset 16 with Orientation as the
+    SECOND entry (the entry loop and IFD offset are load-bearing)."""
+    from yfinance_etl_spark.multimodal.columns import (
+        _exif_orientation,
+        synthesize_jpeg_assets,
+    )
+
+    # ids chosen to have EXIF (%3 != 2) and cover XMP-first (%7 == 1)
+    # and multi-entry (%7 == 3) in BOTH endiannesses (parity of id)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 3, 10, 15, 22, 24, 36)],
+        "doc_id bigint, text string",
+    )
+    payloads = {
+        r.doc_id: bytes(r.content)
+        for r in synthesize_jpeg_assets(docs).collect()
+    }
+    for i, b in payloads.items():
+        assert _exif_orientation(b) == 1 + i % 8, i
+        n_app1 = b.count(b"\xff\xe1")
+        if i % 7 == 1:  # XMP APP1 precedes the Exif APP1
+            assert n_app1 == 2 and b.index(b"http://ns.adobe.com/xap/1.0/") < b.index(
+                b"Exif\x00\x00"
+            ), i
+        else:
+            assert n_app1 == 1, i
+        if i % 7 == 3:  # multi-entry IFD0 at offset 16
+            t = b[b.index(b"Exif\x00\x00") + 6 :]
+            import struct
+
+            e = ">" if t[:2] == b"MM" else "<"
+            magic, ifd0 = struct.unpack_from(e + "HI", t, 2)
+            (n_entries,) = struct.unpack_from(e + "H", t, ifd0)
+            assert (magic, ifd0, n_entries) == (42, 16, 3), i
+
+
 def test_image_exif_quarantines_non_jpeg(spark):
     from yfinance_etl_spark.multimodal.columns import image_exif
 

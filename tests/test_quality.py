@@ -302,3 +302,54 @@ def test_encoding_quality_counts_and_edges(spark):
     assert got[4] == (8, 1, 2, 0.375)
     assert got[6] == (0, 0, 0, None)
     assert got[7] == (15, 0, 0, 0.0)
+
+
+def test_encoding_quality_non_bmp_oracle_parity(spark, tmp_path):
+    """Supplementary-plane coverage for the regex classes (r11 verdict
+    #7): the registered encoding_quality query replayed engine-vs-engine
+    on astral text — emoji, math alphanumerics, CJK extension B — mixed
+    with real U+FFFD/C0 noise. Proves the operator's parity holds PAST
+    the engine-wide BMP tokenizer boundary: Spark's length/regexp_count
+    and DuckDB's len/regexp_extract_all both count CODE POINTS (an
+    astral char is 1), and neither engine's C0 class can match half a
+    surrogate pair. Mirrors test_text_ops.py's fixture-replay pattern."""
+    import duckdb
+
+    from yfinance_etl_spark.plans.queries import REGISTRY
+
+    docs = [
+        (0, "emoji 😀😃 tail"),                      # astral + %3 injection
+        (1, "math 𝕊𝕡𝕒𝕣𝕜 chars"),                # astral + %4 injection
+        (2, "cjk-ext-b 𠀀𠀁 mixed 中文"),
+        (3, "flags 🇺🇳 and zwj 👩‍💻 sequences"),     # multi-codepoint clusters
+        (4, "real � replacement😀 already"),        # pre-existing U+FFFD
+        (5, "astral\x01with😀controls\x1f"),         # astral adjacent to C0
+        (6, "plain ascii control-free"),
+        (7, "𝄞 musical 𝄢 clefs"),
+    ]
+    rows = [(i, t, "xx", "astral", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["encoding_quality"]
+    sdf = q.fn(spark, str(tmp_path))
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+    con.close()
+    assert got == want and len(got) == 8
+    by_id = {r[0]: r for r in got}
+    # astral chars count as ONE code point in n_chars, both engines:
+    # "emoji 😀😃 tail" = 13 + the %3 injection (doc 0 -> 1 U+FFFD)
+    assert by_id[0][1] == 14 and by_id[0][2] == 1
+    # pre-existing U+FFFD next to an emoji is still counted
+    assert by_id[4][2] == 1
+    # C0 controls adjacent to astral chars: the 2 literal ones plus the
+    # %4==1 injection's 4 — no surrogate half ever matches the C0 class
+    assert by_id[5][3] == 6

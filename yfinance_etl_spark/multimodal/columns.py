@@ -270,20 +270,50 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
             + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
         )
 
-        def app1_exif(orientation: int, big_endian: bool) -> bytes:
-            # TIFF header + one-entry IFD0: tag 0x0112 (Orientation),
-            # type 3 (SHORT), count 1, value left-justified in the 4-byte
-            # field per TIFF 6.0 §2
+        def app1_exif(orientation: int, big_endian: bool,
+                      multi_entry: bool = False) -> bytes:
+            # TIFF header + IFD0 per TIFF 6.0 §2: tag 0x0112
+            # (Orientation), type 3 (SHORT), count 1, value
+            # left-justified in the 4-byte field. The minimal form is a
+            # one-entry IFD0 at offset 8; ``multi_entry`` is the
+            # real-world shape (r11 verdict #6): IFD0 at a NON-minimal
+            # offset (16, after 8 padding bytes) with THREE entries —
+            # ImageWidth first, Orientation second, ExifIFDPointer last
+            # — so the walk's entry loop and offset handling are both
+            # load-bearing, not vacuously satisfied by entry 0 at 8.
             e = ">" if big_endian else "<"
-            tiff = (
-                (b"MM" if big_endian else b"II")
-                + struct.pack(e + "HI", 42, 8)
-                + struct.pack(e + "H", 1)
-                + struct.pack(e + "HHI", 0x0112, 3, 1)
-                + struct.pack(e + "HH", orientation, 0)
-                + struct.pack(e + "I", 0)
-            )
+            bom = b"MM" if big_endian else b"II"
+            if not multi_entry:
+                tiff = (
+                    bom
+                    + struct.pack(e + "HI", 42, 8)
+                    + struct.pack(e + "H", 1)
+                    + struct.pack(e + "HHI", 0x0112, 3, 1)
+                    + struct.pack(e + "HH", orientation, 0)
+                    + struct.pack(e + "I", 0)
+                )
+            else:
+                tiff = (
+                    bom
+                    + struct.pack(e + "HI", 42, 16)
+                    + b"\x00" * 8  # padding: IFD0 need not start at 8
+                    + struct.pack(e + "H", 3)
+                    + struct.pack(e + "HHI", 0x0100, 3, 1)  # ImageWidth
+                    + struct.pack(e + "HH", 1, 0)
+                    + struct.pack(e + "HHI", 0x0112, 3, 1)  # Orientation
+                    + struct.pack(e + "HH", orientation, 0)
+                    + struct.pack(e + "HHI", 0x8769, 4, 1)  # ExifIFD ptr
+                    + struct.pack(e + "I", 0)
+                    + struct.pack(e + "I", 0)
+                )
             body = b"Exif\x00\x00" + tiff
+            return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+
+        def app1_xmp() -> bytes:
+            # the OTHER APP1: XMP, which real cameras/editors often emit
+            # BEFORE the Exif APP1 — the walk must skip it by its
+            # namespace header, not stop at "first APP1"
+            body = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
             return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
 
         for pdf in batches:
@@ -292,11 +322,21 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 w, h = 16 + doc_id % 240, 16 + doc_id % 120
                 ncomp = 1 if doc_id % 4 == 0 else 3
-                app1 = (
-                    app1_exif(1 + doc_id % 8, doc_id % 2 == 0)
-                    if doc_id % 3 != 2
-                    else b""
-                )
+                # real-world APP1 shapes, cycled by doc_id (r11 verdict
+                # #6): %7==1 → XMP APP1 precedes the Exif one; %7==3 →
+                # multi-entry IFD0 at a non-minimal offset; else the
+                # minimal 1-entry form. Orientation VALUE arithmetic is
+                # unchanged, so the oracle replay is shape-blind — only
+                # the Spark-side parse has to earn the match.
+                if doc_id % 3 != 2:
+                    app1 = app1_exif(
+                        1 + doc_id % 8, doc_id % 2 == 0,
+                        multi_entry=doc_id % 7 == 3,
+                    )
+                    if doc_id % 7 == 1:
+                        app1 = app1_xmp() + app1
+                else:
+                    app1 = b""
                 com_body = (text or "")[:32].encode("utf-8")
                 com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_body)) + com_body
                 sof = (

@@ -435,9 +435,30 @@ def pack_documents(
     via an aggregate HOF (running char position), so nothing but the
     packed rows crosses the wire. Codepoint offsets (Spark length ==
     DuckDB len on any text; code-unit vs -point only diverges off the
-    BMP, the engine-wide contract boundary)."""
+    BMP, the engine-wide contract boundary).
+
+    NON-NULL text contract, ENFORCED: a NULL text would corrupt the
+    output silently rather than loudly — length(NULL) nulls the running
+    boundary position and array_join drops NULL elements, so the doc
+    would vanish from seq_text while its offsets went missing (r11
+    ADVICE). Rows with NULL ``text_col`` therefore raise at execution,
+    naming the doc; filter them (or fix ingest) upstream."""
+    guarded = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_documents: NULL text at "),
+                F.lit(key),
+                F.lit("="),
+                F.col(key).cast("string"),
+                F.lit("; a NULL would silently corrupt seq_text/boundaries "
+                      "— filter or fill NULL texts before packing"),
+            )
+        ),
+    ).otherwise(F.col(text_col))
     packed = pack_shards(
-        docs.select(key, text_col, weight_col), weight_col, key, budget
+        docs.select(key, guarded.alias(text_col), weight_col),
+        weight_col, key, budget,
     )
     ds = F.sort_array(F.collect_list(F.struct(key, text_col)))
     sep_len = len(sep)

@@ -602,3 +602,48 @@ def test_sequence_packing_is_one_assembly_aggregate(spark):
     assert "CartesianProduct" not in plan
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
+
+
+def test_stream_delta_microbatch_twin_plan_shape(spark):
+    """PLANS.md §stream_delta_candidates' machine twin: the plan that
+    foreachBatch executes per micro-batch — stateless Arrow signature
+    subplan, EQUI band join (never cartesian), plain per-batch hash
+    aggregate, and NO state-store operator anywhere (the zero-state
+    property tests/test_streaming.py measures from run progress)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        str(pathlib.Path(__file__).resolve().parents[1] / "tools" / "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = mod._stream_delta_microbatch_twin(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan           # the minhash signature UDF
+    assert "CartesianProduct" not in plan      # band join is equi
+    assert "StateStore" not in plan            # no streaming state, ever
+    assert "HashAggregate" in plan             # per-batch pair count
+
+
+def test_stream_ema_stateful_unstarted_plan_one_state_operator(spark):
+    """PLANS.md §stream_ema_stateful's machine twin: exactly one state
+    operator (FlatMapGroupsInPandasWithState on user_id, Update mode),
+    exactly one Exchange (the stateful operator's required key
+    partitioning), and no built-in agg state path (StateStoreSave)."""
+    from yfinance_etl_spark.streaming import streams as ST
+
+    df = ST.ema_stream(ST.read_events_stream(spark, "/root/testdata/sf0.001"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("FlatMapGroupsInPandasWithState") >= 1
+    # formatted output names the node once in the tree and once in the
+    # detail section — normalize to the tree occurrence count
+    tree = plan.split("(1) ")[0]
+    assert tree.count("FlatMapGroupsInPandasWithState") == 1
+    assert tree.count("Exchange") == 1
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+    assert "Update" in plan and "StateStoreSave" not in plan

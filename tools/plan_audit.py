@@ -206,6 +206,68 @@ AUDITS: dict[str, str] = {
 }
 
 
+def _stream_delta_microbatch_twin(spark, sf_dir: str):
+    """The EXACT plan delta_neardup_stream's foreachBatch executes per
+    micro-batch, with a static batch standing in for the stream's batch
+    DataFrame (foreachBatch hands the callback a plain batch frame, so
+    the twin IS the per-batch plan, not an approximation). Uncheckpointed
+    so the full signature subplan is visible in the dump."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import _delta_candidates, minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    return _delta_candidates(
+        minhash_bands(docs.filter(pred)),
+        minhash_bands(docs.filter(~pred)),
+        checkpoint=False,
+    )
+
+
+def _stream_ema_unstarted(spark, sf_dir: str):
+    """The stateful streaming EMA's UNSTARTED plan — explain() on a
+    streaming DataFrame resolves the logical/physical shape (state
+    operator, keying, update mode) without running a trigger."""
+    from yfinance_etl_spark.streaming import streams as ST
+
+    return ST.ema_stream(ST.read_events_stream(spark, sf_dir))
+
+
+#: streaming queries: REGISTRY[name].fn returns the post-run batch
+#: read-back (its plan is a trivial sink scan), so each audit names a
+#: BUILDER for the plan that actually matters — the per-micro-batch twin
+#: or the unstarted streaming plan. Matching pins:
+#: tests/test_plan_shapes.py (shape) + tests/test_streaming.py
+#: (stateOperators == [] measured from real run progress).
+STREAM_AUDITS: dict[str, tuple[str, object]] = {
+    "stream_delta_candidates": (
+        "Per-micro-batch plan (foreachBatch twin): the signature subplan "
+        "is stateless and map-only — doc_hashes scan → ArrowEvalPython "
+        "(minhash UDF) → band explode, NO StateStore operator anywhere "
+        "(state is bounded by the micro-batch by construction; the run's "
+        "progress pins stateOperators == []); the band join is an EQUI "
+        "join on (band_id, band_val) — broadcast vs shuffle decided per "
+        "batch from the static side's size, never CartesianProduct; the "
+        "pair count is a plain per-batch hash aggregate.",
+        _stream_delta_microbatch_twin,
+    ),
+    "stream_ema_stateful": (
+        "Unstarted streaming plan: exactly ONE state operator — "
+        "FlatMapGroupsInPandasWithState keyed on user_id (state scales "
+        "with keys × shuffle partitions, bounded by key cardinality; the "
+        "update output mode and NoTimeout policy are visible in the "
+        "node's arguments); exactly one Exchange — hashpartitioning on "
+        "user_id, tagged REQUIRED_BY_STATEFUL_OPERATOR — below it; the "
+        "scan side is a "
+        "pure streaming relation projection — no StateStoreSave (the "
+        "built-in agg state path) because the state is the operator's "
+        "own GroupState.",
+        _stream_ema_unstarted,
+    ),
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -219,8 +281,14 @@ def main() -> int:
         "`tests/test_plan_shapes.py` — followed by `explain(\"formatted\")`.",
         "",
     ]
-    for name, claim in AUDITS.items():
-        df = REGISTRY[name].fn(spark, sf_dir)
+    sections: list[tuple[str, str, object]] = [
+        (name, claim, None) for name, claim in AUDITS.items()
+    ] + [
+        (name, claim, builder)
+        for name, (claim, builder) in STREAM_AUDITS.items()
+    ]
+    for name, claim, builder in sections:
+        df = builder(spark, sf_dir) if builder else REGISTRY[name].fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "formatted"
         )
@@ -233,7 +301,7 @@ def main() -> int:
                         "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
-    print(f"wrote {path} ({len(AUDITS)} plans)")
+    print(f"wrote {path} ({len(AUDITS) + len(STREAM_AUDITS)} plans)")
     return 0
 
 

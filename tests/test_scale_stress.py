@@ -354,3 +354,44 @@ def test_ann_candidate_volume_stays_far_below_brute_force(spark):
     frac_small = v_small / (n_small * (n_small - 1) / 2)
     frac_big = v_big / (n_big * (n_big - 1) / 2)
     assert frac_big <= frac_small * 1.5
+
+
+def test_recorded_bloomjoin_and_cbloom_sweeps_support_the_claims():
+    # tools/scale_stress.py bloomjoin|cbloom append their evidence to the
+    # committed scale_stress_results.jsonl; same regenerate-on-change
+    # discipline as the other recorded sweeps
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    bj = [r for r in lines if r.get("kind") == "bloomjoin"]
+    assert len(bj) >= 3, "bloomjoin sweep not recorded"
+    # the join tier must have been exercised PAST the plan-literal bound
+    # (2^27), up to a >= 2^34-bit filter with a >= 16x key spread
+    assert max(r["bits"] for r in bj) >= 1 << 34
+    assert max(r["n_keys"] for r in bj) >= 16 * min(r["n_keys"] for r in bj)
+    for r in bj:
+        # the sparse word table's row bound holds MEASURED at every step
+        assert r["word_rows"] <= r["word_row_bound"], r
+        # no false negatives: every member probe survives
+        assert r["survivors"] >= r["member_probes"], r
+
+    cb = [r for r in lines if r.get("kind") == "cbloom"]
+    assert len(cb) >= 3, "cbloom sweep not recorded"
+    assert max(r["n_seen"] for r in cb) >= 16 * min(r["n_seen"] for r in cb)
+    for r in cb:
+        # deletion is load-bearing in every step (a plain Bloom can't)
+        assert r["n_retired"] > 0, r
+        # zero false negatives on live keys after the removal
+        assert r["live_hits"] == r["n_live"], r
+        # the maybe-slice the exact verify pays tracks the analytic fpp
+        # of the LIVE set (within 2x — sampling noise headroom)
+        assert r["measured_fp_rate"] <= 2 * r["predicted_fpp"], r

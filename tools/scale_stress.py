@@ -1324,6 +1324,157 @@ def main_pack(factors: list[int]) -> None:
         )
 
 
+def main_bloomjoin(steps: list[int]) -> None:
+    """Bloom JOIN-tier blow-up sweep (r11 verdict #5): the beyond-plan-
+    literal membership tier executed at a geometric (bits, key-count)
+    series, measuring wall, survivor counts, and — the claim under test
+    — that the sparse word table's ROW bound min(bits/64, keys·hashes)
+    holds MEASURED at every step (the word table is what broadcasts, so
+    its row count is the tier's memory story). Probes are 2× the key
+    set: the first half are members (must ALL survive — no false
+    negatives, asserted) and the second half novel (survivors above zero
+    are the measured fp count, compared to the analytic fpp). One JSON
+    line per step, kind="bloomjoin"."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        BLOOM_HASHES,
+        bloom_build_words_df,
+        bloom_might_contain_join,
+    )
+
+    spark = get_spark("scale-stress-bloomjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def keyframe(n: int, offset: int = 0):
+        return spark.range(offset, offset + n).select(
+            F.concat(F.lit("https://crawl.example.com/u/"),
+                     F.col("id").cast("string")).alias("k")
+        )
+
+    for i in steps:
+        bits = 1 << (20 + 4 * i)       # 2^24, 2^28, 2^32, 2^36 at i=1..4
+        n_keys = 100_000 * (4 ** (i - 1))
+        keys = keyframe(n_keys).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        words = bloom_build_words_df(
+            keys, "k", bits, BLOOM_HASHES
+        ).localCheckpoint(eager=True)
+        n_words = words.count()
+        sec_build = round(time.perf_counter() - t0, 2)
+        bound = min(bits // 64, n_keys * BLOOM_HASHES)
+        probes = keyframe(2 * n_keys).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        surv = bloom_might_contain_join(
+            probes, "k", words, bits, BLOOM_HASHES
+        ).count()
+        sec_probe = round(time.perf_counter() - t0, 2)
+        assert surv >= n_keys, "false negative — impossible by construction"
+        fpp = (1 - math.exp(-BLOOM_HASHES * n_keys / bits)) ** BLOOM_HASHES
+        print(
+            json.dumps(
+                {
+                    "kind": "bloomjoin",
+                    "bits": bits,
+                    "n_keys": n_keys,
+                    "n_probes": 2 * n_keys,
+                    "word_rows": n_words,
+                    "word_row_bound": bound,
+                    "survivors": surv,
+                    "member_probes": n_keys,
+                    "measured_fp_rate": round((surv - n_keys) / n_keys, 7),
+                    "predicted_fpp": round(fpp, 7),
+                    "sec_build": sec_build,
+                    "sec_probe": sec_probe,
+                }
+            ),
+            flush=True,
+        )
+
+
+def main_cbloom(steps: list[int]) -> None:
+    """Counting-Bloom frontier sweep (r11 verdict stretch #8, same
+    discipline as kind=bloom): seen set grows geometrically, 25% of it
+    retires (the DELETE path — the structure's reason to exist), probes
+    are 2× the seen set (half live-or-retired, half novel). Measures the
+    maybe-slice the exact verify must pay (prefilter selectivity vs
+    analytic fpp of the LIVE set), asserts zero false negatives on live
+    keys AND that every retired key tests like a deletion actually
+    happened at the analytic fp rate, and times build/remove/probe. One
+    JSON line per step, kind="cbloom"."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        counting_bloom_build,
+        counting_bloom_member_keys,
+        counting_bloom_remove,
+    )
+
+    spark = get_spark("scale-stress-cbloom")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def keyframe(n: int):
+        return spark.range(n).select(
+            F.concat(F.lit("https://crawl.example.com/u/"),
+                     F.col("id").cast("string")).alias("k"),
+            F.col("id"),
+        )
+
+    for i in steps:
+        n_seen = 20_000 * (4 ** (i - 1))
+        bits = BLOOM_BITS * (4 ** (i - 1))  # keep n/m (and fpp) comparable
+        seen = keyframe(n_seen).localCheckpoint(eager=True)
+        retired = seen.filter(F.col("id") % 4 == 0)  # 25% delete
+        n_live = n_seen - n_seen // 4 - (1 if n_seen % 4 else 0)
+        probes = keyframe(2 * n_seen).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        c0 = counting_bloom_build(seen, "k", bits).localCheckpoint(eager=True)
+        sec_build = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        c1 = counting_bloom_remove(c0, retired, "k", bits).localCheckpoint(
+            eager=True
+        )
+        sec_remove = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        maybe = counting_bloom_member_keys(probes, "k", c1, bits)
+        n_maybe = maybe.count()
+        sec_probe = round(time.perf_counter() - t0, 2)
+        # no false negatives on live keys — the hard guarantee
+        live_keys = seen.filter(F.col("id") % 4 != 0).select("k")
+        n_live_hit = maybe.join(live_keys, "k", "left_semi").count()
+        assert n_live_hit == n_live, (n_live_hit, n_live)
+        fpp = (1 - math.exp(-BLOOM_HASHES * n_live / bits)) ** BLOOM_HASHES
+        n_nonlive = 2 * n_seen - n_live
+        print(
+            json.dumps(
+                {
+                    "kind": "cbloom",
+                    "bits": bits,
+                    "n_seen": n_seen,
+                    "n_retired": n_seen - n_live,
+                    "n_live": n_live,
+                    "n_probes": 2 * n_seen,
+                    "maybe_rows": n_maybe,
+                    "live_hits": n_live_hit,
+                    "measured_fp_rate": round(
+                        (n_maybe - n_live) / n_nonlive, 7
+                    ),
+                    "predicted_fpp": round(fpp, 7),
+                    "sec_build": sec_build,
+                    "sec_remove": sec_remove,
+                    "sec_probe": sec_probe,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "pack":
@@ -1334,6 +1485,10 @@ if __name__ == "__main__":
         main_delta([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "bloom":
         main_bloom([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "bloomjoin":
+        main_bloomjoin([int(x) for x in argv[1:]] or [1, 2, 3, 4])
+    elif argv and argv[0] == "cbloom":
+        main_cbloom([int(x) for x in argv[1:]] or [1, 2, 3])
     elif argv and argv[0] == "substr":
         main_substr(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]

@@ -414,16 +414,28 @@ def contamination_overlap(
     )
 
 
-def write_minhash_signatures(docs: DataFrame, path: str) -> None:
+def write_minhash_signatures(docs: DataFrame, path: str,
+                             bands: DataFrame | None = None) -> None:
     """Persist ``minhash_bands(docs)`` as the (doc_id, band_id, band_val)
     snapshot-signature parquet the delta-dedup contract reads — linear in
     corpus size, written once per snapshot through the S10 sink.
     Partitioned by band_id so a band-sliced read (or a future per-band
     incremental refresh) prunes at the directory level; zstd because a
-    signature table is pure-string IO."""
+    signature table is pure-string IO.
+
+    ``bands`` lets a caller supply an already-built band frame instead —
+    the split-form cache move: when the snapshot is a FILTER of a shared
+    table, ``minhash_bands(full).filter(pred)`` keeps the full-table
+    doc_hashes subplan (the md5-dense stage cache.py materializes)
+    substitutable, where ``minhash_bands(filter(full))`` would miss it
+    and recompute cold (measured ~10 s vs ~1 s on the sf0.1 corpus
+    slice)."""
     from yfinance_etl_spark.sources.sink import write_partitioned
 
-    write_partitioned(minhash_bands(docs), path, partition_by=("band_id",))
+    write_partitioned(
+        bands if bands is not None else minhash_bands(docs),
+        path, partition_by=("band_id",),
+    )
 
 
 def read_minhash_signatures(spark, path: str) -> DataFrame:

@@ -886,12 +886,17 @@ def q_stream_delta_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred, docs, corpus_bands, new_stream = _stream_delta_common(spark, sf_dir)
     base = scratch_dir("yfinance_etl_stream_delta", f"{sf_dir}:verified", fresh=True)
+    # corpus_docs = the FULL table, not docs.filter(~pred): the verify
+    # stage semi-joins candidate corpus ids (all on the corpus side by
+    # the band join's construction), so the filter is redundant — and
+    # the full-table frame keeps the cached doc_shingles stage
+    # substitutable (the split-form cache algebra)
     delta_neardup_stream(
         new_stream,
         corpus_bands,
         f"{base}/out",
         f"{base}/ckpt",
-        corpus_docs=docs.filter(~pred),
+        corpus_docs=docs,
         threshold=0.7,
     )
     return spark.read.parquet(f"{base}/out")
@@ -927,22 +932,31 @@ def q_crawl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.scratch import scratch_dir
     from yfinance_etl_spark.streaming import streams as ST
 
+    from yfinance_etl_spark.operators.dedup import minhash_bands
+
     pred = F.col("doc_id") % 10 < 2
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(~pred)
     base = scratch_dir("yfinance_etl_crawl", sf_dir, fresh=True)
     # day N-1's close: persist the corpus signature snapshot (linear,
-    # once per snapshot; band_id directory layout prunes band-sliced reads)
-    write_minhash_signatures(corpus, f"{base}/sigs")
+    # once per snapshot; band_id directory layout prunes band-sliced
+    # reads). Bands built on the FULL-table subplan then filtered —
+    # per-doc outputs commute with the filter, and the full-table
+    # doc_hashes stage is the one cache.py materializes (filter-first
+    # recomputes the md5-dense stage cold: measured ~10 s vs ~1 s here)
+    write_minhash_signatures(
+        docs, f"{base}/sigs", bands=minhash_bands(docs).filter(~pred)
+    )
     corpus_bands = read_minhash_signatures(spark, f"{base}/sigs")
-    # day N: stream the delta through per-batch band join + exact verify
+    # day N: stream the delta through per-batch band join + exact verify;
+    # corpus_docs = the full table for the same cache algebra (verify
+    # semi-joins candidate corpus ids, so the filter is redundant)
     new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
     delta_neardup_stream(
         new_stream,
         corpus_bands,
         f"{base}/out",
         f"{base}/ckpt",
-        corpus_docs=corpus,
+        corpus_docs=docs,
         threshold=0.7,
     )
     pairs = spark.read.parquet(f"{base}/out")

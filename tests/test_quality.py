@@ -353,3 +353,41 @@ def test_encoding_quality_non_bmp_oracle_parity(spark, tmp_path):
     # C0 controls adjacent to astral chars: the 2 literal ones plus the
     # %4==1 injection's 4 — no surrogate half ever matches the C0 class
     assert by_id[5][3] == 6
+
+
+def test_curation_verdict_legs_reasons_and_plan(spark):
+    """Each leg independently drives its reason (fixed order
+    encoding,quality,repetition), NULL text drops the row, a NULL leg
+    fails closed — and the fusion claim is plan-pinned: one projection
+    chain, zero exchanges, the Arrow repetition kernel as the only
+    Python node."""
+    from yfinance_etl_spark.operators.quality import curation_verdict
+
+    rows = [
+        # long, stopword-rich, varied, clean -> kept
+        (0, "the quick brown fox jumps over a lazy dog and then runs to "
+            "the river of winding paths where it finds a quiet place to "
+            "rest while the evening light fades is in " * 3),
+        # same good text + heavy mojibake -> encoding alone fails
+        (1, "the quick brown fox jumps over a lazy dog and then runs to "
+            "the river of winding paths where it finds a quiet place to "
+            "rest while the evening light fades is in " * 3 + "�" * 40),
+        # short, no stopwords -> quality alone can fail... also repetitive
+        (2, "word word word word"),
+        (3, None),   # NULL text: dropped, not scored
+        (4, ""),     # empty: every ratio NULL -> fails closed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.keep, r.reasons) for r in curation_verdict(df).collect()}
+    assert 3 not in out and len(out) == 4
+    assert out[0] == (True, "")
+    assert out[1] == (False, "encoding")
+    assert out[2][0] is False and "repetition" in out[2][1]
+    # reason order is fixed by construction, never alphabetized ad hoc
+    assert out[2][1] in ("quality,repetition", "repetition")
+    assert out[4][0] is False  # NULL legs fail closed
+
+    plan = curation_verdict(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1  # the repetition kernel only
+    assert "BatchEvalPython" not in plan

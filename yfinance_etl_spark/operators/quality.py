@@ -399,6 +399,14 @@ def lm_perplexity(
     )
 
 
+#: the encoding-health regex classes, shared by encoding_quality and
+#: curation_verdict (hex escapes interpreted identically by Java regex
+#: and RE2; U+FFFD matched as a literal code point — parity proven past
+#: the BMP in tests/test_quality.py's astral fixture)
+REPLACEMENT_CHAR = "�"
+C0_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
 def encoding_quality(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Encoding-health score — the mojibake filter every web-scale text
@@ -418,8 +426,8 @@ def encoding_quality(docs: DataFrame, text_col: str = "text",
     tokenizer-contract discipline of tests/test_text_ops.py)."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    n_rep = F.regexp_count(text, F.lit("�"))
-    n_ctl = F.regexp_count(text, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+    n_rep = F.regexp_count(text, F.lit(REPLACEMENT_CHAR))
+    n_ctl = F.regexp_count(text, F.lit(C0_CONTROL_CLASS))
     return docs.filter(text.isNotNull()).select(
         id_col,
         n_chars.alias("n_chars"),
@@ -428,4 +436,60 @@ def encoding_quality(docs: DataFrame, text_col: str = "text",
         F.round(
             F.try_divide((n_rep + n_ctl).cast("double"), n_chars.cast("double")), 6
         ).alias("bad_ratio"),
+    )
+
+
+def curation_verdict(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_ratio: float = 0.01,
+    min_quality: float = 0.7,
+) -> DataFrame:
+    """One-pass curation pipeline: the keep/drop decision a pretraining
+    data pipeline actually publishes, composing the engine's map-only
+    per-document filter families — encoding health (CCNet/C4 mojibake
+    rule), text-quality heuristics (length/stopword score), and Gopher
+    repetition — into a SINGLE projection chain over the scan. Returns
+    (id_col, keep, reasons) where ``reasons`` is the comma-joined list
+    of failed legs in the fixed order 'encoding,quality,repetition'
+    (empty string when kept).
+
+    Scale shape: every leg is a per-row expression or Arrow kernel over
+    the same text column, so the composition costs ZERO extra passes and
+    ZERO shuffles — the alternative (join the three filter outputs on
+    doc_id) pays three corpus-sized exchanges for the same verdict. This
+    is the operator-fusion argument made executable: filters compose in
+    the projection, not in the join graph.
+
+    NULL contract: NULL text drops the row (nothing was decoded — the
+    encoding_quality rule); a leg that evaluates NULL on a non-NULL text
+    (e.g. empty text nulls the quality ratio) FAILS that leg — a doc a
+    filter cannot score must never default to kept."""
+    from yfinance_etl_spark.operators.text import with_text_features
+
+    text = F.col(text_col)
+    f = with_text_features(
+        with_repetition_features(docs.filter(text.isNotNull()), text_col),
+        text_col,
+    )
+    n_rep = F.regexp_count(text, F.lit(REPLACEMENT_CHAR))
+    n_ctl = F.regexp_count(text, F.lit(C0_CONTROL_CLASS))
+    bad = F.try_divide(
+        (n_rep + n_ctl).cast("double"), F.length(text).cast("double")
+    )
+    checks = (
+        ("encoding", bad <= max_bad_ratio),
+        ("quality", F.col("quality_score") >= min_quality),
+        ("repetition", F.col("keep")),
+    )
+    ok = [F.coalesce(c, F.lit(False)) for _, c in checks]
+    failed = [
+        F.when(~o, F.lit(name)) for (name, _), o in zip(checks, ok)
+    ]
+    keep_all = ok[0] & ok[1] & ok[2]
+    return f.select(
+        id_col,
+        keep_all.alias("keep"),
+        F.concat_ws(",", *failed).alias("reasons"),
     )

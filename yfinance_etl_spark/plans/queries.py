@@ -4843,13 +4843,15 @@ FROM corrupted
 """
 
 
-@_register("encoding_quality", _ENCODING_QUALITY_SQL)
-def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yfinance_etl_spark.operators.quality import encoding_quality
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _inject_mojibake(docs: DataFrame) -> DataFrame:
+    """The deterministic corruption both encoding-family queries inject
+    (the fixture corpus is clean ASCII, so corruption must be
+    synthesized for the filters to be load-bearing): U+FFFD runs on
+    doc_id%3==0, C0 control pairs on doc_id%4==1 — the Spark half of the
+    synthesize-then-measure pattern whose SQL half is the shared
+    ``corrupted`` CTE."""
     doc_id = F.col("doc_id")
-    corrupted = docs.withColumn(
+    return docs.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -4862,7 +4864,84 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    return encoding_quality(corrupted)
+
+
+@_register("encoding_quality", _ENCODING_QUALITY_SQL)
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return encoding_quality(_inject_mojibake(docs))
+
+
+# ---------------------------------------------------------------------------
+# Curation verdict (quality.py::curation_verdict): the composed keep/drop
+# decision a pretraining pipeline publishes — encoding health + text-
+# quality score + Gopher repetition fused into ONE map-only projection
+# (zero extra passes, zero shuffles; the join-the-filter-outputs
+# alternative pays three corpus exchanges). Runs on the same injected
+# corruption as encoding_quality so the encoding leg is load-bearing;
+# the oracle replays injection, all three filter families, and the
+# fixed-order reason list.
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = """
+WITH corrupted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN repeat(chr(65533), CAST(doc_id % 5 + 1 AS INT)) ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN repeat(chr(1) || chr(27), 2) ELSE '' END AS text
+  FROM documents
+  WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM corrupted
+),
+feats AS (
+  SELECT doc_id, text, len(t) AS n_tokens,
+         ROUND(1 - len(list_distinct(t)) / len(t), 6) AS dupf,
+         ROUND(list_max(list_transform(list_distinct(t),
+                 x -> len(list_filter(t, y -> y = x)))) / len(t), 6) AS topw,
+         ROUND(list_max(list_transform(
+                 list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                              i -> t[i] || ' ' || t[i + 1])),
+                 x -> len(list_filter(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                                     i -> t[i] || ' ' || t[i + 1]),
+                                      y -> y = x))))
+               / greatest(len(t) - 1, 1), 6) AS topbg,
+         ROUND(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS mwl,
+         len(list_filter(t, x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
+  FROM toks
+),
+legs AS (
+  SELECT doc_id,
+         COALESCE((len(regexp_extract_all(text, chr(65533)))
+                   + len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')))
+                  / CAST(length(text) AS DOUBLE) <= 0.01, FALSE) AS enc_ok,
+         COALESCE(ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                        + (1 - n_stop / n_tokens) * 0.5, 6) >= 0.7, FALSE) AS q_ok,
+         COALESCE(dupf <= 0.80 AND topw <= 0.10 AND topbg <= 0.05
+                  AND mwl BETWEEN 3.0 AND 10.0, FALSE) AS rep_ok
+  FROM feats
+)
+SELECT doc_id, (enc_ok AND q_ok AND rep_ok) AS keep,
+       concat_ws(',', CASE WHEN NOT enc_ok THEN 'encoding' END,
+                      CASE WHEN NOT q_ok THEN 'quality' END,
+                      CASE WHEN NOT rep_ok THEN 'repetition' END) AS reasons
+FROM legs
+"""
+
+
+@_register("curation_verdict", _CURATION_SQL)
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import curation_verdict
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation_verdict(_inject_mojibake(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,219 @@
+"""Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search", TPAMI 33(1)) — the
+compressed-vector path that complements the engine's other retrieval
+tiers: bucketed/IVF prune CANDIDATES, int8 shrinks scan BANDWIDTH 4×,
+and PQ shrinks the in-memory representation ~32× (m small codes per
+vector instead of dim floats) while still scoring ALL candidates — the
+regime where the corpus's float vectors cannot be resident at all.
+
+Spark-first shape, every stage oracle-replayable:
+
+* ``pq_train``  — m independent codebooks via the engine's deterministic
+  Lloyd (``clustering.kmeans``: k-smallest-id seeding, 9dp grid, decimal
+  means) on each subvector slice; driver traffic is the k·dim centroid
+  grid, the kmeans budget class.
+* ``pq_codes``  — map-only argmin per subspace against the codebook
+  literals (the ``clustering.assign`` literal-matrix pattern): one
+  projection, no join, no shuffle; a vector becomes m small ints.
+* ``pq_topk``   — stage 1 ranks by cosine(q_float, reconstruction(x)),
+  the ASYMMETRIC distance (ADC) score: the classic per-query lookup
+  table computes exactly Σ_m <q_m, c_{m,code_m}> — the reconstruction
+  form is the same algebra expressed as m tiny broadcast joins + one
+  concat, which keeps the plan JVM-side and lets the one DuckDB cosine
+  text replay it. Stage 2 reranks the candidate slice with exact float
+  cosine (the int8 two-stage contract: published scores are exact; the
+  approximation can only cost recall at the cut).
+
+Reference analog: FAISS's IndexPQ/IVFPQ family behind as_retriever
+(pdf_rag_chatbot.py:60-61) — re-expressed as DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yfinance_etl_spark.operators.clustering import _sqdist, kmeans
+from yfinance_etl_spark.operators.similarity import _rank_topk, cosine
+
+#: default geometry: 4 subspaces × 8 centroids over the 64-dim fixture —
+#: 8 is the k the full-dim kmeans queries run without starvation (a
+#: starved cluster would reseed Spark-side, which the fixed-round oracle
+#: replay deliberately does not model)
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def _book_candidates(sub, book: list[tuple[int, list[float]]]):
+    """(d2, cent_id) candidate structs for a subvector expression against
+    one codebook literal — ``clustering._centroid_candidates`` with the
+    probed column as an expression instead of the fixed ``vec`` column
+    (same literal construction, same struct tie-break, same non-finite
+    guard)."""
+    bad = [cid for cid, coords in book
+           if not all(math.isfinite(float(x)) for x in coords)]
+    if bad:
+        raise ValueError(
+            f"PQ codebook contains non-finite coordinates (cent_id={bad}); "
+            "clean the embedding column before training"
+        )
+    mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+            for _, coords in book
+        ) + ")"
+    )
+    ids = F.expr("array(" + ",".join(f"{int(cid)}L" for cid, _ in book) + ")")
+    return F.transform(
+        mat,
+        lambda cent, i: F.struct(_sqdist(sub, cent).alias("d2"),
+                                 ids[i].alias("cent_id")),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train the m subspace codebooks: the engine's deterministic Lloyd on
+    each contiguous dim/m slice. Returns m driver-side codebooks of
+    (cent_id, coords) — total driver traffic m · k · (dim/m) = k·dim
+    doubles, identical to one full-dim kmeans. Finite-vector check runs
+    once (on the first slice's frame) — a non-finite coordinate anywhere
+    poisons every subspace equally."""
+    emb = embeddings.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    first = emb.select("vec").first()
+    dim = len(first["vec"]) if first else 0
+    if dim == 0 or dim % m:
+        raise ValueError(f"PQ needs dim divisible by m; got dim={dim}, m={m}")
+    w = dim // m
+    books = []
+    for i in range(m):
+        sliced = emb.select(
+            "vec_id", F.slice("vec", i * w + 1, w).alias("embedding")
+        )
+        _, cent_df = kmeans(
+            sliced, k=k, iters=iters, vec_col="embedding",
+            check_finite=(i == 0),
+        )
+        books.append(
+            sorted((int(r.cent_id), [float(x) for x in r.cent])
+                   for r in cent_df.collect())
+        )
+    return books
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, label, code_0..code_{m-1}): every subspace's argmin in ONE
+    map-only projection — the m codebook literals ride the same select,
+    so encoding a 100 TB corpus is a single scan with zero exchanges.
+    Codes are centroid ids (seed vec_ids), small ints a store persists in
+    place of the float vector — the ~32× compression that is PQ's reason
+    to exist."""
+    emb = embeddings.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("vec"), "label"
+    )
+    w = len(books[0][0][1])
+    cols = [
+        F.array_min(
+            _book_candidates(F.slice(F.col("vec"), i * w + 1, w), book)
+        )["cent_id"].alias(f"code_{i}")
+        for i, book in enumerate(books)
+    ]
+    return emb.select("vec_id", "label", *cols)
+
+
+def pq_reconstruct(
+    codes: DataFrame, books: list[list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """(vec_id, label, rvec): decode codes back to the quantized vector —
+    m broadcast joins against the tiny (code → centroid) frames (k rows
+    each) followed by one concat. Map-side end to end: the corpus never
+    shuffles to be decoded, which is what makes stage-1 scoring over
+    reconstructions a pure scan."""
+    spark = codes.sparkSession
+    out = codes
+    for i, book in enumerate(books):
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in coords]) for cid, coords in book],
+            f"code_{i} bigint, cent_{i} array<double>",
+        )
+        out = out.join(F.broadcast(cdf), f"code_{i}")
+    rvec = F.concat(*[F.col(f"cent_{i}") for i in range(len(books))])
+    return out.select("vec_id", "label", rvec.alias("rvec"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+    rerank_factor: int = 4,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval, same output contract as every search
+    variant (q_id, neighbor_id, label, cos_sim, knn_rank): stage 1 scores
+    cosine(q_vec, reconstruction) — the asymmetric PQ score, exactly what
+    an ADC lookup table computes — and keeps k·rerank_factor per query;
+    stage 2 fetches float vectors for the candidate slice alone and
+    reranks by exact cosine, so quantization error can only cost recall
+    at the cut, never corrupt a published score. Deterministic end to
+    end (deterministic Lloyd codebooks, 9dp distance grid, 6dp rounds
+    before both rankings, shared tiebreak), so the DuckDB oracle replays
+    codebook training, encoding, reconstruction, and both stages."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+    if books is None:
+        books = pq_train(embeddings, m=m, k=kc, iters=iters)
+    recon = pq_reconstruct(pq_codes(embeddings, books), books)
+    if query_ids is None:
+        qpred = F.col("vec_id") < 5
+    else:
+        qpred = F.col("vec_id").isin(query_ids)
+    q = F.broadcast(
+        emb.filter(qpred).select(
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+        )
+    )
+    stage1 = (
+        recon.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("rvec")), 6).alias("cos_sim"),
+        )
+    )
+    cand = _rank_topk(stage1, k * rerank_factor).select(
+        "q_id", "neighbor_id", "label"
+    )
+    rerank = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "vec"),
+            "neighbor_id",
+        )
+        .join(q, "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(rerank, k)

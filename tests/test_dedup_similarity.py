@@ -1323,3 +1323,70 @@ def test_pq_encode_and_reconstruct_are_map_side(spark):
     rplan = pq_reconstruct(codes, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in rplan, rplan
     assert rplan.count("BroadcastHashJoin") == 4, rplan
+
+
+def test_signature_store_append_completes_the_crawl_cycle(spark, tmp_path):
+    """Day N's kept delta appends into the standing signature store
+    (mode='append', delta-sized write) and day N+1's read covers
+    corpus ∪ kept-delta exactly — the signature table is a long-lived
+    incremental structure, never snapshot-rewritten."""
+    from pyspark.sql import functions as F
+
+    import yfinance_etl_spark.operators.dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    bands = D.minhash_bands(docs).localCheckpoint(eager=True)
+    path = str(tmp_path / "sigs")
+    D.write_minhash_signatures(docs, path, bands=bands.filter(~pred))
+    # pretend every delta doc survived verify: append its signatures
+    D.write_minhash_signatures(
+        docs, path, bands=bands.filter(pred), mode="append"
+    )
+    got = sorted(tuple(r) for r in D.read_minhash_signatures(spark, path).collect())
+    want = sorted(
+        tuple(r)
+        for r in bands.select(
+            "doc_id", F.col("band_id").cast("int"), "band_val"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pq_persisted_codes_tier_parity_and_stage1_scan(spark, tmp_path):
+    """write_pq_codes -> read_pq_codes is value-invisible (persisted ==
+    inline output), codes_df without its books is refused, and stage 1's
+    reconstruction subplan scans the codes parquet, never
+    embeddings.parquet — floats enter at the rerank join alone."""
+    import pytest
+
+    from yfinance_etl_spark.operators.pq import (
+        pq_reconstruct,
+        pq_topk,
+        pq_train,
+        read_pq_codes,
+        write_pq_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb)
+    path = str(tmp_path / "codes")
+    write_pq_codes(emb, path, books)
+    codes = read_pq_codes(spark, path)
+
+    a = sorted(
+        tuple(r)
+        for r in pq_topk(emb, k=5, rerank_factor=16, books=books,
+                         codes_df=codes).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pq_topk(emb, k=5, rerank_factor=16, books=books).collect()
+    )
+    assert a == b and len(a) == 25
+
+    with pytest.raises(ValueError, match="books"):
+        pq_topk(emb, codes_df=codes)
+
+    plan = pq_reconstruct(codes, books)._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan and "embeddings.parquet" not in plan

@@ -415,7 +415,8 @@ def contamination_overlap(
 
 
 def write_minhash_signatures(docs: DataFrame, path: str,
-                             bands: DataFrame | None = None) -> None:
+                             bands: DataFrame | None = None,
+                             mode: str = "overwrite") -> None:
     """Persist ``minhash_bands(docs)`` as the (doc_id, band_id, band_val)
     snapshot-signature parquet the delta-dedup contract reads — linear in
     corpus size, written once per snapshot through the S10 sink.
@@ -429,12 +430,19 @@ def write_minhash_signatures(docs: DataFrame, path: str,
     doc_hashes subplan (the md5-dense stage cache.py materializes)
     substitutable, where ``minhash_bands(filter(full))`` would miss it
     and recompute cold (measured ~10 s vs ~1 s on the sf0.1 corpus
-    slice)."""
+    slice).
+
+    ``mode="append"`` is the crawl-cycle's corpus-update step: after
+    crawl-day-N's verify, the KEPT delta docs' signatures append into
+    the standing store (delta-sized write, same band_id directory
+    layout), so day N+1's read covers corpus ∪ kept-delta with no
+    snapshot rewrite — the signature table is a long-lived incremental
+    structure, like the counting-Bloom frontier."""
     from yfinance_etl_spark.sources.sink import write_partitioned
 
     write_partitioned(
         bands if bands is not None else minhash_bands(docs),
-        path, partition_by=("band_id",),
+        path, partition_by=("band_id",), mode=mode,
     )
 
 

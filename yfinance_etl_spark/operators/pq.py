@@ -135,6 +135,31 @@ def pq_codes(
     return emb.select("vec_id", "label", *cols)
 
 
+def write_pq_codes(
+    embeddings: DataFrame,
+    path: str,
+    books: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the codes table through the S10 sink — the form a PQ
+    store actually keeps resident: m small ints per vector instead of
+    dim floats (~32× smaller), written once per embedding snapshot.
+    The codebooks themselves are k·dim doubles — config-sized; a real
+    deployment versions them beside the table (they are an argument
+    here, exactly as they re-enter ``pq_topk``)."""
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    write_partitioned(pq_codes(embeddings, books, vec_col), path)
+
+
+def read_pq_codes(spark, path: str) -> DataFrame:
+    """Read a persisted codes table back for ``pq_topk(codes_df=...)`` —
+    stage 1 then scans only this parquet; float vectors enter at the
+    candidate-sized rerank join alone (the int8 persisted-codes
+    contract, at 8× its compression)."""
+    return spark.read.parquet(path)
+
+
 def pq_reconstruct(
     codes: DataFrame, books: list[list[tuple[int, list[float]]]]
 ) -> DataFrame:
@@ -164,6 +189,7 @@ def pq_topk(
     iters: int = PQ_ITERS,
     rerank_factor: int = 4,
     books: list[list[tuple[int, list[float]]]] | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ retrieval, same output contract as every search
     variant (q_id, neighbor_id, label, cos_sim, knn_rank): stage 1 scores
@@ -174,13 +200,21 @@ def pq_topk(
     at the cut, never corrupt a published score. Deterministic end to
     end (deterministic Lloyd codebooks, 9dp distance grid, 6dp rounds
     before both rankings, shared tiebreak), so the DuckDB oracle replays
-    codebook training, encoding, reconstruction, and both stages."""
+    codebook training, encoding, reconstruction, and both stages.
+
+    ``codes_df`` (with ``books``) is the production form: stage 1 scans
+    only the persisted codes parquet (``read_pq_codes``) — encoding cost
+    was paid once at snapshot time, and floats enter only the rerank."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
     )
     if books is None:
+        if codes_df is not None:
+            raise ValueError("codes_df requires the matching books "
+                             "(codes are meaningless without their codebooks)")
         books = pq_train(embeddings, m=m, k=kc, iters=iters)
-    recon = pq_reconstruct(pq_codes(embeddings, books), books)
+    codes = codes_df if codes_df is not None else pq_codes(embeddings, books)
+    recon = pq_reconstruct(codes, books)
     if query_ids is None:
         qpred = F.col("vec_id") < 5
     else:

@@ -5026,6 +5026,23 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_verdict(_inject_mojibake(docs))
 
 
+@_register("stream_curation_verdict", _CURATION_SQL)
+def q_stream_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time form of the curation pipeline: because every leg
+    is a stateless per-row projection (Arrow kernel + regexp — no
+    aggregation, no state store), the SAME operator runs unchanged on
+    the document stream in plain append mode — no foreachBatch, no
+    watermark, nothing to bound because nothing accumulates. This is the
+    filter-at-the-crawl-frontier deployment (drop junk before it ever
+    lands in the corpus store); same oracle as the batch form — the
+    stream/batch-equivalence claim costs zero extra code here."""
+    from yfinance_etl_spark.operators.quality import curation_verdict
+    from yfinance_etl_spark.streaming import streams as ST
+
+    stream = ST.read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    return ST.run_to_memory(curation_verdict(_inject_mojibake(stream)), "append")
+
+
 # ---------------------------------------------------------------------------
 # Weighted deterministic sampling (operators/sampling.py::weighted_sample):
 # Efraimidis-Spirakis keys from md5(salt:doc_id) — reproducible across

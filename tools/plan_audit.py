@@ -203,6 +203,23 @@ AUDITS: dict[str, str] = {
         "shuffles for the join); the clip is a pure greatest/least "
         "projection; the only exchanges are the two same-key hash aggs."
     ),
+    "curation_verdict": (
+        "Operator fusion made executable: encoding health, quality score, "
+        "and Gopher repetition all ride ONE projection chain over the doc "
+        "scan — zero Exchanges, the Arrow repetition kernel as the only "
+        "Python node (joining the three filter outputs on doc_id would pay "
+        "three corpus exchanges for the same verdict)."
+    ),
+    "ann_pq_topk": (
+        "Stage 1 never shuffles the corpus: codes are a map-only argmin "
+        "projection against the four codebook literals, reconstruction is "
+        "four BroadcastHashJoins + concat, queries broadcast into the "
+        "sanctioned small-side crossJoin, and the only exchanges are the "
+        "two per-query top-k windows (candidate-sized); floats enter at "
+        "the rerank join alone. Codebook training is separate tiny driver-"
+        "centroid Lloyd jobs (the kmeans_clusters audit); this dump shows "
+        "the retrieval plan those codebooks re-enter as literals."
+    ),
 }
 
 

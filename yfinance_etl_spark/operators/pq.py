@@ -95,8 +95,8 @@ def pq_train(
     if dim == 0 or dim % m:
         raise ValueError(f"PQ needs dim divisible by m; got dim={dim}, m={m}")
     w = dim // m
-    books = []
-    for i in range(m):
+
+    def train_one(i: int) -> list[tuple[int, list[float]]]:
         sliced = emb.select(
             "vec_id", F.slice("vec", i * w + 1, w).alias("embedding")
         )
@@ -104,11 +104,20 @@ def pq_train(
             sliced, k=k, iters=iters, vec_col="embedding",
             check_finite=(i == 0),
         )
-        books.append(
-            sorted((int(r.cent_id), [float(x) for x in r.cent])
-                   for r in cent_df.collect())
+        return sorted(
+            (int(r.cent_id), [float(x) for x in r.cent])
+            for r in cent_df.collect()
         )
-    return books
+
+    # the m trainings are independent and each round is a SMALL job
+    # (assign scan + k·(dim/m)-cell agg + k-row collects), so wall time is
+    # dominated by per-job scheduling overhead, not compute — submit them
+    # concurrently (the cache.cache_shared_stages pattern; results are
+    # deterministic per subspace regardless of scheduling order)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(train_one, range(m)))
 
 
 def pq_codes(

@@ -395,3 +395,33 @@ def test_recorded_bloomjoin_and_cbloom_sweeps_support_the_claims():
         # the maybe-slice the exact verify pays tracks the analytic fpp
         # of the LIVE set (within 2x — sampling noise headroom)
         assert r["measured_fp_rate"] <= 2 * r["predicted_fpp"], r
+
+
+def test_recorded_pq_sweep_supports_the_claims():
+    # tools/scale_stress.py pq — same regenerate-on-change discipline
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    pq = [r for r in lines if r.get("kind") == "pq"]
+    assert len(pq) >= 3, "pq sweep not recorded"
+    assert max(r["n_vectors"] for r in pq) >= 16 * min(r["n_vectors"] for r in pq)
+    for r in pq:
+        # the honest floor: even at the blow-up's hardest factor (mutated
+        # replicas create near-tie top-5 sets that coarse codebooks can't
+        # order — the capacity knob m, not rerank_factor, is what lifts
+        # it, measured 0.64 -> 0.72 at m=8), recall stays >= 0.6 and the
+        # two-stage wall never blows past the exact scan by 10x
+        assert r["recall_at_5"] >= 0.6, r
+        assert r["sec_pq_twostage"] <= 10 * max(r["sec_float_exact"], 0.3), r
+    # training (the once-per-snapshot cost) stays flat across 16x corpus
+    lo, hi = pq[0], pq[-1]
+    assert hi["sec_train"] <= 2 * lo["sec_train"], (lo, hi)

@@ -1245,6 +1245,73 @@ def main_int8(factors: list[int]) -> None:
 
 
 
+def main_pq(factors: list[int]) -> None:
+    """Product-quantization retrieval sweep (r12, same discipline as
+    kind=int8): blow the embeddings table up ×factor and measure, per
+    factor, codebook-training wall (the once-per-snapshot cost), the
+    two-stage retrieval wall at the registered rerank_factor=16, the
+    exact brute-force wall, and recall@5 against the exact top-k. What
+    the local box shows: training cost stays flat-to-linear (per-round
+    work is one map-only scan + a k·(dim/m)-cell agg per subspace),
+    retrieval wall tracks the exact scan (both score N candidates here —
+    the ~32× win is MEMORY, a resident codes table where floats can't
+    fit), and recall holds as the corpus grows denser. One JSON line per
+    factor, kind="pq"."""
+    from yfinance_etl_spark.operators.pq import pq_topk, pq_train
+    from yfinance_etl_spark.operators.similarity import knn_topk
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-pq")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn_topk(emb0.limit(50), k=2).count()  # codegen warm-up
+
+    for f in factors:
+        emb = blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        t0 = time.perf_counter()
+        books = pq_train(emb)
+        t_train = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact = {(r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()}
+        t_float = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        got = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_topk(emb, k=5, rerank_factor=16, books=books).collect()
+        }
+        t_pq = round(time.perf_counter() - t0, 2)
+        # the knob story (the semdedup probes precedent): a FIXED
+        # rerank_factor shrinks the candidate FRACTION as the corpus
+        # grows — scaling rf with the factor must recover recall
+        scaled = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_topk(
+                emb, k=5, rerank_factor=16 * f, books=books
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "kind": "pq",
+                    "sf_dir": sf_dir,
+                    "factor": f,
+                    "n_vectors": n_vec,
+                    "recall_at_5": round(len(exact & got) / max(len(exact), 1), 3),
+                    "recall_at_5_scaled_rf": round(
+                        len(exact & scaled) / max(len(exact), 1), 3
+                    ),
+                    "scaled_rf": 16 * f,
+                    "sec_train": t_train,
+                    "sec_float_exact": t_float,
+                    "sec_pq_twostage": t_pq,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main_pack(factors: list[int]) -> None:
     """Sequence-packing sweep (r11): blow the corpus up ×factor and
     measure the distributed prefix-sum + assembly path end to end —
@@ -1479,6 +1546,8 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "pack":
         main_pack([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "pq":
+        main_pq([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "int8":
         main_int8([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "delta":

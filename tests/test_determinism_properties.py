@@ -219,3 +219,45 @@ def test_pack_documents_reconstructs_for_arbitrary_corpora(
     assert single == {
         s: (r.n_docs, r.seq_text, r.boundaries) for s, r in out.items()
     }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.characters(codec="utf-8", max_codepoint=0xFFFF),
+                     min_size=1, max_size=12),
+             min_size=1, max_size=30, unique=True),
+    st.data(),
+    st.integers(min_value=64, max_value=4096),
+)
+def test_counting_bloom_invariants_for_arbitrary_insert_remove(spark, keys, data, bits):
+    """For ARBITRARY key sets, removal subsets, and filter geometries
+    (including collision-heavy 64-bit filters): the counter-conservation
+    invariant Σcnt = n_present · n_hashes holds after any remove of an
+    inserted subset, membership has zero false negatives on every
+    still-present key, and removing EVERYTHING empties the table."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        counting_bloom_build,
+        counting_bloom_member_keys,
+        counting_bloom_remove,
+    )
+
+    retired = data.draw(st.lists(st.sampled_from(keys), unique=True,
+                                 max_size=len(keys)))
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rdf = spark.createDataFrame([(k,) for k in retired], "k string") \
+        if retired else df.filter(F.lit(False))
+
+    c0 = counting_bloom_build(df, "k", bits=bits)
+    assert c0.agg(F.sum("cnt")).collect()[0][0] == len(keys) * 5
+    c1 = counting_bloom_remove(c0, rdf, "k", bits=bits)
+    present = set(keys) - set(retired)
+    total = c1.agg(F.sum("cnt")).collect()[0][0]
+    assert (total or 0) == len(present) * 5
+    members = {
+        r.k for r in counting_bloom_member_keys(df, "k", c1, bits=bits).collect()
+    }
+    assert present <= members  # no false negatives, any geometry
+    if not present:
+        assert c1.count() == 0 and members == set()

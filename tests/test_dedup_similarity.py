@@ -1390,3 +1390,27 @@ def test_pq_persisted_codes_tier_parity_and_stage1_scan(spark, tmp_path):
 
     plan = pq_reconstruct(codes, books)._jdf.queryExecution().executedPlan().toString()
     assert "codes" in plan and "embeddings.parquet" not in plan
+
+
+def test_ivfpq_converges_to_ivf_at_exhaustive_rerank(spark):
+    """With rerank_factor large enough that stage 1 keeps every member of
+    the probed lists, IVFPQ must equal plain IVF EXACTLY (same lists,
+    same exact-cosine rerank) — the PQ approximation can only act at the
+    candidate cut, never on published scores. At the registered
+    rerank_factor=16 it must recover most of the IVF ceiling."""
+    from yfinance_etl_spark.operators.pq import ivfpq_topk
+    from yfinance_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = sorted(tuple(r) for r in ivf_topk(emb, k=5).collect())
+    exhaustive = sorted(
+        tuple(r) for r in ivfpq_topk(emb, k=5, rerank_factor=400).collect()
+    )
+    assert exhaustive == ivf and len(ivf) == 25
+
+    ivf_set = {(r[0], r[1]) for r in ivf}
+    got16 = {
+        (r.q_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, k=5, rerank_factor=16).collect()
+    }
+    assert len(got16 & ivf_set) / len(ivf_set) >= 0.7

@@ -124,6 +124,7 @@ def pq_codes(
     embeddings: DataFrame,
     books: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """(vec_id, label, code_0..code_{m-1}): every subspace's argmin in ONE
     map-only projection — the m codebook literals ride the same select,
@@ -132,7 +133,7 @@ def pq_codes(
     place of the float vector — the ~32× compression that is PQ's reason
     to exist."""
     emb = embeddings.select(
-        "vec_id", F.col(vec_col).cast("array<double>").alias("vec"), "label"
+        "vec_id", F.col(vec_col).cast("array<double>").alias("vec"), *carry
     )
     w = len(books[0][0][1])
     cols = [
@@ -141,7 +142,7 @@ def pq_codes(
         )["cent_id"].alias(f"code_{i}")
         for i, book in enumerate(books)
     ]
-    return emb.select("vec_id", "label", *cols)
+    return emb.select("vec_id", *carry, *cols)
 
 
 def write_pq_codes(
@@ -170,7 +171,8 @@ def read_pq_codes(spark, path: str) -> DataFrame:
 
 
 def pq_reconstruct(
-    codes: DataFrame, books: list[list[tuple[int, list[float]]]]
+    codes: DataFrame, books: list[list[tuple[int, list[float]]]],
+    carry: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """(vec_id, label, rvec): decode codes back to the quantized vector —
     m broadcast joins against the tiny (code → centroid) frames (k rows
@@ -186,7 +188,7 @@ def pq_reconstruct(
         )
         out = out.join(F.broadcast(cdf), f"code_{i}")
     rvec = F.concat(*[F.col(f"cent_{i}") for i in range(len(books))])
-    return out.select("vec_id", "label", rvec.alias("rvec"))
+    return out.select("vec_id", *carry, rvec.alias("rvec"))
 
 
 def pq_topk(
@@ -256,6 +258,109 @@ def pq_topk(
             "q_id",
             "neighbor_id",
             "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(rerank, k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    k_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+    rerank_factor: int = 16,
+) -> DataFrame:
+    """IVF+PQ — FAISS's IndexIVFPQ re-expressed as DataFrame algebra, the
+    composition of the engine's two pruning axes: the IVF coarse
+    quantizer (similarity.ivf_assign — deterministic hash-spread
+    centroids) partitions the corpus into inverted lists so a query
+    scores only its ``n_probe`` lists (CANDIDATE pruning), and PQ
+    codebooks trained on the RESIDUALS (x − coarse centroid — the
+    textbook IVFPQ move: residuals are smaller and more isotropic than
+    raw vectors, so the same code budget quantizes them better) compress
+    what those lists hold (MEMORY pruning). Stage 1 scores
+    cosine(q, coarse_centroid + reconstruct(residual)) inside the probed
+    lists; stage 2 reranks the candidate slice with exact float cosine.
+    Output contract matches ivf_topk: (q_id, neighbor_id, cos_sim,
+    knn_rank) — approximate candidate set, exact published scores.
+
+    Every stage is deterministic and the oracle replays all of it:
+    hash-spread coarse centroids, residual computation, four per-subspace
+    kmeans chains over residual slices, encoding, reconstruction, probe
+    selection, and both rankings."""
+    from yfinance_etl_spark.operators.similarity import ivf_assign
+
+    assigned, cents = ivf_assign(embeddings, k_centroids)
+    # residual = vec − coarse centroid: map-side broadcast join (cents is
+    # k rows), zip_with subtraction — the corpus never shuffles
+    resid = (
+        assigned.join(cents, assigned.list_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+        )
+    )
+    books = pq_train(resid, m=m, k=kc, iters=iters, vec_col="residual")
+    codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))
+    recon_res = pq_reconstruct(codes, books, carry=("list_id",))
+    # full reconstruction = coarse centroid + residual reconstruction
+    recon = (
+        recon_res.join(cents, recon_res.list_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("rvec", "cent_vec", lambda x, y: x + y).alias("rfull"),
+        )
+    )
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+    if query_ids is None:
+        qpred = F.col("vec_id") < 5
+    else:
+        qpred = F.col("vec_id").isin(query_ids)
+    q = emb.filter(qpred).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    # probe selection: the query's n_probe highest-cosine coarse lists
+    # (the ivf_topk expression, shared tie policy)
+    from pyspark.sql import Window
+
+    probe_scored = q.crossJoin(cents).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = F.broadcast(
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_vec", F.col("cent_id").alias("list_id"))
+    )
+    stage1 = (
+        recon.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("rfull")), 6).alias("cos_sim"),
+        )
+    )
+    cand = _rank_topk(stage1, k * rerank_factor).select("q_id", "neighbor_id")
+    qb = F.broadcast(q)
+    rerank = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "vec"), "neighbor_id"
+        )
+        .join(qb, "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )

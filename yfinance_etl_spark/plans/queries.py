@@ -3556,6 +3556,108 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF+PQ composition (operators/pq.py::ivfpq_topk) — FAISS IndexIVFPQ
+# re-expressed relationally: the IVF coarse quantizer prunes CANDIDATES
+# (n_probe of k lists per query) and residual-trained PQ codebooks prune
+# MEMORY (x − coarse_centroid quantized — the textbook move: residuals
+# are smaller and more isotropic, so the same code budget quantizes them
+# better). The oracle replays the ENTIRE index build: hash-spread coarse
+# centroids, residuals, four per-subspace kmeans chains over residual
+# slices, encoding, coarse+residual reconstruction, probe selection, and
+# both rankings. Output contract matches ann_ivf_topk (approximate
+# candidate set, exact published scores, no label column).
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_sql() -> str:
+    w = _PQ_DIM // _PQ_M
+    head = f"""WITH emb AS ({_EMB_SOURCE}),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+cs AS (
+  SELECT e.vec_id, e.vec, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.vec', 'c.cent_vec')}, 6) DESC, c.cent_id) AS rn
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, vec, cent_id AS list_id FROM cs WHERE rn = 1),
+residuals AS (
+  SELECT a.vec_id, a.list_id,
+         list_transform(range(1, {_PQ_DIM + 1}),
+                        j -> a.vec[j] - c.cent_vec[j]) AS r
+  FROM assigned a JOIN cents c ON c.cent_id = a.list_id
+)"""
+    chains = [
+        _kmeans_chain(
+            f"SELECT vec_id, r[{i * w + 1}:{(i + 1) * w}] AS vec FROM residuals",
+            _PQ_KC, _PQ_ITERS, w, prefix=f"rp{i}_", lead="",
+        )
+        for i in range(_PQ_M)
+    ]
+    fin = _PQ_ITERS + 1
+    joins = " ".join(
+        f"JOIN rp{i}_a{fin} am{i} ON am{i}.vec_id = r.vec_id "
+        f"JOIN rp{i}_c{_PQ_ITERS} cm{i} ON cm{i}.cent_id = am{i}.cent_id"
+        for i in range(_PQ_M)
+    )
+    rres = " || ".join(f"cm{i}.cent" for i in range(_PQ_M))
+    tail = f""",
+recon AS (
+  SELECT r.vec_id, r.list_id, {rres} AS rres
+  FROM residuals r {joins}
+),
+reconfull AS (
+  SELECT rc.vec_id, rc.list_id,
+         list_transform(range(1, {_PQ_DIM + 1}),
+                        j -> rc.rres[j] + c.cent_vec[j]) AS rfull
+  FROM recon rc JOIN cents c ON c.cent_id = rc.list_id
+),
+q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
+ps AS (
+  SELECT q.q_id, q.q_vec, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cent_vec')}, 6) DESC, c.cent_id) AS rn
+  FROM q CROSS JOIN cents c
+),
+probes AS (SELECT q_id, q_vec, cent_id AS list_id FROM ps WHERE rn <= 2),
+stage1 AS (
+  SELECT p.q_id, rf.vec_id AS neighbor_id,
+         ROUND({_cos_sql('p.q_vec', 'rf.rfull')}, 6) AS acos
+  FROM reconfull rf JOIN probes p ON rf.list_id = p.list_id
+  WHERE rf.vec_id != p.q_id
+),
+cand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos DESC, neighbor_id) AS rn
+    FROM stage1
+  ) WHERE rn <= {5 * _PQ_RERANK}
+),
+rer AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         ROUND({_cos_sql('qv.q_vec', 'e.vec')}, 6) AS cos_sim
+  FROM cand
+  JOIN emb e ON e.vec_id = cand.neighbor_id
+  JOIN q qv ON qv.q_id = cand.q_id
+)
+SELECT q_id, neighbor_id, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+FROM rer
+QUALIFY knn_rank <= 5
+"""
+    return head + "".join(",\n" + c for c in chains) + tail
+
+
+@_register("ann_ivfpq_topk", _ivfpq_sql())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, rerank_factor=_PQ_RERANK
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup = k-means the

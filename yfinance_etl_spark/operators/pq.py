@@ -297,7 +297,10 @@ def ivfpq_topk(
 
     assigned, cents = ivf_assign(embeddings, k_centroids)
     # residual = vec − coarse centroid: map-side broadcast join (cents is
-    # k rows), zip_with subtraction — the corpus never shuffles
+    # k rows), zip_with subtraction — the corpus never shuffles. Eagerly
+    # checkpointed: the frame feeds SIX consumers (four subspace
+    # trainings, the encoding pass, the reconstruction join), each of
+    # which would otherwise re-run the assign argmin + join from the scan
     resid = (
         assigned.join(cents, assigned.list_id == cents.cent_id)
         .select(
@@ -305,6 +308,7 @@ def ivfpq_topk(
             "list_id",
             F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
         )
+        .localCheckpoint(eager=True)
     )
     books = pq_train(resid, m=m, k=kc, iters=iters, vec_col="residual")
     codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))

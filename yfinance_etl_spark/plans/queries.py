@@ -5233,10 +5233,11 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r12 rotation (tools/rotate_window.py, staleness-first): the seven
-# never-attested r12 newcomers (ann_int8_persisted, ann_pq_topk,
-# crawl_incremental_dedup, curation_verdict, stream_curation_verdict,
-# stream_delta_verified, url_frontier_dedup) lead, then the r9-last-attested dedup/ANN half (their r11 slots went
+# r12 rotation (tools/rotate_window.py, staleness-first): the eight
+# never-attested r12 newcomers (ann_int8_persisted, ann_ivfpq_topk,
+# ann_pq_topk, crawl_incremental_dedup, curation_verdict,
+# stream_curation_verdict, stream_delta_verified, url_frontier_dedup)
+# lead, then the r9-last-attested dedup/ANN half (their r11 slots went
 # to the r11 newcomers), then the r10-attested set in staleness order.
 # sketch_profile is oracle-less by design (opaque HLL/GK state;
 # accuracy pinned by the epsilon test, distinct-count verifiability by
@@ -5244,6 +5245,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
     "ann_int8_persisted",  # never
+    "ann_ivfpq_topk",  # never
     "ann_pq_topk",  # never
     "crawl_incremental_dedup",  # never
     "curation_verdict",  # never
@@ -5292,7 +5294,6 @@ _WINDOW_PRIORITY = [
     "multimodal_features",  # r2,3,4,5,7,8,10
     "newsfeed_sentiment",  # r2,3,4,5,7,8,10
     "pdf_page_text",  # r2,3,4,5,7,8,10
-    "peer_group_lookup",  # r2,3,4,5,7,8,10
 ]
 
 

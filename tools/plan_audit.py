@@ -220,6 +220,15 @@ AUDITS: dict[str, str] = {
         "centroid Lloyd jobs (the kmeans_clusters audit); this dump shows "
         "the retrieval plan those codebooks re-enter as literals."
     ),
+    "ann_ivfpq_topk": (
+        "The composed index's probe path: the checkpointed residual-codes "
+        "stage appears as a LogicalRDD leaf; full reconstruction is "
+        "BroadcastHashJoins (codebook + coarse-centroid frames, all tiny); "
+        "the probed-list restriction is an equi-join on list_id against "
+        "the BROADCAST probe table (n_probe rows per query) — the corpus "
+        "side never shuffles for it; exchanges are only the two per-query "
+        "top-k windows, and floats enter at the rerank join alone."
+    ),
 }
 
 

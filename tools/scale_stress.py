@@ -1312,6 +1312,67 @@ def main_pq(factors: list[int]) -> None:
         )
 
 
+def main_ivfpq(factors: list[int]) -> None:
+    """IVF+PQ composition sweep (r12): blow the embeddings up ×factor and
+    measure, per factor, recall@5 of the composed index against BOTH the
+    exact scan and its own IVF ceiling (plain ivf_topk at the same
+    n_probe — the coarse quantizer's recall is the composition's upper
+    bound; the gap to it is what residual-PQ quantization costs at the
+    cut), plus the n_probe knob (2 vs 4 of 8 lists) and walls. One JSON
+    line per factor, kind="ivfpq"."""
+    from yfinance_etl_spark.operators.pq import ivfpq_topk
+    from yfinance_etl_spark.operators.similarity import ivf_topk, knn_topk
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn_topk(emb0.limit(50), k=2).count()  # codegen warm-up
+
+    for f in factors:
+        emb = blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        exact = {(r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()}
+        row = {"kind": "ivfpq", "sf_dir": sf_dir, "factor": f, "n_vectors": n_vec}
+        for n_probe in (2, 4):
+            ceiling = {
+                (r.q_id, r.neighbor_id)
+                for r in ivf_topk(emb, k=5, n_probe=n_probe).collect()
+            }
+            t0 = time.perf_counter()
+            got = {
+                (r.q_id, r.neighbor_id)
+                for r in ivfpq_topk(
+                    emb, k=5, n_probe=n_probe, rerank_factor=16
+                ).collect()
+            }
+            row[f"sec_np{n_probe}"] = round(time.perf_counter() - t0, 2)
+            row[f"recall_np{n_probe}"] = round(
+                len(got & exact) / max(len(exact), 1), 3
+            )
+            row[f"ivf_ceiling_np{n_probe}"] = round(
+                len(ceiling & exact) / max(len(exact), 1), 3
+            )
+            row[f"of_ceiling_np{n_probe}"] = round(
+                len(got & ceiling) / max(len(ceiling), 1), 3
+            )
+            if n_probe == 2:
+                # the composition's knob is the CUT, not codebook
+                # capacity (the opposite diagnosis to kind=pq): rf scales
+                # with the probed-list size
+                got64 = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, k=5, n_probe=2, rerank_factor=64
+                    ).collect()
+                }
+                row["of_ceiling_np2_rf64"] = round(
+                    len(got64 & ceiling) / max(len(ceiling), 1), 3
+                )
+        print(json.dumps(row), flush=True)
+
+
 def main_pack(factors: list[int]) -> None:
     """Sequence-packing sweep (r11): blow the corpus up ×factor and
     measure the distributed prefix-sum + assembly path end to end —
@@ -1548,6 +1609,8 @@ if __name__ == "__main__":
         main_pack([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "pq":
         main_pq([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "ivfpq":
+        main_ivfpq([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "int8":
         main_int8([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "delta":

@@ -261,3 +261,20 @@ def test_counting_bloom_invariants_for_arbitrary_insert_remove(spark, keys, data
     assert present <= members  # no false negatives, any geometry
     if not present:
         assert c1.count() == 0 and members == set()
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=1, max_value=6))
+def test_pq_training_invariant_under_partitioning(spark, n_parts):
+    """PQ codebooks are a pure function of the data, not its layout: the
+    same corpus repartitioned arbitrarily must train BIT-IDENTICAL
+    codebooks (seeding is orderBy(vec_id).limit — deterministic under
+    any partitioning; centroid recompute routes through decimal means on
+    the shared 9dp grid) — the same invariance contract as dsum and
+    pack_shards, on which the PQ oracle replay depends entirely."""
+    from yfinance_etl_spark.operators.pq import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = pq_train(emb)
+    b = pq_train(emb.repartition(n_parts))
+    assert a == b

@@ -1414,3 +1414,34 @@ def test_ivfpq_converges_to_ivf_at_exhaustive_rerank(spark):
         for r in ivfpq_topk(emb, k=5, rerank_factor=16).collect()
     }
     assert len(got16 & ivf_set) / len(ivf_set) >= 0.7
+
+
+def test_knn_join_structure_and_bucket_containment(spark):
+    """Every emitted neighbor shares the query's LSH bucket (the
+    approximation IS the bucketing, nothing more), ranks are contiguous
+    from 1 per query with scores non-increasing, at most k rows per
+    query, and every bucket with >= 2 members emits rows for each of its
+    vectors."""
+    from collections import defaultdict
+
+    from yfinance_etl_spark.operators.similarity import knn_join, lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucket_of = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
+    rows = knn_join(emb, k=3).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert bucket_of[r.q_id] == bucket_of[r.neighbor_id], (r.q_id, r.neighbor_id)
+        per_q[r.q_id].append((r.knn_rank, r.cos_sim))
+    sizes = defaultdict(int)
+    for v, b in bucket_of.items():
+        sizes[b] += 1
+    for q, rk in per_q.items():
+        rk.sort()
+        assert [x[0] for x in rk] == list(range(1, len(rk) + 1)), q
+        assert len(rk) <= 3
+        sims = [x[1] for x in rk if x[1] is not None]
+        assert sims == sorted(sims, reverse=True), q
+    # every vector with at least one bucket-mate appears as a query
+    expected_qs = {v for v, b in bucket_of.items() if sizes[b] >= 2}
+    assert set(per_q) == expected_qs

@@ -354,6 +354,50 @@ def ann_multiprobe_topk(
     return _rank_topk(scored, k)
 
 
+def knn_join(
+    embeddings: DataFrame, k: int = 3, n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-vectors kNN JOIN: for EVERY vector, its k most-similar
+    neighbors among the vectors sharing its LSH bucket — the primitive
+    semantic-dedup graphs, diversity filters, and label-propagation
+    pipelines build on, where ``knn_topk``'s handful of query vectors
+    becomes the whole corpus. Same output contract as the query-side
+    variants (q_id, neighbor_id, label, cos_sim, knn_rank; label is the
+    neighbor's).
+
+    Scale shape: the self-join keys on the bucket id, so candidate
+    volume is Σ_b |bucket_b|² — the banded-dedup join shape, NOT the N²
+    all-pairs product (the suite-wide plan guard forbids
+    CartesianProduct; this plans an equi-join). Recall is bucket-bounded
+    by construction: a true neighbor across a hyperplane is missed — the
+    multiprobe/banded OR-amplification tiers are the recall knobs, and
+    the ORACLE replays the same bucketing, so the approximation is
+    hash-gated, not hand-waved. A hot bucket concentrates quadratic work
+    exactly like the banded dedup join; the blocked-salt treatment there
+    (operators/dedup.py embedding tier) applies unchanged when needed."""
+    b = lsh_bucket(embeddings, n_planes, dim=dim).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        "label",
+        "bucket",
+    )
+    left = b.select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    scored = (
+        b.join(left, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def int8_codes(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: (vec_id, codes, label) with
     codes_i = floor(x_i / max|x| * 127 + 0.5), emitted as array<tinyint>

@@ -1217,6 +1217,42 @@ bkt AS (SELECT {id_col}, vec, CAST({bucket} AS BIGINT) AS bucket FROM proj)"""
 
 
 _EMB_SOURCE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings"
+_EMB_SOURCE_L = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings"
+)
+
+
+# ---------------------------------------------------------------------------
+# kNN JOIN (similarity.py::knn_join): every vector's top-k neighbors
+# within its LSH bucket — the all-vectors form of the retrieval family
+# and the primitive dedup graphs / diversity filters build on. Candidate
+# volume is Σ|bucket|² (the banded-dedup equi-join shape, never N²);
+# recall is bucket-bounded and the oracle replays the SAME bucketing, so
+# the approximation is hash-gated.
+# ---------------------------------------------------------------------------
+
+def _knn_join_sql(k: int = 3, n_planes: int = 6) -> str:
+    return f"""
+WITH {_lsh_ctes(n_planes, _EMB_SOURCE_L)},
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, e.label,
+         ROUND({_cos_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM bkt a
+  JOIN bkt b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+  JOIN emb e ON e.vec_id = b.vec_id
+)
+SELECT q_id, neighbor_id, label, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+FROM scored
+QUALIFY knn_rank <= {k}
+"""
+
+
+@_register("knn_join_topk", _knn_join_sql())
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.similarity import knn_join
+
+    return knn_join(_t(spark, sf_dir, "embeddings"), k=3, n_planes=6)
 
 
 def _ann_oracle(n_planes: int = 6) -> str:

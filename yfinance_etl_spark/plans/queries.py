@@ -5269,11 +5269,11 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r12 rotation (tools/rotate_window.py, staleness-first): the eight
+# r12 rotation (tools/rotate_window.py, staleness-first): the nine
 # never-attested r12 newcomers (ann_int8_persisted, ann_ivfpq_topk,
 # ann_pq_topk, crawl_incremental_dedup, curation_verdict,
-# stream_curation_verdict, stream_delta_verified, url_frontier_dedup)
-# lead, then the r9-last-attested dedup/ANN half (their r11 slots went
+# knn_join_topk, stream_curation_verdict, stream_delta_verified,
+# url_frontier_dedup) lead, then the r9-last-attested dedup/ANN half (their r11 slots went
 # to the r11 newcomers), then the r10-attested set in staleness order.
 # sketch_profile is oracle-less by design (opaque HLL/GK state;
 # accuracy pinned by the epsilon test, distinct-count verifiability by
@@ -5285,6 +5285,7 @@ _WINDOW_PRIORITY = [
     "ann_pq_topk",  # never
     "crawl_incremental_dedup",  # never
     "curation_verdict",  # never
+    "knn_join_topk",  # never
     "stream_curation_verdict",  # never
     "stream_delta_verified",  # never
     "url_frontier_dedup",  # never
@@ -5329,7 +5330,6 @@ _WINDOW_PRIORITY = [
     "metrics_unpivot",  # r2,3,4,5,7,8,10
     "multimodal_features",  # r2,3,4,5,7,8,10
     "newsfeed_sentiment",  # r2,3,4,5,7,8,10
-    "pdf_page_text",  # r2,3,4,5,7,8,10
 ]
 
 

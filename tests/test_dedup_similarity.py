@@ -1445,3 +1445,154 @@ def test_knn_join_structure_and_bucket_containment(spark):
     # every vector with at least one bucket-mate appears as a query
     expected_qs = {v for v, b in bucket_of.items() if sizes[b] >= 2}
     assert set(per_q) == expected_qs
+
+
+def test_counting_bloom_null_keys_are_excluded_everywhere(spark):
+    """NULL keys must be invisible to every counting-Bloom tier: Spark's
+    xxhash64 SKIPS a NULL input (it returns the seed-derived hash), so an
+    unfiltered NULL would get a real, shared position set — and a NULL
+    probe would be guaranteed to pass the bit test whenever a NULL was
+    also inserted, violating the never-a-member contract (r12 review).
+    Pinned: NULLs don't count toward the Σcnt invariant, never come back
+    as members, and frontier_to_fetch marks a NULL probe to_fetch."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        counting_bloom_build,
+        counting_bloom_member_keys,
+        frontier_to_fetch,
+    )
+
+    keys = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "k string"
+    )
+    c = counting_bloom_build(keys, "k")
+    # set semantics over NON-NULL keys only: 2 keys x 5 hashes
+    assert c.agg(F.sum("cnt")).collect()[0][0] == 2 * 5
+    members = {
+        r.k
+        for r in counting_bloom_member_keys(
+            spark.createDataFrame([("a",), (None,)], "k string"), "k", c
+        ).collect()
+    }
+    assert members == {"a"}  # the NULL probe is never a member
+    probes = spark.createDataFrame([("a",), ("x",), (None,)], "k string")
+    seen = keys
+    retired = spark.createDataFrame([], "k string")
+    got = {
+        (r.k, r.to_fetch) for r in frontier_to_fetch(probes, seen, retired, "k").collect()
+    }
+    assert got == {("a", False), ("x", True), (None, True)}
+
+
+def test_pq_train_full_dim_finite_check_and_null_vector(spark):
+    """pq_train's finite check must cover the FULL vector, not just
+    subspace 0's slice: a NaN confined to a later slice has to raise the
+    NAMED ValueError up front, and a NULL vector in the first sampled row
+    must hit the same loud contract instead of TypeError: len(None)
+    (r12 ADVICE lows)."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.operators.pq import pq_train
+
+    good = [float(i % 7) + 1.0 for i in range(16)]
+    late_nan = list(good)
+    late_nan[12] = float("nan")  # slice 3 of m=4 — past the old slice-0 check
+    emb = spark.createDataFrame(
+        [(0, good), (1, late_nan)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="vec_id.*1|\\[1\\]"):
+        pq_train(emb, m=4, k=1, iters=1)
+
+    emb_null = spark.createDataFrame(
+        [(0, None), (1, good)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL or non-finite"):
+        pq_train(emb_null, m=4, k=1, iters=1)
+
+
+def test_scaled_plane_count_rule_and_bounds(spark):
+    """The corpus-scaled geometry rule: ⌈log2(N/target)⌉ — reproduces the
+    registry's 6-plane geometry at the sf0.1 fixture size (2000 vectors,
+    target 32), tracks the sweep's validated 6+log2(blowup) series, and
+    clamps to the Walsh mask window so a huge corpus can never request a
+    degenerate plane."""
+    from yfinance_etl_spark.operators.similarity import scaled_plane_count
+
+    assert scaled_plane_count(2000) == 6
+    assert scaled_plane_count(2000 * 16) == 10  # 6 + log2(16)
+    assert scaled_plane_count(500) == 4
+    assert scaled_plane_count(2, 32) == 1  # floor: never 0 planes
+    assert scaled_plane_count(1 << 40, 32) == 35  # unclamped: log2(2^40/32)
+    assert scaled_plane_count(1 << 80, 32, dim=64) == 63  # mask-window clamp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_occupancy"):
+        scaled_plane_count(100, 0)
+
+
+def test_knn_join_salt_and_auto_geometry_are_result_invisible(spark):
+    """salt=S is a PHYSICAL skew treatment: the blocked sub-join must
+    return bit-identical rows to the unsalted join (each pair meets
+    exactly once — when the neighbor replica's salt equals the query's),
+    and the n_planes=None default must equal the explicit
+    scaled_plane_count geometry."""
+    from yfinance_etl_spark.operators.similarity import knn_join, scaled_plane_count
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(tuple(r) for r in knn_join(emb, k=3, n_planes=6).collect())
+    salted = sorted(
+        tuple(r) for r in knn_join(emb, k=3, n_planes=6, salt=4).collect()
+    )
+    assert salted == base and len(base) > 0
+
+    p = scaled_plane_count(emb.count(), dim=64)
+    auto = sorted(tuple(r) for r in knn_join(emb, k=3, dim=64).collect())
+    explicit = sorted(tuple(r) for r in knn_join(emb, k=3, n_planes=p).collect())
+    assert auto == explicit
+
+    # banded path: salt is result-invisible there too (the two knobs
+    # compose), and bands=1 IS the single-bucket join on the same window
+    b1 = sorted(
+        tuple(r)
+        for r in knn_join(emb, k=3, bands=1, rows_per_band=4, dim=64).collect()
+    )
+    b1_explicit = sorted(tuple(r) for r in knn_join(emb, k=3, n_planes=4).collect())
+    assert b1 == b1_explicit
+    b3 = sorted(
+        tuple(r) for r in knn_join(emb, k=3, bands=3, dim=64).collect()
+    )
+    b3_salted = sorted(
+        tuple(r) for r in knn_join(emb, k=3, bands=3, dim=64, salt=4).collect()
+    )
+    assert b3 == b3_salted
+
+
+def test_knn_join_banded_recall_is_monotone_in_bands(spark):
+    """OR-amplification only ADDS candidates (band 0's window is shared),
+    and top-k recall against the exact scan is monotone in the candidate
+    set — a true top-k neighbor, once a candidate, can be displaced only
+    by strictly-better true neighbors, of which there are < k. So
+    recall(bands=3) >= recall(bands=1) must hold everywhere, not just on
+    average."""
+    from yfinance_etl_spark.operators.similarity import knn_join, knn_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = list(range(16))
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in knn_topk(emb, query_ids=qs, k=3).collect()
+    }
+
+    def got(df):
+        return {
+            (r.q_id, r.neighbor_id)
+            for r in df.collect()
+            if r.q_id in set(qs)
+        }
+
+    b1 = got(knn_join(emb, k=3, bands=1, rows_per_band=4, dim=64))
+    b3 = got(knn_join(emb, k=3, bands=3, rows_per_band=4, dim=64))
+    assert len(b3 & exact) >= len(b1 & exact)
+    # and the banded candidate pairs for the sample are a superset
+    assert (b1 & exact) <= (b3 & exact)

@@ -452,3 +452,40 @@ def test_recorded_ivfpq_sweep_supports_the_claims():
         # (the opposite of kind=pq's finding; both are recorded because
         # they prescribe different production tuning)
         assert r["of_ceiling_np2_rf64"] >= 0.85, r
+
+
+def test_recorded_knnjoin_sweep_supports_the_geometry_claims():
+    # tools/scale_stress.py knnjoin — the r12 weak's executable closure:
+    # the operator's DEFAULT geometry (scaled_plane_count) must be the
+    # measured sub-quadratic regime, the salt must bound the hottest
+    # join key, and the banded knob must buy recall
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    kj = [r for r in lines if r.get("kind") == "knnjoin"]
+    assert len(kj) >= 3, "knnjoin sweep not recorded"
+    assert max(r["n_vectors"] for r in kj) >= 16 * min(r["n_vectors"] for r in kj)
+    summ = [r for r in lines if r.get("kind") == "knnjoin_summary"][-1]
+    # fixed planes are the quadratic regime the old default lived in;
+    # the scaled default is the ~linear one (the sweep-validated rule)
+    assert summ["cand_growth_exponent_fixed6"] >= 1.8, summ
+    assert summ["cand_growth_exponent_scaled"] <= 1.3, summ
+    for r in kj:
+        # the salt's whole point: the hottest (bucket, salt) sub-key
+        # hands a reducer materially less work than the hottest bucket
+        assert r["salt_spread"] >= 2.0, r
+        # OR-amplification must never lose recall vs the single bucket
+        assert r["recall_banded3x4"] >= r["recall_scaled"] - 1e-9, r
+    # and at the largest factor the scaled default beats fixed planes on
+    # wall by a wide margin (20.3 s vs 2.5 s measured at 16x)
+    hi = max(kj, key=lambda r: r["n_vectors"])
+    assert hi["sec_scaled"] * 3 <= hi["sec_fixed6"], hi

@@ -587,3 +587,42 @@ def test_spread_passes_streaming_frames_through(spark, tmp_path):
     stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
     out = spread(stream)
     assert out is stream  # identity, not a repartition
+
+
+def test_stream_delta_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a batch retried after a mid-write
+    failure re-runs its write. The sink must absorb the replay — each
+    batch overwrites its own batch_id-scoped directory instead of
+    appending (r12 review) — so replaying the whole stream from a FRESH
+    checkpoint into the SAME sink (the strongest retry: every batch
+    redelivered) leaves the pair set exactly unchanged. read_delta_pairs
+    hides the batch_id partition column from downstream plans."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        delta_neardup_stream,
+        minhash_bands,
+        read_delta_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    corpus_bands = minhash_bands(docs.filter(~pred)).localCheckpoint(eager=True)
+    out = str(tmp_path / "out")
+
+    delta_neardup_stream(
+        ST.read_documents_stream(spark, sf).filter(pred),
+        corpus_bands, out, str(tmp_path / "ckpt1"),
+    )
+    first = sorted(tuple(r) for r in read_delta_pairs(spark, out).collect())
+    assert len(first) > 0
+    assert "batch_id" not in read_delta_pairs(spark, out).columns
+
+    # full redelivery: fresh checkpoint, same sink
+    delta_neardup_stream(
+        ST.read_documents_stream(spark, sf).filter(pred),
+        corpus_bands, out, str(tmp_path / "ckpt2"),
+    )
+    second = sorted(tuple(r) for r in read_delta_pairs(spark, out).collect())
+    assert second == first

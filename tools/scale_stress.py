@@ -1603,6 +1603,129 @@ def main_cbloom(steps: list[int]) -> None:
         )
 
 
+def main_knnjoin(factors: list[int]) -> None:
+    """All-vectors kNN-join geometry sweep (r12 verdict weak #1): blow
+    the embeddings up ×factor and measure, per factor,
+
+      * candidate volume Σ_b |b|·(|b|−1) under FIXED 6 planes (the old
+        default — prunes a constant fraction of N², exponent ~2) vs the
+        operator's SCALED default (scaled_plane_count — occupancy-
+        targeting, exponent ~1.1),
+      * join wall for fixed / scaled / scaled+salt=8,
+      * the hot-key bound the salt buys: max per-join-key candidate work
+        (max |bucket|² unsalted vs max left×right over (bucket, salt)
+        sub-keys — the shuffle-reducer ceiling at true scale), reported
+        as ``salt_spread`` = unsalted/salted max,
+      * recall@3 against the exact scan for a 32-query sample: fixed,
+        scaled (auto), and banded 3×4 (the OR-amplification knob).
+
+    One JSON line per factor, kind="knnjoin", then the two candidate
+    exponents — the executable form of the docstring's geometry claims."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.similarity import (
+        knn_join,
+        knn_topk,
+        lsh_bucket,
+        scaled_plane_count,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-knnjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn_topk(emb0.limit(50), k=2).count()  # codegen warm-up
+    SALT = 8
+
+    def cand_volume(n_planes: int) -> int:
+        occ = lsh_bucket(emb, n_planes, dim=64).groupBy("bucket").count()
+        return int(
+            occ.agg(F.sum(F.col("count") * (F.col("count") - 1))).collect()[0][0]
+        )
+
+    def key_work(n_planes: int) -> tuple[int, int]:
+        """(max per-bucket pair work unsalted, max per-(bucket,salt)
+        left×right work salted) — the largest single shuffle key each
+        physical shape hands one reducer."""
+        occ = lsh_bucket(emb, n_planes, dim=64).groupBy("bucket").count()
+        unsalted = int(occ.agg(F.max(F.col("count") * F.col("count"))).collect()[0][0])
+        per_salt = (
+            lsh_bucket(emb, n_planes, dim=64)
+            .select("bucket", (F.col("vec_id") % SALT).alias("s"))
+            .groupBy("bucket", "s")
+            .count()
+            .withColumnRenamed("count", "n_left")
+            .join(occ, "bucket")
+        )
+        salted = int(
+            per_salt.agg(F.max(F.col("n_left") * F.col("count"))).collect()[0][0]
+        )
+        return unsalted, salted
+
+    rows = []
+    for f in factors:
+        emb = (
+            blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        )
+        n_vec = emb.count()
+        scaled = scaled_plane_count(n_vec, dim=64)
+        unsalted_max, salted_max = key_work(scaled)
+        qs = list(range(32))
+        exact = knn_topk(emb, query_ids=qs, k=3).localCheckpoint(eager=True)
+
+        def sample(df):
+            return df.filter(F.col("q_id").isin(qs))
+
+        row = {
+            "kind": "knnjoin",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_vectors": n_vec,
+            "planes_scaled": scaled,
+            "cand_fixed6": cand_volume(6),
+            "cand_scaled": cand_volume(scaled),
+            "max_key_work_unsalted": unsalted_max,
+            "max_key_work_salt8": salted_max,
+            "salt_spread": round(unsalted_max / max(salted_max, 1), 2),
+            "sec_fixed6": _timed(knn_join(emb, k=3, n_planes=6)),
+            "sec_scaled": _timed(knn_join(emb, k=3, dim=64)),
+            "sec_scaled_salt8": _timed(knn_join(emb, k=3, dim=64, salt=SALT)),
+            "recall_fixed6": _recall(sample(knn_join(emb, k=3, n_planes=6)), exact),
+            "recall_scaled": _recall(sample(knn_join(emb, k=3, dim=64)), exact),
+            "recall_banded3x4": _recall(
+                sample(knn_join(emb, k=3, bands=3, rows_per_band=4, dim=64)), exact
+            ),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str, floor: float = 1.0) -> float:
+            return round(
+                math.log(max(b[metric], floor) / max(a[metric], floor))
+                / math.log(b["n_vectors"] / a["n_vectors"]),
+                2,
+            )
+
+        print(
+            json.dumps(
+                {
+                    "kind": "knnjoin_summary",
+                    "cand_growth_exponent_fixed6": slope("cand_fixed6"),
+                    "cand_growth_exponent_scaled": slope("cand_scaled"),
+                    "wall_growth_exponent_fixed6": slope("sec_fixed6", 0.01),
+                    "wall_growth_exponent_scaled": slope("sec_scaled", 0.01),
+                    "note": "1.0 linear, 2.0 quadratic; scaled = the "
+                    "operator's n_planes=None default",
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "pack":
@@ -1621,6 +1744,8 @@ if __name__ == "__main__":
         main_bloomjoin([int(x) for x in argv[1:]] or [1, 2, 3, 4])
     elif argv and argv[0] == "cbloom":
         main_cbloom([int(x) for x in argv[1:]] or [1, 2, 3])
+    elif argv and argv[0] == "knnjoin":
+        main_knnjoin([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "substr":
         main_substr(
             argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]

@@ -646,9 +646,27 @@ def delta_neardup_stream(
             out = minhash_delta_neardup(
                 batch_df, corpus_docs, threshold, corpus_bands=corpus_bands
             )
-        out.write.mode("append").option("compression", "zstd").parquet(out_dir)
+        # OVERWRITE into a batch_id-scoped subdirectory, not a plain
+        # append: foreachBatch delivers AT-LEAST-ONCE, so a batch retried
+        # after a mid-write failure would duplicate its pairs under
+        # append — the replay instead replaces its own directory, making
+        # the write idempotent per batch (the exactly-once contract the
+        # runner's docstring promises the sink carries; r12 review).
+        # The batch_id=N spelling makes the sink a partitioned parquet
+        # table — read it back through read_delta_pairs.
+        out.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     return run_foreachbatch(new_stream, _batch, checkpoint_dir)
+
+
+def read_delta_pairs(spark, out_dir: str) -> DataFrame:
+    """Read a ``delta_neardup_stream`` sink back as the plain pair table:
+    the batch_id partition directories exist for idempotent per-batch
+    replay, not as data — drop the derived column so downstream plans
+    (and the DuckDB oracles) see exactly the batch operator's schema."""
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 # ---------------------------------------------------------------------------
@@ -841,11 +859,17 @@ def counting_bloom_build(keys: DataFrame, col: str,
     hashes collide self-wise increments that position with multiplicity,
     and ``counting_bloom_remove`` decrements symmetrically, so the
     invariant Σcnt = n_distinct_keys · n_hashes holds through any
-    insert/remove sequence). Map-only explode → one hash aggregate,
+    insert/remove sequence — n_distinct counting non-NULL keys only).
+    NULL keys are dropped on BOTH the build and probe sides: Spark's
+    xxhash64 SKIPS a NULL input (yielding the seed-derived hash), so
+    without the filter every NULL key would share one real position set
+    and a NULL probe could "hit" — violating the never-a-member contract
+    (r12 review). Map-only explode → one hash aggregate,
     partial-aggregated map-side; only positions actually hit appear
     (sparse), so the table is min(bits, keys·hashes) rows."""
     return (
         keys.select(col)
+        .filter(F.col(col).isNotNull())
         .distinct()
         .select(_bloom_positions(col, bits, n_hashes).alias("pos"))
         .groupBy("pos")
@@ -894,11 +918,16 @@ def counting_bloom_member_keys(probes: DataFrame, col: str,
     probe misses, coalesced FALSE), member iff ``min(hit)`` over the
     key's probes — one hash aggregate on the key. No false negatives by
     construction; false positives at the configured fpp — compose with
-    an exact verify when exactness is required. Same NULL divergence as
-    the join tier: a NULL key is never a member."""
+    an exact verify when exactness is required. A NULL probe key is
+    never a member — ENFORCED by the isNotNull filter, not just by the
+    join shape: xxhash64 skips NULL inputs, so an unfiltered NULL probe
+    would get the shared seed-derived position set and could pass the
+    bit test (guaranteed, if a NULL also reached the build side before
+    its own filter existed — r12 review)."""
     live = counters.filter(F.col("cnt") > 0).select("pos")
     return (
         probes.select(col)
+        .filter(F.col(col).isNotNull())
         .distinct()
         .select(F.col(col), _bloom_positions(col, bits, n_hashes).alias("pos"))
         .join(F.broadcast(live.withColumn("_hit", F.lit(True))), "pos", "left")

@@ -84,12 +84,18 @@ def pq_train(
     """Train the m subspace codebooks: the engine's deterministic Lloyd on
     each contiguous dim/m slice. Returns m driver-side codebooks of
     (cent_id, coords) — total driver traffic m · k · (dim/m) = k·dim
-    doubles, identical to one full-dim kmeans. Finite-vector check runs
-    once (on the first slice's frame) — a non-finite coordinate anywhere
-    poisons every subspace equally."""
+    doubles, identical to one full-dim kmeans. The finite-vector check
+    runs ONCE on the FULL-dim frame before slicing (a check on slice 0
+    alone would let a NaN/inf confined to a later slice bypass the named
+    guard and surface rounds later as an unnamed ANSI/centroid-literal
+    error — r12 review); it also rejects NULL vectors, so the dim probe
+    below can never see one."""
+    from yfinance_etl_spark.operators.similarity import check_finite_vectors
+
     emb = embeddings.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("vec")
     )
+    check_finite_vectors(emb, "vec", "vec_id")
     first = emb.select("vec").first()
     dim = len(first["vec"]) if first else 0
     if dim == 0 or dim % m:
@@ -102,7 +108,9 @@ def pq_train(
         )
         _, cent_df = kmeans(
             sliced, k=k, iters=iters, vec_col="embedding",
-            check_finite=(i == 0),
+            # the full-dim frame was checked above; re-checking every
+            # slice would pay m extra scans for nothing
+            check_finite=False,
         )
         return sorted(
             (int(r.cent_id), [float(x) for x in r.cent])

@@ -354,39 +354,136 @@ def ann_multiprobe_topk(
     return _rank_topk(scored, k)
 
 
+#: knn_join's corpus-scaled default: plane count grows so MEAN bucket
+#: occupancy stays ~this many vectors — the sweep-validated rule
+#: (scale_stress_results.jsonl: candidate growth exponent 1.11 for
+#: log2-scaled planes vs 2.01 for a fixed plane count, which prunes only
+#: a constant FRACTION of N²/2). 32 reproduces the registry's pinned
+#: 6-plane geometry at the sf0.1 fixture (2000 vectors) and the sweep's
+#: "6 + log2(blowup)" scaled-planes series exactly.
+KNN_JOIN_TARGET_OCCUPANCY = 32
+
+
+def scaled_plane_count(
+    n_vectors: int, target_occupancy: int = KNN_JOIN_TARGET_OCCUPANCY,
+    dim: int | None = None, first_mask: int = 1,
+) -> int:
+    """⌈log2(N / target_occupancy)⌉, clamped to ≥1 and — when ``dim`` is
+    known — to the Walsh mask window (a mask ≥ dim degenerates to a
+    constant sign bit, silently halving effective buckets): the
+    one-count() geometry rule every all-vectors caller shares (the
+    ``semantic_dedup`` target_cluster_size pattern)."""
+    import math
+
+    if target_occupancy < 1:
+        raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
+    p = max(1, math.ceil(math.log2(max(n_vectors, 2) / target_occupancy)))
+    if dim is not None:
+        p = min(p, dim - first_mask)
+    return p
+
+
 def knn_join(
-    embeddings: DataFrame, k: int = 3, n_planes: int = 6,
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int | None = None,
     dim: int | None = None,
+    target_occupancy: int = KNN_JOIN_TARGET_OCCUPANCY,
+    salt: int | None = None,
+    bands: int | None = None,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """All-vectors kNN JOIN: for EVERY vector, its k most-similar
-    neighbors among the vectors sharing its LSH bucket — the primitive
-    semantic-dedup graphs, diversity filters, and label-propagation
-    pipelines build on, where ``knn_topk``'s handful of query vectors
-    becomes the whole corpus. Same output contract as the query-side
-    variants (q_id, neighbor_id, label, cos_sim, knn_rank; label is the
-    neighbor's).
+    neighbors among the vectors sharing an LSH bucket with it — the
+    primitive semantic-dedup graphs, diversity filters, and
+    label-propagation pipelines build on, where ``knn_topk``'s handful
+    of query vectors becomes the whole corpus. Same output contract as
+    the query-side variants (q_id, neighbor_id, label, cos_sim,
+    knn_rank; label is the neighbor's).
 
-    Scale shape: the self-join keys on the bucket id, so candidate
-    volume is Σ_b |bucket_b|² — the banded-dedup join shape, NOT the N²
-    all-pairs product (the suite-wide plan guard forbids
-    CartesianProduct; this plans an equi-join). Recall is bucket-bounded
-    by construction: a true neighbor across a hyperplane is missed — the
-    multiprobe/banded OR-amplification tiers are the recall knobs, and
-    the ORACLE replays the same bucketing, so the approximation is
-    hash-gated, not hand-waved. A hot bucket concentrates quadratic work
-    exactly like the banded dedup join; the blocked-salt treatment there
-    (operators/dedup.py embedding tier) applies unchanged when needed."""
-    b = lsh_bucket(embeddings, n_planes, dim=dim).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("vec"),
-        "label",
-        "bucket",
-    )
+    Geometry is corpus-scaled BY DEFAULT (``n_planes=None`` → one
+    ``count()`` then ``scaled_plane_count``): the all-vectors form pays
+    Σ_b |bucket_b|² over the WHOLE corpus, and a fixed plane count keeps
+    that a constant fraction of N²/2 — the measured exponent-2.01 regime
+    (scale_stress_results.jsonl kind=knnjoin), vs 1.1x for planes that
+    grow with log2(N) so occupancy stays ~``target_occupancy``. Pass an
+    explicit ``n_planes`` to pin geometry (the registered fixture query
+    does, keeping its oracle static).
+
+    ``salt=S`` is the hot-bucket treatment (the blocked self-join from
+    the banded embedding-dedup tier, plans/queries.py::_embed_neardup):
+    the query side takes salt = q_id % S, the neighbor side replicates
+    S ways, and the join keys on (bucket, salt) — each pair still meets
+    exactly ONCE (when the neighbor replica's salt equals the query's),
+    so the RESULT is bit-identical to unsalted (test-pinned) while a hot
+    bucket's shuffle key spreads over S reducers. Skew treatment, not a
+    recall knob.
+
+    ``bands=B`` is the recall knob (OR-amplification, the
+    dedup_embedding_banded shape): B bands × ``rows_per_band`` planes
+    over DISJOINT Walsh mask windows; a pair is a candidate if ANY band
+    collides, so a true neighbor just across one hyperplane — the
+    dominant single-bucket miss mode — is recovered at ~B× the candidate
+    volume. Pairs colliding in several bands are collapsed (distinct on
+    the deterministic scored row) before ranking, so ranks are
+    band-multiplicity-independent. Unbanded output == bands=None, and
+    the two knobs compose."""
+    emb = embeddings
+    if bands is not None:
+        if bands < 1:
+            raise ValueError(f"bands must be >= 1, got {bands}")
+        # disjoint mask windows b·r+1 … b·r+r; lsh_bucket fail-fasts a
+        # window that would run past dim-1
+        banded = emb
+        for band in range(bands):
+            banded = lsh_bucket(
+                banded, rows_per_band,
+                first_mask=band * rows_per_band + 1, dim=dim,
+            ).withColumnRenamed("bucket", f"__bkt{band}")
+        b = banded.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("vec"),
+            "label",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.col(f"__bkt{band}").alias("bucket"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", "vec", "label", "bb.band", "bb.bucket")
+    else:
+        if n_planes is None:
+            n_planes = scaled_plane_count(
+                emb.count(), target_occupancy, dim=dim
+            )
+        b = lsh_bucket(emb, n_planes, dim=dim).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("vec"),
+            "label",
+            F.lit(0).alias("band"),
+            "bucket",
+        )
     left = b.select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+        "band", "bucket",
     )
+    keys = ["band", "bucket"]
+    right = b
+    if salt is not None:
+        if salt < 2:
+            raise ValueError(f"salt must be >= 2 sub-blocks, got {salt}")
+        left = left.withColumn("psalt", (F.col("q_id") % salt).cast("int"))
+        right = right.withColumn(
+            "psalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        keys.append("psalt")
     scored = (
-        b.join(left, "bucket")
+        right.join(left, keys)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -395,6 +492,11 @@ def knn_join(
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
+    if bands is not None and bands > 1:
+        # a pair colliding in several bands appears once per band; every
+        # column is a deterministic function of the pair, so distinct()
+        # collapses multiplicity without changing any value
+        scored = scored.distinct()
     return _rank_topk(scored, k)
 
 

@@ -872,7 +872,9 @@ def q_stream_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-plans per micro-batch from the static side's actual size.
     base = scratch_dir("yfinance_etl_stream_delta", f"{sf_dir}:cand", fresh=True)
     delta_neardup_stream(new_stream, corpus_bands, f"{base}/out", f"{base}/ckpt")
-    return spark.read.parquet(f"{base}/out")
+    from yfinance_etl_spark.operators.dedup import read_delta_pairs
+
+    return read_delta_pairs(spark, f"{base}/out")
 
 
 @_register("stream_delta_verified", _MINHASH_DELTA_SQL)
@@ -899,7 +901,9 @@ def q_stream_delta_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_docs=docs,
         threshold=0.7,
     )
-    return spark.read.parquet(f"{base}/out")
+    from yfinance_etl_spark.operators.dedup import read_delta_pairs
+
+    return read_delta_pairs(spark, f"{base}/out")
 
 
 # End-to-end incremental-crawl composition: the pieces the last two
@@ -926,6 +930,7 @@ LEFT JOIN (
 def q_crawl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.dedup import (
         delta_neardup_stream,
+        read_delta_pairs,
         read_minhash_signatures,
         write_minhash_signatures,
     )
@@ -959,7 +964,7 @@ def q_crawl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_docs=docs,
         threshold=0.7,
     )
-    pairs = spark.read.parquet(f"{base}/out")
+    pairs = read_delta_pairs(spark, f"{base}/out")
     # roll up the emitted pair sink into the snapshot's kept/dropped
     # labels — the docs that survive union into tomorrow's corpus
     drops = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
@@ -1253,6 +1258,70 @@ def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.similarity import knn_join
 
     return knn_join(_t(spark, sf_dir, "embeddings"), k=3, n_planes=6)
+
+
+def _knn_join_banded_sql(k: int = 3, bands: int = 3, r: int = 4) -> str:
+    """Banded + salted kNN-join oracle: OR-amplified candidates (ANY of
+    ``bands`` disjoint-mask-window buckets colliding — the
+    dedup_embedding_banded CTE shape over the embeddings table), DISTINCT
+    collapses multi-band pairs, then the shared top-k ranking. The salt
+    is deliberately ABSENT here: the blocked-salt sub-join is a physical
+    skew treatment whose result is bit-identical to unsalted (each pair
+    meets exactly once), so one oracle text gates both — which is the
+    point of registering the Spark side WITH salt."""
+    sign = lambda m: (  # noqa: E731
+        f"CASE WHEN bit_count((i - 1) & {m}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(m)}))) AS pj{m}"
+        for m in range(1, bands * r + 1)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, vec, label, {b} AS band, CAST("
+        + " + ".join(
+            f"(CASE WHEN pj{b * r + p + 1} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(r)
+        )
+        + " AS BIGINT) AS bucket FROM proj"
+        for b in range(bands)
+    )
+    return f"""
+WITH emb AS ({_EMB_SOURCE_L}),
+proj AS (
+  SELECT vec_id, vec, label,
+         {projs}
+  FROM emb
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id, b.label,
+         ROUND({_cos_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.bucket = a.bucket AND b.vec_id != a.vec_id
+)
+SELECT q_id, neighbor_id, label, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+FROM cand
+QUALIFY knn_rank <= {k}
+"""
+
+
+@_register("knn_join_banded", _knn_join_banded_sql())
+def q_knn_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN join with BOTH 100 TB knobs engaged and hash-gated in one
+    query: bands=3 OR-amplification (the recall knob — a true neighbor
+    across one hyperplane is recovered by another band) and salt=8
+    blocked sub-joins (the skew knob — a hot bucket's quadratic work
+    spreads over 8 shuffle keys; result bit-identical to unsalted, which
+    is why the band-only oracle gates it)."""
+    from yfinance_etl_spark.operators.similarity import knn_join
+
+    return knn_join(
+        _t(spark, sf_dir, "embeddings"), k=3,
+        bands=3, rows_per_band=4, dim=64, salt=8,
+    )
 
 
 def _ann_oracle(n_planes: int = 6) -> str:

@@ -1428,7 +1428,9 @@ def test_knn_join_structure_and_bucket_containment(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     bucket_of = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
-    rows = knn_join(emb, k=3).collect()
+    # n_planes pinned to lsh_bucket's default: the default geometry is
+    # now corpus-scaled (scaled_plane_count), tested separately
+    rows = knn_join(emb, k=3, n_planes=6).collect()
     per_q = defaultdict(list)
     for r in rows:
         assert bucket_of[r.q_id] == bucket_of[r.neighbor_id], (r.q_id, r.neighbor_id)
@@ -1596,3 +1598,50 @@ def test_knn_join_banded_recall_is_monotone_in_bands(spark):
     assert len(b3 & exact) >= len(b1 & exact)
     # and the banded candidate pairs for the sample are a superset
     assert (b1 & exact) <= (b3 & exact)
+
+
+def test_ivfpq_persisted_index_parity_layout_and_plan(spark, tmp_path):
+    """write_ivfpq_index -> read_ivfpq_index is value-invisible (the
+    probe over the persisted index returns exactly the inline build's
+    rows), the codes table is laid out one directory per inverted list
+    (a probe's dominant scan is partition-pruned to its n_probe lists —
+    the band_id argument), and the reconstruction subplan feeds from the
+    index parquet alone: embeddings.parquet enters the probe only as
+    query rows and the candidate-sized rerank join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        ivfpq_topk,
+        pq_reconstruct,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "index")
+    write_ivfpq_index(emb, path)
+
+    dirs = sorted(d for d in os.listdir(f"{path}/codes") if d.startswith("list_id="))
+    assert len(dirs) >= 2  # hive layout, one directory per inverted list
+
+    idx = read_ivfpq_index(spark, path)
+    assert len(idx.books) == 4 and all(len(b) == 8 for b in idx.books)
+    persisted = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=idx).collect())
+    inline = sorted(tuple(r) for r in ivfpq_topk(emb, k=5).collect())
+    assert persisted == inline and len(persisted) == 25
+
+    recon = pq_reconstruct(idx.codes, idx.books, carry=("list_id",))
+    files = recon.inputFiles()  # every file any scan in the plan reads
+    assert files and all("/codes/" in f for f in files), files
+    assert not any("embeddings.parquet" in f for f in files)
+
+    # a list-sliced read is directory pruning, not scan+filter
+    some_list = int(dirs[0].split("=")[1])
+    sliced = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id") == some_list
+    )
+    splan = sliced._jdf.queryExecution().executedPlan().toString()
+    pf = splan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf, pf

@@ -31,6 +31,7 @@ Reference analog: FAISS's IndexPQ/IVFPQ family behind as_retriever
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -272,6 +273,115 @@ def pq_topk(
     return _rank_topk(rerank, k)
 
 
+class IvfPqIndex(NamedTuple):
+    """The composed IVF+PQ index as data: the list-assigned codes table
+    (corpus-sized — the ONLY big thing), the coarse centroid table
+    (k_centroids rows, broadcastable), and the m residual codebooks
+    (driver-side, config-sized — k·dim doubles total). ``build`` makes
+    it inline; ``write_ivfpq_index``/``read_ivfpq_index`` are the
+    once-per-snapshot persistence path, so a probe pays ZERO training."""
+
+    codes: DataFrame
+    centroids: DataFrame
+    books: list
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    k_centroids: int = 8,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> IvfPqIndex:
+    """Train the composed index: IVF coarse quantizer (deterministic
+    hash-spread centroids), residuals (x − coarse centroid, map-side
+    broadcast join + zip_with — the corpus never shuffles), m residual
+    codebooks via the deterministic Lloyd, map-only encode. The
+    residual frame is eagerly checkpointed: it feeds m trainings plus
+    the encode, each of which would otherwise re-run the assign argmin
+    from the scan."""
+    from yfinance_etl_spark.operators.similarity import ivf_assign
+
+    assigned, cents = ivf_assign(embeddings, k_centroids)
+    resid = (
+        assigned.join(cents, assigned.list_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_train(resid, m=m, k=kc, iters=iters, vec_col="residual")
+    codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))
+    return IvfPqIndex(codes, cents, books)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    k_centroids: int = 8,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> None:
+    """Persist the composed index through the S10 sink — the production
+    form: a snapshot build pays coarse-kmeans + m residual trainings
+    ONCE, and every probe afterwards scans only the written parquet
+    (the int8/MinHash persisted-artifact pattern, r11-r12).
+
+    Layout: ``codes/`` is the corpus-sized table, PARTITIONED BY
+    list_id — a probe touches n_probe of k_centroids lists, so the
+    directory layout makes the dominant scan partition-pruned, the same
+    argument as the MinHash store's band_id layout. ``centroids/`` and
+    ``books/`` are config-sized."""
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    idx = build_ivfpq_index(embeddings, k_centroids, m, kc, iters)
+    write_partitioned(idx.codes, f"{path}/codes", partition_by=("list_id",))
+    write_partitioned(idx.centroids, f"{path}/centroids")
+    spark = embeddings.sparkSession
+    book_rows = [
+        (i, int(cid), [float(x) for x in coords])
+        for i, book in enumerate(idx.books)
+        for cid, coords in book
+    ]
+    write_partitioned(
+        spark.createDataFrame(
+            book_rows, "subspace int, cent_id long, coords array<double>"
+        ),
+        f"{path}/books",
+    )
+
+
+def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    """Read a persisted index back for ``ivfpq_topk(index=...)``. The
+    codebooks come to the driver (config-sized by construction — they
+    re-enter plans as literals exactly as the trainer returned them);
+    the codes table stays a DataFrame. list_id returns as a partition
+    directory column — cast back to long (partition-column inference
+    yields int) and restore the writer's column order so the frame is
+    schema-identical to the inline build."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    n_sub = max(r["subspace"] for r in brows) + 1
+    books = [
+        sorted(
+            (int(r["cent_id"]), [float(x) for x in r["coords"]])
+            for r in brows
+            if r["subspace"] == i
+        )
+        for i in range(n_sub)
+    ]
+    raw = spark.read.parquet(f"{path}/codes")
+    codes = raw.select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        *[f"code_{i}" for i in range(n_sub)],
+    )
+    cents = spark.read.parquet(f"{path}/centroids").select("cent_id", "cent_vec")
+    return IvfPqIndex(codes, cents, books)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -282,6 +392,7 @@ def ivfpq_topk(
     kc: int = PQ_K,
     iters: int = PQ_ITERS,
     rerank_factor: int = 16,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """IVF+PQ — FAISS's IndexIVFPQ re-expressed as DataFrame algebra, the
     composition of the engine's two pruning axes: the IVF coarse
@@ -300,27 +411,20 @@ def ivfpq_topk(
     Every stage is deterministic and the oracle replays all of it:
     hash-spread coarse centroids, residual computation, four per-subspace
     kmeans chains over residual slices, encoding, reconstruction, probe
-    selection, and both rankings."""
-    from yfinance_etl_spark.operators.similarity import ivf_assign
+    selection, and both rankings.
 
-    assigned, cents = ivf_assign(embeddings, k_centroids)
-    # residual = vec − coarse centroid: map-side broadcast join (cents is
-    # k rows), zip_with subtraction — the corpus never shuffles. Eagerly
-    # checkpointed: the frame feeds SIX consumers (four subspace
-    # trainings, the encoding pass, the reconstruction join), each of
-    # which would otherwise re-run the assign argmin + join from the scan
-    resid = (
-        assigned.join(cents, assigned.list_id == cents.cent_id)
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    books = pq_train(resid, m=m, k=kc, iters=iters, vec_col="residual")
-    codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))
-    recon_res = pq_reconstruct(codes, books, carry=("list_id",))
+    ``index`` is the production form: pass a PERSISTED index
+    (``read_ivfpq_index``) and the probe pays zero training — stage 1's
+    corpus-sized side is the index's list_id-partitioned codes parquet
+    (plan-pinned: the reconstruction subplan never touches
+    embeddings.parquet); the float embeddings enter only as the
+    query rows and the candidate-sized rerank join. Omitting it builds
+    the index inline (k_centroids/m/kc/iters are ignored when ``index``
+    is given — the persisted artifact fixes the geometry)."""
+    if index is None:
+        index = build_ivfpq_index(embeddings, k_centroids, m, kc, iters)
+    cents = F.broadcast(index.centroids)
+    recon_res = pq_reconstruct(index.codes, index.books, carry=("list_id",))
     # full reconstruction = coarse centroid + residual reconstruction
     recon = (
         recon_res.join(cents, recon_res.list_id == cents.cent_id)

@@ -468,9 +468,15 @@ def knn_join(
             F.lit(0).alias("band"),
             "bucket",
         )
+    # in-bucket pair count is quadratic in occupancy, so per-pair work
+    # must be ONE dot product, not three: hoist each vector's norm into
+    # the frame (sqrt(dot(v,v)) is the exact subexpression cosine()
+    # evaluates, so dot/(q_nrm·nrm) under try_divide is bit-identical to
+    # cosine() and every oracle is untouched — the _embed_neardup hoist)
+    b = b.withColumn("nrm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
     left = b.select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
-        "band", "bucket",
+        F.col("nrm").alias("q_nrm"), "band", "bucket",
     )
     keys = ["band", "bucket"]
     right = b
@@ -489,7 +495,13 @@ def knn_join(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("vec")),
+                    F.col("q_nrm") * F.col("nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     if bands is not None and bands > 1:

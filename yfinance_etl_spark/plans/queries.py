@@ -1308,19 +1308,23 @@ QUALIFY knn_rank <= {k}
 """
 
 
-@_register("knn_join_banded", _knn_join_banded_sql())
+@_register("knn_join_banded", _knn_join_banded_sql(r=6))
 def q_knn_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN join with BOTH 100 TB knobs engaged and hash-gated in one
     query: bands=3 OR-amplification (the recall knob — a true neighbor
     across one hyperplane is recovered by another band) and salt=8
     blocked sub-joins (the skew knob — a hot bucket's quadratic work
     spreads over 8 shuffle keys; result bit-identical to unsalted, which
-    is why the band-only oracle gates it)."""
+    is why the band-only oracle gates it). 6 planes per band = 64
+    buckets: per-band occupancy matches the single-bucket query's, so
+    the banded candidate volume is ~bands× the base — the intended
+    recall/cost trade, not a bucket-coarsening blow-up (4 planes per
+    band benched 15.8 s at sf0.1; this shape ~2 s)."""
     from yfinance_etl_spark.operators.similarity import knn_join
 
     return knn_join(
         _t(spark, sf_dir, "embeddings"), k=3,
-        bands=3, rows_per_band=4, dim=64, salt=8,
+        bands=3, rows_per_band=6, dim=64, salt=8,
     )
 
 
@@ -3761,6 +3765,30 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         _t(spark, sf_dir, "embeddings"), k=5, rerank_factor=_PQ_RERANK
     )
+
+
+@_register("ann_ivfpq_persisted", _ivfpq_sql())
+def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of the composed index: coarse centroids, m
+    residual codebooks, and the list-assigned codes table are PERSISTED
+    through the S10 sink once per snapshot (codes partitioned by
+    list_id, so a probe's dominant scan is directory-pruned to its
+    n_probe lists), and the probe pays ZERO training — the same
+    persisted-artifact pattern that cleared int8 (r12) and MinHash
+    signatures (r11). Same oracle as the inline build: persistence is
+    value-invisible by contract."""
+    from yfinance_etl_spark.operators.pq import (
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = scratch_dir("yfinance_etl_ivfpq", sf_dir, fresh=True)
+    write_ivfpq_index(emb, f"{base}/index")
+    idx = read_ivfpq_index(spark, f"{base}/index")
+    return ivfpq_topk(emb, k=5, rerank_factor=_PQ_RERANK, index=idx)
 
 
 

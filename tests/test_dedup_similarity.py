@@ -1645,3 +1645,32 @@ def test_ivfpq_persisted_index_parity_layout_and_plan(spark, tmp_path):
     splan = sliced._jdf.queryExecution().executedPlan().toString()
     pf = splan.split("PartitionFilters:")[1].split("]")[0]
     assert "list_id" in pf, pf
+
+
+def test_ivfpq_auto_rerank_factor_rule_and_parity(spark):
+    """rf="auto" resolves from measured occupancy by the documented rule
+    — exhaustive below IVFPQ_EXHAUSTIVE_CAP (recall == the IVF ceiling
+    by construction), the fixed budget above — and the resolved plan is
+    EXACTLY the explicit-rf plan (auto is a sizing rule, not a different
+    algorithm). Bad rf values fail loudly."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.operators.pq import _auto_rerank_factor, ivfpq_topk
+
+    # 500 vecs / 8 lists, n_probe 2: probed ~126 <= 512 -> exhaustive
+    assert _auto_rerank_factor(500, 8, 2, 5) == 26  # ceil(126/5)
+    # 32000 vecs: probed 8000 > 512 -> budget 256 -> rf 52 (< fixed 64)
+    assert _auto_rerank_factor(32000, 8, 2, 5) == 52
+    assert _auto_rerank_factor(0, 8, 2, 5) >= 1  # floor
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = sorted(
+        tuple(r) for r in ivfpq_topk(emb, k=5, rerank_factor="auto").collect()
+    )
+    explicit = sorted(
+        tuple(r) for r in ivfpq_topk(emb, k=5, rerank_factor=26).collect()
+    )
+    assert auto == explicit and len(auto) == 25
+
+    with _pytest.raises(ValueError, match="rerank_factor"):
+        ivfpq_topk(emb, k=5, rerank_factor="big")

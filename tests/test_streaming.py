@@ -626,3 +626,64 @@ def test_stream_delta_batch_replay_is_idempotent(spark, tmp_path):
     )
     second = sorted(tuple(r) for r in read_delta_pairs(spark, out).collect())
     assert second == first
+
+
+def test_crawl_two_day_grows_the_store_and_stays_delta_only(spark, monkeypatch):
+    """The two-day loop's three pins (r12 verdict item 4):
+
+    1. O(delta) on BOTH days: exactly 3 minhash_bands calls — one
+       full-table band frame in the query body (filtered per slice: the
+       store persist and the kept-delta append SHARE it) plus one per
+       day's single micro-batch. A corpus recompute anywhere makes it 4+.
+    2. The store actually GROWS: day-2 docs exist that a corpus-only
+       dedup keeps but the grown store (corpus ∪ day-1 survivors) drops —
+       checked against the direct batch delta pass over the corpus-only
+       slice, so the claim is behavioral, not structural.
+    3. The appended store keeps the band_id directory layout (hive dirs
+       only — the append wrote INTO the partitions, not beside them).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    import yfinance_etl_spark.operators.dedup as D
+    from yfinance_etl_spark.plans.queries import REGISTRY
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    real_bands = D.minhash_bands
+    monkeypatch.setattr(
+        D, "minhash_bands", lambda d: calls.append(d) or real_bands(d)
+    )
+    out = REGISTRY["crawl_two_day_dedup"].fn(spark, sf)
+    rows = {(r.doc_id, r.crawl_day): r.kept for r in out.collect()}
+    assert len(calls) == 3, f"expected 3 minhash_bands calls, got {len(calls)}"
+    assert len(rows) == 200  # 100 day-1 + 100 day-2 docs at sf0.001
+
+    # corpus-only baseline for day 2: the batch delta pass with the
+    # day-1 slice EXCLUDED from the corpus side
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d2 = F.col("doc_id") % 10 < 2
+    corp = F.col("doc_id") % 10 >= 4
+    corpus_only_drops = {
+        r.new_doc_id
+        for r in D.minhash_delta_neardup(
+            docs.filter(d2), docs.filter(corp), threshold=0.7
+        ).collect()
+    }
+    grown_only = {
+        doc
+        for (doc, day), kept in rows.items()
+        if day == 2 and not kept and doc not in corpus_only_drops
+    }
+    assert grown_only, "no day-2 doc was dropped because of a day-1 survivor"
+    # and every corpus-only drop is still dropped (the grown store is a
+    # superset of the corpus store — monotone)
+    for doc in corpus_only_drops:
+        assert rows[(doc, 2)] is False
+
+    # layout: the appended store is still pure band_id=* hive directories
+    store = os.path.join(scratch_dir("yfinance_etl_crawl2", sf), "sigs")
+    entries = [e for e in os.listdir(store) if not e.startswith(("_", "."))]
+    assert entries and all(e.startswith("band_id=") for e in entries), entries

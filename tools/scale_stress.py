@@ -1370,6 +1370,25 @@ def main_ivfpq(factors: list[int]) -> None:
                 row["of_ceiling_np2_rf64"] = round(
                     len(got64 & ceiling) / max(len(ceiling), 1), 3
                 )
+                # rf="auto" (r13): exhaustive rerank when the probed
+                # slice is small (recall == the IVF ceiling by
+                # construction), a fixed 256-row budget when big —
+                # monotonicity in the pool makes the budget's recall
+                # >= any smaller sufficient cut's
+                from yfinance_etl_spark.operators.pq import _auto_rerank_factor
+
+                rf_auto = _auto_rerank_factor(n_vec, 8, 2, 5)
+                gota = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, k=5, n_probe=2, rerank_factor="auto"
+                    ).collect()
+                }
+                row["rf_auto"] = rf_auto
+                row["n_reranked_auto"] = 5 * rf_auto
+                row["of_ceiling_np2_auto"] = round(
+                    len(gota & ceiling) / max(len(ceiling), 1), 3
+                )
         print(json.dumps(row), flush=True)
 
 

@@ -273,6 +273,30 @@ def pq_topk(
     return _rank_topk(rerank, k)
 
 
+#: rf="auto" geometry: a probed slice at/below the cap is reranked
+#: EXHAUSTIVELY (recall == the IVF ceiling by construction — the best the
+#: composition can do); above it, the rerank pool is the fixed budget.
+#: Rerank recall is MONOTONE in the pool (a bigger cut is a superset
+#: prefix of stage 1's ranking), so any budget at/above a measured
+#: sufficiency point holds that measured recall — the kind=ivfpq sweep
+#: pins the budget's level against fixed rf=64 at 16× corpus.
+IVFPQ_EXHAUSTIVE_CAP = 512
+IVFPQ_RERANK_BUDGET = 256
+
+
+def _auto_rerank_factor(
+    n_vectors: int, n_lists: int, n_probe: int, k: int
+) -> int:
+    """The rf="auto" rule, one count() upstream (the target_cluster_size
+    pattern): estimate the probed slice as n_probe · ⌈N/lists⌉ (uniform
+    occupancy — the hash-spread coarse quantizer's design target), then
+    exhaustive below the cap, budget above it."""
+    occupancy = math.ceil(n_vectors / max(n_lists, 1))
+    probed = n_probe * occupancy
+    pool = probed if probed <= IVFPQ_EXHAUSTIVE_CAP else IVFPQ_RERANK_BUDGET
+    return max(1, math.ceil(pool / k))
+
+
 class IvfPqIndex(NamedTuple):
     """The composed IVF+PQ index as data: the list-assigned codes table
     (corpus-sized — the ONLY big thing), the coarse centroid table
@@ -391,7 +415,7 @@ def ivfpq_topk(
     m: int = PQ_M,
     kc: int = PQ_K,
     iters: int = PQ_ITERS,
-    rerank_factor: int = 16,
+    rerank_factor: int | str = 16,
     index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """IVF+PQ — FAISS's IndexIVFPQ re-expressed as DataFrame algebra, the
@@ -420,9 +444,27 @@ def ivfpq_topk(
     embeddings.parquet); the float embeddings enter only as the
     query rows and the candidate-sized rerank join. Omitting it builds
     the index inline (k_centroids/m/kc/iters are ignored when ``index``
-    is given — the persisted artifact fixes the geometry)."""
+    is given — the persisted artifact fixes the geometry).
+
+    ``rerank_factor="auto"`` sizes the cut from measured list occupancy
+    (one count()): a probed slice at/below IVFPQ_EXHAUSTIVE_CAP reranks
+    EXHAUSTIVELY — recall equals the IVF ceiling by construction, the
+    composition's optimum — and a bigger one reranks the fixed
+    IVFPQ_RERANK_BUDGET. Because rerank recall is monotone in the pool
+    (a larger cut is a superset prefix of stage 1's ranking), the budget
+    needs only to clear a measured sufficiency point — the kind=ivfpq
+    sweep pins it at/above fixed rf=64's recall at 16× corpus with a
+    smaller pool (256 vs 320 rows per query)."""
     if index is None:
         index = build_ivfpq_index(embeddings, k_centroids, m, kc, iters)
+    if rerank_factor == "auto":
+        rerank_factor = _auto_rerank_factor(
+            index.codes.count(), index.centroids.count(), n_probe, k
+        )
+    elif not isinstance(rerank_factor, int):
+        raise ValueError(
+            f"rerank_factor must be an int or 'auto', got {rerank_factor!r}"
+        )
     cents = F.broadcast(index.centroids)
     recon_res = pq_reconstruct(index.codes, index.books, carry=("list_id",))
     # full reconstruction = coarse centroid + residual reconstruction

@@ -976,6 +976,155 @@ def q_crawl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TWO-day crawl loop (r12 verdict item 4): the single-day composition
+# closed day N; this closes the LOOP — day 1's survivors APPEND into the
+# standing signature store (delta-sized write, band_id layout intact) and
+# day 2 dedups against the GROWN store (corpus ∪ day-1 survivors), so a
+# day-2 near-dup of a day-1 keeper is caught. Signature compute stays
+# O(delta) on BOTH days (monkeypatch-pinned); the corpus is never
+# re-shingled beyond candidate slices. Oracle = the two-day batch
+# recompute: day-1 drops vs corpus, then day-2 drops vs corpus ∪ day-1
+# keepers. Reference analog: the rerun-everything loop
+# (streamlit_app.py:819-822) re-pays the FULL corpus every day.
+# ---------------------------------------------------------------------------
+
+_CRAWL_D1_PRED = "doc_id % 10 IN (2, 3)"
+_CRAWL_D2_PRED = "doc_id % 10 < 2"
+_CRAWL_CORPUS_PRED = "doc_id % 10 >= 4"
+
+
+def _crawl_drops_cte(cand: str) -> str:
+    """Verified-drop CTE body over a candidate-pair CTE: exact Jaccard on
+    the shingle sets, threshold 0.7, distinct new-side ids — the
+    _MINHASH_DELTA_SQL verify stage as a reusable fragment."""
+    return f"""
+  SELECT DISTINCT cd.new_doc_id FROM {cand} cd
+  JOIN sh a ON a.doc_id = cd.new_doc_id
+  JOIN sh b ON b.doc_id = cd.corpus_doc_id AND b.shingle = a.shingle
+  JOIN sizes sa ON sa.doc_id = cd.new_doc_id
+  JOIN sizes sb ON sb.doc_id = cd.corpus_doc_id
+  GROUP BY cd.new_doc_id, cd.corpus_doc_id, sa.sz, sb.sz
+  HAVING ROUND(COUNT(*) / (sa.sz + sb.sz - COUNT(*)), 6) >= 0.7
+"""
+
+
+_CRAWL2_SQL = f"""
+WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+minh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+cand1 AS (
+  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM (SELECT * FROM bands WHERE {_CRAWL_D1_PRED}) n
+  JOIN (SELECT * FROM bands WHERE {_CRAWL_CORPUS_PRED}) c
+    ON n.band_id = c.band_id AND n.band_val = c.band_val
+  GROUP BY 1, 2
+),
+drops1 AS ({_crawl_drops_cte('cand1')}),
+corpus2 AS (
+  SELECT * FROM bands WHERE {_CRAWL_CORPUS_PRED}
+  UNION ALL
+  SELECT * FROM bands
+  WHERE ({_CRAWL_D1_PRED})
+    AND doc_id NOT IN (SELECT new_doc_id FROM drops1)
+),
+cand2 AS (
+  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM (SELECT * FROM bands WHERE {_CRAWL_D2_PRED}) n
+  JOIN corpus2 c
+    ON n.band_id = c.band_id AND n.band_val = c.band_val
+  GROUP BY 1, 2
+),
+drops2 AS ({_crawl_drops_cte('cand2')})
+SELECT d.doc_id, CAST(1 AS INT) AS crawl_day, (dr.new_doc_id IS NULL) AS kept
+FROM (SELECT doc_id FROM documents WHERE {_CRAWL_D1_PRED}) d
+LEFT JOIN drops1 dr ON dr.new_doc_id = d.doc_id
+UNION ALL
+SELECT d.doc_id, CAST(2 AS INT) AS crawl_day, (dr.new_doc_id IS NULL) AS kept
+FROM (SELECT doc_id FROM documents WHERE {_CRAWL_D2_PRED}) d
+LEFT JOIN drops2 dr ON dr.new_doc_id = d.doc_id
+"""
+
+
+@_register("crawl_two_day_dedup", _CRAWL2_SQL)
+def q_crawl_two_day_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import (
+        delta_neardup_stream,
+        minhash_bands,
+        read_delta_pairs,
+        read_minhash_signatures,
+        write_minhash_signatures,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.streaming import streams as ST
+
+    d1 = (F.col("doc_id") % 10).isin(2, 3)
+    d2 = F.col("doc_id") % 10 < 2
+    corp = F.col("doc_id") % 10 >= 4
+    docs = _t(spark, sf_dir, "documents")
+    base = scratch_dir("yfinance_etl_crawl2", sf_dir, fresh=True)
+    # bands built once on the FULL-table subplan then filtered per slice
+    # (per-doc outputs commute with filters — the split-form cache
+    # algebra every signature consumer shares)
+    bands = minhash_bands(docs)
+    # day 0 close: persist the corpus snapshot's signatures
+    write_minhash_signatures(docs, f"{base}/sigs", bands=bands.filter(corp))
+
+    def run_day(pred, store, tag: str) -> DataFrame:
+        delta_neardup_stream(
+            ST.read_documents_stream(spark, sf_dir).filter(pred),
+            store,
+            f"{base}/out{tag}",
+            f"{base}/ckpt{tag}",
+            corpus_docs=docs,
+            threshold=0.7,
+        )
+        return (
+            read_delta_pairs(spark, f"{base}/out{tag}")
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+        )
+
+    drops1 = run_day(d1, read_minhash_signatures(spark, f"{base}/sigs"), "1")
+    # day 1 close: survivors' signatures APPEND into the standing store —
+    # delta-sized write, band_id directory layout untouched
+    kept1 = docs.filter(d1).select("doc_id").join(drops1, "doc_id", "left_anti")
+    write_minhash_signatures(
+        docs, f"{base}/sigs",
+        bands=bands.filter(d1).join(kept1, "doc_id", "left_semi"),
+        mode="append",
+    )
+    # day 2 runs against the GROWN store (corpus ∪ day-1 survivors)
+    drops2 = run_day(d2, read_minhash_signatures(spark, f"{base}/sigs"), "2")
+
+    def label(pred, drops, day: int) -> DataFrame:
+        return (
+            docs.filter(pred)
+            .select("doc_id")
+            .join(drops.withColumn("dup", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(day).cast("int").alias("crawl_day"),
+                F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+            )
+        )
+
+    return label(d1, drops1, 1).unionAll(label(d2, drops2, 2))
+
+
 @_register("dedup_delta_snapshot", _MINHASH_DELTA_SQL)
 def q_dedup_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.dedup import minhash_delta_neardup_split

@@ -1481,3 +1481,125 @@ def substring_contamination(
         F.count(F.lit(1)).alias("n_bench_docs"),
         F.max("max_span").alias("max_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup with an EXECUTABLE recall contract (r12
+# verdict item 6): the cheap single-band tier's measured recall
+# (0.29-0.34 on the dense 16-dim fixture) was documented in COVERAGE.md
+# but not surfaced by the operator — a caller could silently run it at
+# scale believing it was the 0.89 banded tier. The tier is now a named
+# argument with the measurement in the contract; the low-recall tier
+# must be ASKED FOR by name.
+# ---------------------------------------------------------------------------
+
+#: tier -> band count, with the measured recall each buys on the dense
+#: 16-dim hashed-BoW fixture at cos >= 0.95 (COVERAGE.md scale table):
+#: "screen"  (1 band  x 4 Walsh planes) — recall 0.29-0.34, 1x candidates
+#: "banded"  (3 bands x 4 planes, disjoint mask windows) — recall 0.89,
+#:            ~3x candidates (OR-amplification)
+EMBEDDING_NEARDUP_TIERS = {"screen": 1, "banded": 3}
+
+
+def embedding_neardup(
+    docs: DataFrame, tier: str = "banded", threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate (doc_a, doc_b, cos_sim) pairs by embedding cosine,
+    blocked by banded Walsh-plane LSH and exact-verified in-bucket —
+    the dedup-graph input for semantic near-dup pruning.
+
+    ``tier`` is the recall contract, not a tuning knob: "banded"
+    (default) is the recall-grade 3-band OR-amplification (measured
+    0.89); "screen" is the 1-band cheap prefilter (measured 0.29-0.34)
+    for pipelines that follow with their own verify pass — it must be
+    named explicitly, so the low-recall path cannot be reached by
+    accident. Unknown tiers fail loudly with the menu and its measured
+    recalls.
+
+    Physical shape (the banded-dedup join everywhere else uses): norms
+    hoisted per doc before the pair join (one dot per pair), blocked
+    self-join salt S=8 on the replicated side so a hot bucket's
+    quadratic work spreads across sub-keys at shuffle scale, distinct()
+    collapses multi-band collisions AFTER the threshold filter pruned
+    the shuffle input. Reference analog: the FAISS retriever screen
+    (pdf_rag_chatbot.py:60-61) run corpus-wide."""
+    from functools import reduce
+
+    from yfinance_etl_spark.functions.scalar import r6
+    from yfinance_etl_spark.operators.rag import EMBED_DIM, doc_embeddings
+    from yfinance_etl_spark.operators.similarity import lsh_bucket
+
+    if tier not in EMBEDDING_NEARDUP_TIERS:
+        raise ValueError(
+            f"embedding_neardup: unknown tier {tier!r}; choose 'banded' "
+            "(3-band OR-amplification, measured recall 0.89) or 'screen' "
+            "(1-band prefilter, measured recall 0.29-0.34 — callers must "
+            "compose their own verify/recall treatment)"
+        )
+    bands = EMBEDDING_NEARDUP_TIERS[tier]
+
+    # fixed-width dot: unrolled arithmetic instead of an aggregate-HOF
+    # lambda — whole-stage-codegen-able, and bit-identical to the HOF fold
+    # (same left-to-right sum starting at 0.0)
+    def dot16(a, b):
+        return reduce(lambda acc, i: acc + a[i] * b[i], range(EMBED_DIM), F.lit(0.0))
+
+    # doc_embeddings spreads an under-partitioned scan itself (the plan
+    # evaluates the embed UDF once per join side)
+    emb = doc_embeddings(docs)
+    R = 4
+    banded = emb
+    for band in range(bands):
+        banded = lsh_bucket(
+            banded, n_planes=R, first_mask=band * R + 1, dim=EMBED_DIM
+        ).withColumnRenamed("bucket", f"__bkt{band}")
+    # norm hoisted per doc BEFORE the pair join: the in-bucket pair count is
+    # quadratic in bucket size, so per-pair work must be one dot product,
+    # not three (same expression dot/(na*nb), so oracle values are unchanged)
+    b = banded.select(
+        "doc_id",
+        "embedding",
+        F.sqrt(dot16(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"__bkt{band}").alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "embedding", "norm", "bb.band", "bb.bucket")
+    # bands × 16 buckets join keys for ~quadratic pair work, with the
+    # biggest bucket dominating. Blocked self-join salt: split side a into
+    # S sub-blocks by doc_id, replicate side b to every block — each pair
+    # still appears once per colliding band, parallelism rises to
+    # bands × buckets × S. This is the 100 TB skew treatment, not a
+    # local-mode hack. distinct() collapses multi-band collisions AFTER
+    # the threshold filter pruned the shuffle input.
+    S = 8
+    # In the broadcast shape the probe side's ROW partitioning (the
+    # repartition before the embed UDF) is what spreads the quadratic
+    # probe work — do NOT repartition by the block keys here: that
+    # re-concentrates each hot bucket into one task (measured 3.6 s ->
+    # 9 s at sf0.1). The salt pays off when the join degrades to a
+    # shuffle at true scale, where it splits the hot bucket's shuffle key.
+    a_ = b.withColumn("salt", (F.col("doc_id") % S).cast("int")).alias("a")
+    b_ = b.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))).alias("b")
+    pairs = a_.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        r6(
+            dot16(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).distinct()

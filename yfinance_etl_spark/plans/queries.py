@@ -2401,91 +2401,23 @@ SELECT DISTINCT doc_a, doc_b, cos_sim FROM cand WHERE cos_sim >= {threshold}
 """
 
 
-def _embed_neardup(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
-    from functools import reduce
-
-    from yfinance_etl_spark.operators.rag import EMBED_DIM, doc_embeddings
-    from yfinance_etl_spark.operators.similarity import lsh_bucket
-
-    # fixed-width dot: unrolled arithmetic instead of an aggregate-HOF
-    # lambda — whole-stage-codegen-able, and bit-identical to the HOF fold
-    # (same left-to-right sum starting at 0.0)
-    def dot16(a, b):
-        return reduce(lambda acc, i: acc + a[i] * b[i], range(EMBED_DIM), F.lit(0.0))
-
-    # doc_embeddings spreads an under-partitioned scan itself (the plan
-    # evaluates the embed UDF once per join side)
-    docs = doc_embeddings(_t(spark, sf_dir, "documents"))
-    BANDS, R = bands, 4
-    banded = docs
-    for band in range(BANDS):
-        banded = lsh_bucket(
-            banded, n_planes=R, first_mask=band * R + 1, dim=EMBED_DIM
-        ).withColumnRenamed("bucket", f"__bkt{band}")
-    # norm hoisted per doc BEFORE the pair join: the in-bucket pair count is
-    # quadratic in bucket size, so per-pair work must be one dot product,
-    # not three (same expression dot/(na*nb), so oracle values are unchanged)
-    b = banded.select(
-        "doc_id",
-        "embedding",
-        F.sqrt(dot16(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.col(f"__bkt{band}").alias("bucket"),
-                    )
-                    for band in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "embedding", "norm", "bb.band", "bb.bucket")
-    # bands × 16 buckets = 48 join keys for ~quadratic pair work, with the
-    # biggest bucket dominating. Blocked self-join salt: split side a into
-    # S sub-blocks by doc_id, replicate side b to every block — each pair
-    # still appears once per colliding band, parallelism rises to
-    # bands × buckets × S. This is the 100 TB skew treatment, not a
-    # local-mode hack. distinct() collapses multi-band collisions AFTER
-    # the threshold filter pruned the shuffle input.
-    S = 8
-    # In the broadcast shape the probe side's ROW partitioning (the
-    # repartition before the embed UDF) is what spreads the quadratic
-    # probe work — do NOT repartition by the block keys here: that
-    # re-concentrates each hot bucket into one task (measured 3.6 s ->
-    # 9 s at sf0.1). The salt pays off when the join degrades to a
-    # shuffle at true scale, where it splits the hot bucket's shuffle key.
-    a_ = b.withColumn("salt", (F.col("doc_id") % S).cast("int")).alias("a")
-    b_ = b.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))).alias("b")
-    pairs = a_.join(
-        b_,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.salt") == F.col("b.salt"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        r6(
-            dot16(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.norm") * F.col("b.norm"))
-        ).alias("cos_sim"),
-    )
-    return pairs.filter(F.col("cos_sim") >= 0.95).distinct()
-
-
 @_register("dedup_embedding_cosine", _embed_neardup_sql(bands=1))
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-band (4 Walsh planes, 16 buckets) blocking — the cheap tier:
-    one equi-join, measured recall 0.29-0.34 on the dense 16-dim fixture.
-    Reference analog: embedding-similarity screen (pdf_rag_chatbot.py
-    retriever); the banded tier below is the recall-grade variant."""
-    return _embed_neardup(spark, sf_dir, bands=1)
+    """The CHEAP tier, requested by its contract name: single-band
+    blocking (4 Walsh planes, 16 buckets), measured recall 0.29-0.34 on
+    the dense 16-dim fixture — tier="screen" must be named explicitly
+    (operators/dedup.py::embedding_neardup, r12 verdict item 6), so this
+    registration doubles as the API's own example of asking for the
+    low-recall path on purpose. Reference analog: embedding-similarity
+    screen (pdf_rag_chatbot.py retriever)."""
+    from yfinance_etl_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf_dir, "documents"), tier="screen")
 
 
 @_register("dedup_embedding_banded", _embed_neardup_sql(bands=3))
 def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded blocking (OR-amplification): 3 bands × 4 planes over
+    """The DEFAULT tier (OR-amplification): 3 bands × 4 planes over
     DISJOINT Walsh mask windows (masks 1-4, 5-8, 9-12). A true pair at
     cos 0.95 (θ ≈ 18°) collides per band with prob ~0.9⁴ = 0.66; ANY-of-3
     lifts measured recall to 0.89 (vs 0.29-0.34 single-band) at ~3× the
@@ -2494,7 +2426,9 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (71k true pairs in 12.5M — blocking only ~2× under brute force);
     at production dimensionality (≥256-d) the same shape prunes by
     orders of magnitude."""
-    return _embed_neardup(spark, sf_dir, bands=3)
+    from yfinance_etl_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf_dir, "documents"), tier="banded")
 
 
 # ---------------------------------------------------------------------------

@@ -179,7 +179,9 @@ def session_rollup(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     )
 
 
-def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+def ema_stream(
+    events: DataFrame, alpha: float = 0.1, ttl_ms: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator (the W5 EMA as a stream): per-key
     exponential moving average maintained in ``applyInPandasWithState``.
 
@@ -189,6 +191,27 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     input the final state equals the batch EMA — which is what the DuckDB
     ``list_reduce`` oracle checks. Rows fold in (ts, event_id) order so
     the recursion is deterministic.
+
+    ``ttl_ms`` is the production eviction policy (r12 verdict item 5):
+    per-key EMA state is inherent, but on an UNBOUNDED key population
+    (a crawl's users) NoTimeout state grows with every key ever seen,
+    forever. With a TTL, each update arms a ProcessingTimeTimeout; a key
+    with no arrivals for ``ttl_ms`` has its state REMOVED on a later
+    trigger (no emission — the last published row already carries its
+    final EMA), so the store tracks ACTIVE keys, not stream history.
+    Eviction resets the recursion: a key that returns after its TTL
+    starts a fresh EMA over post-eviction rows only — the stated
+    semantics of an activity-windowed metric, test-pinned against the
+    batch twin on the active window. ttl_ms=None (the registered
+    query's form) keeps NoTimeout: bit-identical to pre-r13 behavior,
+    and the bounded-fixture oracle requires the full-history fold.
+
+    CONSTRAINT (measured, not theoretical): ProcessingTimeTimeout is a
+    continuous-trigger feature — under Trigger.AvailableNow the engine
+    enters a "no new data but cleaning up state" phase that never
+    drains (hundreds of empty batches observed). Run TTL'd streams with
+    a processing-time trigger; the fixture/oracle path uses ttl_ms=None
+    precisely so it stays AvailableNow-terminable.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -201,12 +224,21 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     comp = 1.0 - alpha
 
     def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL fired with no new data: drop the key's state entirely.
+            # Nothing is emitted — update mode already published the
+            # key's last EMA when it last changed.
+            state.remove()
+            return
         ema, n = state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for v in rows["value"]:
             ema = float(v) if ema is None else alpha * float(v) + comp * ema
         n += len(rows)
         state.update((ema, n))
+        if ttl_ms is not None:
+            # re-arm on every arrival: the clock measures INACTIVITY
+            state.setTimeoutDuration(ttl_ms)
         # no Python round() here: banker's rounding differs from SQL ROUND
         # at .5 boundaries — callers round with F.round (HALF_UP, oracle-equal)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema_value": [ema]})
@@ -216,7 +248,9 @@ def ema_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
         "user_id long, n_events long, ema_value double",
         "ema double, n long",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

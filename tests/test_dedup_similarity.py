@@ -1702,3 +1702,62 @@ def test_embedding_neardup_tier_contract(spark):
     assert screen <= banded
     with _pytest.raises(ValueError, match="0.29-0.34"):
         embedding_neardup(docs, tier="cheap")
+
+
+def test_ivfpq_append_is_frozen_structure_encoding(spark, tmp_path):
+    """append_ivfpq_index must be EXACTLY "encode the delta against the
+    persisted structures": the appended index's probe results equal an
+    inline twin that takes the base-trained books/centroids and encodes
+    the WHOLE corpus against them — no hidden retraining, no missed
+    rows. Completeness (codes cover base + delta) and the list_id
+    layout surviving the append are pinned alongside."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        IvfPqIndex,
+        append_ivfpq_index,
+        ivfpq_topk,
+        pq_codes,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.operators.similarity import ivf_assign_to
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_pred = F.col("vec_id") % 5 != 0
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb.filter(base_pred), path)
+    append_ivfpq_index(emb.filter(~base_pred), path)
+
+    idx = read_ivfpq_index(spark, path)
+    assert idx.codes.count() == emb.count()  # completeness
+    dirs = [d for d in os.listdir(f"{path}/codes") if d.startswith("list_id=")]
+    assert dirs and all(
+        e.startswith(("list_id=", "_", ".")) for e in os.listdir(f"{path}/codes")
+    )
+
+    # inline twin: base-trained structures, whole corpus encoded
+    base_idx_path = str(tmp_path / "twin")
+    write_ivfpq_index(emb.filter(base_pred), base_idx_path)
+    bidx = read_ivfpq_index(spark, base_idx_path)
+    cent_rows = sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+        for r in bidx.centroids.collect()
+    )
+    assigned = ivf_assign_to(emb, cent_rows)
+    resid = assigned.join(
+        bidx.centroids, assigned.list_id == bidx.centroids.cent_id
+    ).select(
+        "vec_id", "list_id",
+        F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+    )
+    twin = IvfPqIndex(
+        pq_codes(resid, bidx.books, vec_col="residual", carry=("list_id",)),
+        bidx.centroids,
+        bidx.books,
+    )
+    got = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=idx).collect())
+    want = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=twin).collect())
+    assert got == want and len(got) == 25

@@ -1598,6 +1598,26 @@ def main_cbloom(steps: list[int]) -> None:
         assert n_live_hit == n_live, (n_live_hit, n_live)
         fpp = (1 - math.exp(-BLOOM_HASHES * n_live / bits)) ** BLOOM_HASHES
         n_nonlive = 2 * n_seen - n_live
+        # blow-up leg (r12 verdict item 7, the kind=bloomjoin pattern):
+        # the counter table must stay min(bits, keys·hashes) rows — the
+        # sparse bound, measured in BOTH regimes: scaled bits (keys-side
+        # bound) and fixed BLOOM_BITS (bits-side bound once keys·hashes
+        # outgrows the filter) — and the full exact frontier pass must
+        # stay sub-quadratic wall as seen/retired/probes grow 16×
+        from yfinance_etl_spark.operators.dedup import frontier_to_fetch
+
+        n_counter_rows = c0.count()
+        c_fixed = counting_bloom_build(seen, "k", BLOOM_BITS)
+        n_counter_rows_fixed = c_fixed.count()
+        t0 = time.perf_counter()
+        n_to_fetch = (
+            frontier_to_fetch(probes, seen, retired, "k", bits)
+            .filter("to_fetch")
+            .count()
+        )
+        sec_frontier = round(time.perf_counter() - t0, 2)
+        # exactness cross-check: to_fetch = probes not in (seen − retired)
+        assert n_to_fetch == 2 * n_seen - n_live, (n_to_fetch, n_live)
         print(
             json.dumps(
                 {
@@ -1613,6 +1633,14 @@ def main_cbloom(steps: list[int]) -> None:
                         (n_maybe - n_live) / n_nonlive, 7
                     ),
                     "predicted_fpp": round(fpp, 7),
+                    "counter_rows": n_counter_rows,
+                    "counter_row_bound": min(bits, n_seen * BLOOM_HASHES),
+                    "counter_rows_fixedbits": n_counter_rows_fixed,
+                    "counter_row_bound_fixedbits": min(
+                        BLOOM_BITS, n_seen * BLOOM_HASHES
+                    ),
+                    "n_to_fetch": n_to_fetch,
+                    "sec_frontier": sec_frontier,
                     "sec_build": sec_build,
                     "sec_remove": sec_remove,
                     "sec_probe": sec_probe,
@@ -1745,9 +1773,100 @@ def main_knnjoin(factors: list[int]) -> None:
         )
 
 
+def main_annappend(factors: list[int]) -> None:
+    """ANN index maintenance under append (r12 verdict stretch #8): the
+    corpus grows to ×factor of the base; the base trains the IVFPQ
+    index, everything past it APPENDS against the frozen coarse
+    quantizer + codebooks (appended fraction = (factor−1)/factor). Per
+    factor: append wall vs full-retrain wall (the cost the append path
+    avoids), recall@5 of the appended index vs the retrained index vs
+    the exact scan — the recall DRIFT a deployment watches to schedule
+    retraining. One JSON line per factor, kind="annappend"."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.operators.similarity import knn_topk
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-annappend")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn_topk(emb0.limit(50), k=2).count()  # codegen warm-up
+
+    for f in factors:
+        emb = (
+            blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
+        )
+        n_vec = emb.count()
+        # replica 0 (vec_id % factor == 0 under the blow-up's id map) is
+        # the base snapshot; every later replica is appended delta
+        base = emb.filter(F.col("vec_id") % f == 0)
+        delta = emb.filter(F.col("vec_id") % f != 0)
+        d = tempfile.mkdtemp(prefix="annappend_")
+        try:
+            write_ivfpq_index(base, f"{d}/idx")
+            t0 = time.perf_counter()
+            if f > 1:
+                append_ivfpq_index(delta, f"{d}/idx")
+            sec_append = round(time.perf_counter() - t0, 2)
+            idx = read_ivfpq_index(spark, f"{d}/idx")
+            n_indexed = idx.codes.count()
+            assert n_indexed == n_vec, (n_indexed, n_vec)
+            exact = {
+                (r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()
+            }
+            appended = {
+                (r.q_id, r.neighbor_id)
+                for r in ivfpq_topk(
+                    emb, k=5, rerank_factor="auto", index=idx
+                ).collect()
+            }
+            t0 = time.perf_counter()
+            write_ivfpq_index(emb, f"{d}/retrain")
+            sec_retrain = round(time.perf_counter() - t0, 2)
+            ridx = read_ivfpq_index(spark, f"{d}/retrain")
+            retrained = {
+                (r.q_id, r.neighbor_id)
+                for r in ivfpq_topk(
+                    emb, k=5, rerank_factor="auto", index=ridx
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        rec = lambda got: round(len(got & exact) / max(len(exact), 1), 3)  # noqa: E731
+        print(
+            json.dumps(
+                {
+                    "kind": "annappend",
+                    "sf_dir": sf_dir,
+                    "factor": f,
+                    "n_vectors": n_vec,
+                    "appended_frac": round((f - 1) / f, 3),
+                    "sec_append": sec_append,
+                    "sec_retrain": sec_retrain,
+                    "recall_appended": rec(appended),
+                    "recall_retrained": rec(retrained),
+                    "recall_drift": round(rec(retrained) - rec(appended), 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "pack":
+    if argv and argv[0] == "annappend":
+        main_annappend([int(x) for x in argv[1:]] or [1, 2, 4, 16])
+    elif argv and argv[0] == "pack":
         main_pack([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "pq":
         main_pq([int(x) for x in argv[1:]] or [1, 4, 16])

@@ -378,6 +378,57 @@ def write_ivfpq_index(
     )
 
 
+def append_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
+    """Index maintenance under APPEND (r12 verdict stretch #8): encode a
+    delta of NEW vectors against the EXISTING persisted coarse centroids
+    and residual codebooks — zero retraining — and append their
+    (vec_id, code_*, list_id) rows into the codes table's list_id
+    partitions. The vector analog of the MinHash signature store's
+    append step: the index is a long-lived incremental structure, not a
+    rebuild-per-snapshot artifact.
+
+    Cost shape: coarse assignment is the ``ivf_assign_to`` literal-matrix
+    projection (map-only), residuals are a broadcast join + zip_with,
+    encoding is the ``pq_codes`` map-only argmin — one scan of the DELTA
+    end to end, no shuffle of the standing corpus.
+
+    The honest trade, stated: frozen codebooks quantize the delta
+    against the OLD corpus's geometry, so recall drifts as the appended
+    fraction grows — the kind=annappend sweep measures that drift
+    against a full retrain, which is the signal a deployment uses to
+    schedule retraining (exactly FAISS's add-vs-train split)."""
+    from yfinance_etl_spark.operators.similarity import (
+        check_finite_vectors,
+        ivf_assign_to,
+    )
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    spark = new_embeddings.sparkSession
+    idx = read_ivfpq_index(spark, path)
+    emb = new_embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    check_finite_vectors(emb, "vec", "vec_id")
+    cent_rows = sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+        for r in idx.centroids.collect()
+    )
+    assigned = ivf_assign_to(new_embeddings, cent_rows)
+    cents = F.broadcast(idx.centroids)
+    resid = (
+        assigned.join(cents, assigned.list_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+        )
+    )
+    codes = pq_codes(resid, idx.books, vec_col="residual", carry=("list_id",))
+    write_partitioned(
+        codes, f"{path}/codes", partition_by=("list_id",), mode="append"
+    )
+
+
 def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     """Read a persisted index back for ``ivfpq_topk(index=...)``. The
     codebooks come to the driver (config-sized by construction — they

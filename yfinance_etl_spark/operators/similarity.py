@@ -242,17 +242,39 @@ def ivf_assign(
         # rows; any OTHER non-finite row crashes downstream with an error
         # naming no vec_id (map-only scan; skip when cleaned at ingest)
         check_finite_vectors(emb, "vec", "vec_id")
-    cent_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["vec"]])
+        for r in emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k_centroids)
         .collect()
+    ]
+    assigned = ivf_assign_to(embeddings, cent_rows)
+    cents = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            cent_rows, "cent_id long, cent_vec array<double>"
+        )
+    )
+    return assigned, cents
+
+
+def ivf_assign_to(
+    embeddings: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assign every vector to its highest-cosine centroid from a GIVEN
+    (cent_id, coords) list — the assignment half of ``ivf_assign``,
+    split out (r13) so the index-APPEND path can encode new vectors
+    against the EXISTING coarse quantizer instead of reselecting
+    centroids: same literal k×dim matrix, same argmax-with-lowest-id
+    tie-break, map-only."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     # repr(nan)/repr(inf) would silently corrupt the SQL literal below into
     # a parse error deep inside Catalyst — fail loudly at the source (r9)
     import math
 
-    bad = [r["vec_id"] for r in cent_rows
-           if not all(math.isfinite(float(x)) for x in r["vec"])]
+    bad = [cid for cid, coords in cent_rows
+           if not all(math.isfinite(float(x)) for x in coords)]
     if bad:
         raise ValueError(
             f"IVF centroid vectors contain non-finite values (vec_id={bad}); "
@@ -260,12 +282,12 @@ def ivf_assign(
         )
     mat = F.expr(
         "array(" + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in r["vec"]) + ")"
-            for r in cent_rows
+            "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+            for _, coords in cent_rows
         ) + ")"
     )
     ids = F.expr(
-        "array(" + ",".join(f"{int(r['vec_id'])}L" for r in cent_rows) + ")"
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
     )
     # argmax sim, ties → lowest cent_id == argmin over (-sim, cent_id);
     # sim is rounded to 6 dp BEFORE negation, exactly the old window's
@@ -277,16 +299,9 @@ def ivf_assign(
             ids[i].alias("cent_id"),
         ),
     )
-    assigned = emb.select(
+    return emb.select(
         "vec_id", "vec", F.array_min(candidates)["cent_id"].alias("list_id")
     )
-    cents = F.broadcast(
-        embeddings.sparkSession.createDataFrame(
-            [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in cent_rows],
-            "cent_id long, cent_vec array<double>",
-        )
-    )
-    return assigned, cents
 
 
 def ivf_topk(

@@ -3762,10 +3762,22 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(base_pred: str | None = None) -> str:
+    """The IVF+PQ oracle. With ``base_pred`` (the APPEND form, r13):
+    coarse centroids are selected from — and the residual codebooks
+    trained on — the BASE slice alone, while EVERY vector (base +
+    appended delta) is assigned and encoded against those frozen
+    structures: exactly what build-then-append produces Spark-side.
+    The encode-all step replays the per-subspace argmin as an explicit
+    scored+ranked CTE pair against the chain's FINAL centroids (the
+    assign_cte rule: 9dp d2 grid, ties → lowest cent_id); for base rows
+    it coincides with the chain's own final assignment, so one encode
+    path covers both populations."""
     w = _PQ_DIM // _PQ_M
+    cent_src = "emb" if base_pred is None else f"(SELECT * FROM emb WHERE {base_pred})"
+    train_src = "residuals" if base_pred is None else f"(SELECT * FROM residuals WHERE {base_pred})"
     head = f"""WITH emb AS ({_EMB_SOURCE}),
-cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM {cent_src}
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
 cs AS (
   SELECT e.vec_id, e.vec, c.cent_id,
@@ -3782,17 +3794,41 @@ residuals AS (
 )"""
     chains = [
         _kmeans_chain(
-            f"SELECT vec_id, r[{i * w + 1}:{(i + 1) * w}] AS vec FROM residuals",
+            f"SELECT vec_id, r[{i * w + 1}:{(i + 1) * w}] AS vec FROM {train_src}",
             _PQ_KC, _PQ_ITERS, w, prefix=f"rp{i}_", lead="",
         )
         for i in range(_PQ_M)
     ]
     fin = _PQ_ITERS + 1
-    joins = " ".join(
-        f"JOIN rp{i}_a{fin} am{i} ON am{i}.vec_id = r.vec_id "
-        f"JOIN rp{i}_c{_PQ_ITERS} cm{i} ON cm{i}.cent_id = am{i}.cent_id"
-        for i in range(_PQ_M)
-    )
+    if base_pred is None:
+        joins = " ".join(
+            f"JOIN rp{i}_a{fin} am{i} ON am{i}.vec_id = r.vec_id "
+            f"JOIN rp{i}_c{_PQ_ITERS} cm{i} ON cm{i}.cent_id = am{i}.cent_id"
+            for i in range(_PQ_M)
+        )
+    else:
+        # encode ALL residual slices (base + delta) against the frozen
+        # final codebooks — assign_cte's exact rule, spelled out because
+        # the chain's own assignment CTEs cover the training slice only
+        for i in range(_PQ_M):
+            chains.append(f"""rp{i}_enc_s AS (
+  SELECT v.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(range(1, {w + 1}),
+               j -> (v.vec[j] - c.cent[j]) * (v.vec[j] - c.cent[j]))), 9) AS d2
+  FROM (SELECT vec_id, r[{i * w + 1}:{(i + 1) * w}] AS vec FROM residuals) v
+  CROSS JOIN rp{i}_c{_PQ_ITERS} c
+),
+rp{i}_enc AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM rp{i}_enc_s
+  ) WHERE rn = 1
+)""")
+        joins = " ".join(
+            f"JOIN rp{i}_enc am{i} ON am{i}.vec_id = r.vec_id "
+            f"JOIN rp{i}_c{_PQ_ITERS} cm{i} ON cm{i}.cent_id = am{i}.cent_id"
+            for i in range(_PQ_M)
+        )
     rres = " || ".join(f"cm{i}.cent" for i in range(_PQ_M))
     tail = f""",
 recon AS (
@@ -3870,6 +3906,39 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = scratch_dir("yfinance_etl_ivfpq", sf_dir, fresh=True)
     write_ivfpq_index(emb, f"{base}/index")
+    idx = read_ivfpq_index(spark, f"{base}/index")
+    return ivfpq_topk(emb, k=5, rerank_factor=_PQ_RERANK, index=idx)
+
+
+_IVFPQ_BASE_PRED = "vec_id % 5 != 0"
+
+
+@_register("ann_ivfpq_appended", _ivfpq_sql(base_pred=_IVFPQ_BASE_PRED))
+def q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under append (r12 verdict stretch #8), oracle-
+    gated end to end: the index is BUILT on the base slice (80% of the
+    corpus — coarse centroids and residual codebooks trained there),
+    the remaining 20% delta is APPENDED with zero retraining
+    (``append_ivfpq_index``: frozen-quantizer assignment + map-only
+    encode, the MinHash signature store's append step for vectors), and
+    the probe runs over the composed table. The oracle replays slice-
+    training + encode-all exactly, so the frozen-codebook approximation
+    is hash-gated — and the kind=annappend sweep measures its recall
+    drift against a full retrain, the retraining-schedule signal."""
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = scratch_dir("yfinance_etl_ivfpq_app", sf_dir, fresh=True)
+    write_ivfpq_index(emb.filter(_IVFPQ_BASE_PRED), f"{base}/index")
+    append_ivfpq_index(
+        emb.filter(f"NOT ({_IVFPQ_BASE_PRED})"), f"{base}/index"
+    )
     idx = read_ivfpq_index(spark, f"{base}/index")
     return ivfpq_topk(emb, k=5, rerank_factor=_PQ_RERANK, index=idx)
 

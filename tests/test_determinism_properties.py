@@ -278,3 +278,26 @@ def test_pq_training_invariant_under_partitioning(spark, n_parts):
     a = pq_train(emb)
     b = pq_train(emb.repartition(n_parts))
     assert a == b
+
+
+@given(n_parts=st.sampled_from([1, 3, 16]))
+@settings(max_examples=2, deadline=None)
+def test_pagerank_invariant_under_partitioning(spark, n_parts):
+    """PageRank is a pure function of the graph, not its layout: per-edge
+    contributions quantize to 9 dp BEFORE the decimal(38,18) sum, so
+    each round's aggregation is exact and order-insensitive — arbitrary
+    repartitioning of the edge list must produce BIT-IDENTICAL ranks.
+    The DuckDB oracle replay depends on exactly this invariance (a
+    float-sum implementation would drift per partitioning AND per
+    engine)."""
+    from yfinance_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(40) if i != (i * 7 + 3) % 23],
+        "src bigint, dst bigint",
+    )
+    a = sorted(tuple(r) for r in pagerank(edges, iters=3).collect())
+    b = sorted(
+        tuple(r) for r in pagerank(edges.repartition(n_parts), iters=3).collect()
+    )
+    assert a == b and len(a) > 0

@@ -623,3 +623,39 @@ def test_pack_documents_raises_loudly_on_null_text(spark):
     ) as exc:
         pack_documents(df, budget=3).collect()
     assert "NULL text at doc_id=1" in str(exc.value)
+
+
+def test_pagerank_quantized_recursion_hand_replayed(spark):
+    """pagerank on a path graph 1-2-3, replayed exactly in Python with
+    the same quantization schedule (9 dp contributions, decimal-exact
+    sums, 9 dp ranks, engine-evaluated teleport): the center must
+    out-rank the leaves, the leaves tie by symmetry, mass stays ~1, and
+    every value matches the quantized recursion bit-for-bit — the same
+    determinism contract the DuckDB oracle relies on."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+
+    # python replay of the exact quantized recursion
+    deg = {1: 1, 2: 2, 3: 1}
+    n = 3
+    teleport = (1.0 - 0.85) / n
+    ranks = {v: round(1.0 / n, 9) for v in deg}
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    for _ in range(3):
+        c = {v: round(ranks[v] / deg[v], 9) for v in deg}
+        s = {v: 0.0 for v in deg}
+        for a, b in sym:
+            s[b] += c[a]  # contributions are 9dp-quantized: sums exact
+        ranks = {v: round(teleport + 0.85 * s[v], 9) for v in deg}
+
+    assert got == ranks, (got, ranks)
+    assert got[2] > got[1] and got[1] == got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    with _pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=0)

@@ -647,3 +647,29 @@ def test_stream_ema_stateful_unstarted_plan_one_state_operator(spark):
     assert tree.count("Exchange") == 1
     assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
     assert "Update" in plan and "StateStoreSave" not in plan
+
+
+def test_knn_join_is_equi_join_with_salt_in_keys(spark):
+    """The all-vectors kNN join plans an EQUI-join on the bucket id —
+    never a Cartesian/nested-loop N² product — and the banded+salted
+    registration carries the salt in its join keys (psalt visible in
+    the plan), so a hot bucket's reducer work is split at the shuffle
+    rather than in a comment."""
+    plan = _plan(spark, "knn_join_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan_b = _plan(spark, "knn_join_banded")
+    assert "CartesianProduct" not in plan_b
+    assert "psalt" in plan_b
+
+
+def test_pagerank_last_round_is_one_agg_exchange_over_checkpoints(spark):
+    """The visible pagerank plan is the LAST round alone (earlier rounds
+    truncated to checkpointed leaves — the connected_components lineage
+    discipline): an equi message join plus the per-node decimal-sum
+    aggregation, no Cartesian anywhere, and at most the join + agg
+    exchanges — per-round cost of a keyed agg, as the audit claims."""
+    plan = _plan(spark, "dedup_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # checkpointed edges + ranks
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")

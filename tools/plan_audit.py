@@ -229,6 +229,37 @@ AUDITS: dict[str, str] = {
         "side never shuffles for it; exchanges are only the two per-query "
         "top-k windows, and floats enter at the rerank join alone."
     ),
+    "knn_join_topk": (
+        "All-vectors kNN as an EQUI-join on the bucket id (SortMergeJoin "
+        "or shuffled hash — never CartesianProduct): candidate volume is "
+        "per-bucket-squared, not N²; per-vector norms are projected "
+        "BEFORE the join so each scored pair costs one dot product; the "
+        "only exchanges are the join keys and the per-query top-k window."
+    ),
+    "knn_join_banded": (
+        "The banded+salted form: the explode over (band, bucket) structs "
+        "and the salt replication are map-side projections; the join keys "
+        "on (band, bucket, psalt) — a hot bucket's work is split across 8 "
+        "salt sub-keys at the shuffle; distinct() collapses multi-band "
+        "pairs AFTER scoring, before the ranking window."
+    ),
+    "ann_ivfpq_persisted": (
+        "The zero-training probe: stage 1's corpus-sized side is a "
+        "FileScan of the index's list_id-partitioned codes parquet (no "
+        "kmeans jobs, no residual computation in the plan); "
+        "reconstruction is broadcast joins against the tiny codebook and "
+        "centroid frames; embeddings.parquet appears only under the "
+        "query-row filter and the candidate-sized rerank join."
+    ),
+    "dedup_graph_pagerank": (
+        "Fixed-round iterative message passing: each round's frames "
+        "reduce to LogicalRDD leaves (per-round localCheckpoint — the "
+        "lineage-truncation discipline of connected_components), and the "
+        "visible plan is the LAST round alone: one message equi-join "
+        "along the checkpointed edge list and ONE exchange for the "
+        "per-node decimal-sum aggregation — per-round cost identical to "
+        "a keyed agg, rounds fixed so the DuckDB oracle can unroll them."
+    ),
 }
 
 

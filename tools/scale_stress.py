@@ -1862,9 +1862,81 @@ def main_annappend(factors: list[int]) -> None:
         )
 
 
+def main_pagerank(factors: list[int]) -> None:
+    """PageRank sweep (r13, the new-operator-family discipline): blow
+    the documents up ×factor, build the jaccard-0.8 near-dup graph, and
+    measure rank wall + the graph itself (nodes/edges grow ~linearly
+    under the blow-up's linear true-pair structure) — the per-round cost
+    claim is 'a handful of keyed ops on node/edge-sized frames', so wall
+    must track the EDGE count, not the doc-pair square. One JSON line
+    per factor, kind="pagerank", then the exponents."""
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+    from yfinance_etl_spark.operators.graph import pagerank
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-pagerank")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        )
+        pairs = jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
+        n_edges = pairs.count()
+        t0 = time.perf_counter()
+        ranks = pagerank(pairs, src="doc_a", dst="doc_b", iters=3)
+        n_nodes = ranks.count()
+        wall = round(time.perf_counter() - t0, 2)
+        # mass check: Σrank ≈ 1 up to the 9dp per-round quantization
+        from pyspark.sql import functions as F
+
+        total = ranks.agg(
+            F.sum(F.col("rank").cast("decimal(38,18)")).cast("double")
+        ).collect()[0][0]
+        row = {
+            "kind": "pagerank",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": docs.count(),
+            "n_nodes": n_nodes,
+            "n_edges": n_edges,
+            "sec_rank": wall,
+            "rank_mass": round(total, 6),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+
+        def slope(metric: str, size: str, floor: float = 1.0) -> float:
+            return round(
+                math.log(max(b[metric], floor) / max(a[metric], floor))
+                / math.log(b[size] / a[size]),
+                2,
+            )
+
+        print(
+            json.dumps(
+                {
+                    "kind": "pagerank_summary",
+                    "edge_growth_exponent_vs_docs": slope("n_edges", "n_docs"),
+                    "wall_growth_exponent_vs_edges": slope("sec_rank", "n_edges", 0.01),
+                    "note": "wall must track edges (~linear), never the doc-pair square",
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "annappend":
+    if argv and argv[0] == "pagerank":
+        main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "annappend":
         main_annappend([int(x) for x in argv[1:]] or [1, 2, 4, 16])
     elif argv and argv[0] == "pack":
         main_pack([int(x) for x in argv[1:]] or [1, 4, 16])

@@ -103,3 +103,85 @@ def dedup_clusters(pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b")
         comp.join(sizes, "component")
         .select(F.col("node").alias("doc_id"), "component", "cluster_size")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iters`` fixed PageRank rounds over the
+    UNDIRECTED pair graph — the canonical-representative scorer for dup
+    clusters: where ``dedup_clusters`` picks the min-id representative,
+    rank picks the most CENTRAL one (the document most near-duplicated
+    by the rest — usually the cleanest copy), and the same scores rank
+    hub documents for curation review.
+
+    Spark shape (the ``connected_components`` discipline): symmetrized
+    edge set checkpointed once; each round is a ranks ⋈ degrees join
+    (node-sized frames — AQE broadcasts them while they fit; past that,
+    equi-shuffles on the node key), the message join along edges, and
+    the per-node aggregation — per-round cost a handful of keyed ops on
+    node/edge-sized frames, never corpus-quadratic; rounds fixed at
+    ``iters``; every node has degree ≥ 1 by symmetry so no dangling-mass
+    term is needed.
+
+    Deterministic cross-engine by construction, same discipline as the
+    metric aggregates: per-edge contributions quantize to the shared
+    9 dp grid BEFORE the sum, the sum runs in DECIMAL(38,18)
+    (order-insensitive, exact), and each round's rank re-quantizes to
+    9 dp — so a DuckDB oracle unrolling the same rounds reproduces the
+    hash exactly. Fixed iterations, not convergence-tested: the oracle
+    must replay the round count, and 3 rounds separate centers from
+    leaves on the near-clique graphs dup clusters form (diameter 2-4)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").count().withColumnRenamed("count", "deg")
+    n = deg.count()
+    if n == 0:
+        return sym.select(
+            F.col("a").alias("node"), F.lit(0.0).alias("rank")
+        )
+    # (1 - damping) evaluated IN THE ENGINE, not in Python: python's
+    # 1 - 0.85 is 0.15000000000000002 while a SQL oracle writing
+    # (1 - 0.85) gets the same binary double — keep both engines on the
+    # identical expression
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    ranks = deg.select(
+        F.col("a").alias("node"), F.round(F.lit(1.0) / F.lit(n), 9).alias("rank")
+    )
+    for k in range(iters):
+        contribs = (
+            ranks.join(deg, ranks.node == deg.a)
+            .select("node", F.round(F.col("rank") / F.col("deg"), 9).alias("c"))
+        )
+        msgs = sym.join(contribs, sym.a == contribs.node).select(
+            F.col("b").alias("node"), "c"
+        )
+        ranks = (
+            msgs.groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+            .select(
+                "node",
+                F.round(teleport + F.lit(damping) * F.col("s"), 9).alias("rank"),
+            )
+        )
+        if k < iters - 1:
+            # truncate lineage between rounds; the FINAL round stays a
+            # live plan (one message join + one keyed agg over the
+            # checkpointed leaves) so downstream consumers compose with
+            # it lazily and the plan audit can see the round's shape
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

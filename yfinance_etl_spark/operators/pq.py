@@ -81,6 +81,7 @@ def pq_train(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     vec_col: str = "embedding",
+    check_finite: bool = True,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train the m subspace codebooks: the engine's deterministic Lloyd on
     each contiguous dim/m slice. Returns m driver-side codebooks of
@@ -90,13 +91,17 @@ def pq_train(
     alone would let a NaN/inf confined to a later slice bypass the named
     guard and surface rounds later as an unnamed ANSI/centroid-literal
     error — r12 review); it also rejects NULL vectors, so the dim probe
-    below can never see one."""
-    from yfinance_etl_spark.operators.similarity import check_finite_vectors
-
+    below can never see one. ``check_finite=False`` skips that scan when
+    the input is PROVABLY finite already — the IVFPQ build passes it for
+    residuals (finite vector − finite centroid cannot be NaN/inf at
+    embedding magnitudes), saving one full-corpus pass per snapshot."""
     emb = embeddings.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("vec")
     )
-    check_finite_vectors(emb, "vec", "vec_id")
+    if check_finite:
+        from yfinance_etl_spark.operators.similarity import check_finite_vectors
+
+        check_finite_vectors(emb, "vec", "vec_id")
     first = emb.select("vec").first()
     dim = len(first["vec"]) if first else 0
     if dim == 0 or dim % m:
@@ -336,7 +341,11 @@ def build_ivfpq_index(
         )
         .localCheckpoint(eager=True)
     )
-    books = pq_train(resid, m=m, k=kc, iters=iters, vec_col="residual")
+    # residuals of ivf_assign-checked vectors minus finite centroids are
+    # finite by construction — skip pq_train's corpus pass
+    books = pq_train(
+        resid, m=m, k=kc, iters=iters, vec_col="residual", check_finite=False
+    )
     codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))
     return IvfPqIndex(codes, cents, books)
 

@@ -1468,7 +1468,7 @@ def q_knn_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets: per-band occupancy matches the single-bucket query's, so
     the banded candidate volume is ~bands× the base — the intended
     recall/cost trade, not a bucket-coarsening blow-up (4 planes per
-    band benched 15.8 s at sf0.1; this shape ~2 s)."""
+    band benched 15.8 s at sf0.1; this shape 5.5 s)."""
     from yfinance_etl_spark.operators.similarity import knn_join
 
     return knn_join(
@@ -3166,8 +3166,10 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one of the strongest cross-checks in the suite.
 # ---------------------------------------------------------------------------
 
-_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_SHINGLE_CTES},
+#: shared jaccard-0.8 pair CTE text — ONE builder for the cluster,
+#: pagerank, and canonical-centrality oracles so the pair semantics
+#: cannot drift between them (mirrors dedup.jaccard_pairs)
+_PAIRS_08_CTES = f"""{_SHINGLE_CTES},
 total AS (SELECT COUNT(*) AS n_docs FROM documents),
 dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
 kept AS (
@@ -3187,7 +3189,11 @@ pairs AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.8
-),
+)"""
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_PAIRS_08_CTES},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -3212,6 +3218,127 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the dedup graph (r13): where dedup_clusters picks each
+# cluster's min-id representative, rank scores CENTRALITY — the document
+# most near-duplicated by the rest (usually the cleanest copy) and the
+# hub-document ranking a curation review reads. New algorithm class for
+# the engine (fixed-round iterative message passing with per-round
+# quantization), oracle = the same rounds unrolled as CTEs: per-edge
+# contributions quantized to the 9 dp grid BEFORE the decimal(38,18)
+# sum (order-insensitive, exact in both engines), rank re-quantized to 9 dp per
+# round, teleport written as the ENGINE expression (1 - 0.85) so neither
+# side inherits python's 0.15000000000000002.
+# ---------------------------------------------------------------------------
+
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+c{k} AS (
+  SELECT r.node, ROUND(r.rank / d.deg, 9) AS c
+  FROM r{k - 1} r JOIN deg d ON d.a = r.node
+),
+m{k} AS (
+  SELECT e.b AS node, CAST(SUM(CAST(c.c AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM edges e JOIN c{k} c ON c.node = e.a
+  GROUP BY e.b
+),
+r{k} AS (
+  SELECT m.node, ROUND((1 - {damping}) / nn.n + {damping} * m.s, 9) AS rank
+  FROM m{k} m CROSS JOIN nn
+)""")
+    return f"""
+WITH {_PAIRS_08_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT a AS node, ROUND(1.0 / nn.n, 9) AS rank FROM deg CROSS JOIN nn)
+{''.join(rounds)}
+SELECT node, rank FROM r{iters}
+"""
+
+
+@_register("dedup_graph_pagerank", _pagerank_sql())
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+    from yfinance_etl_spark.operators.graph import pagerank
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return pagerank(pairs, src="doc_a", dst="doc_b", iters=3)
+
+
+def _canonical_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Composition oracle: the recursive-CTE component labels AND the
+    unrolled PageRank rounds over ONE shared edge set, then per
+    component the max-rank (tie → min id) representative."""
+    pr = _pagerank_sql(iters, damping)
+    # reuse the pagerank text up to its final SELECT, then add the
+    # component machinery (same reach CTE as _CLUSTERS_SQL) on top
+    body = pr[: pr.rindex("SELECT node, rank")]
+    return (
+        body.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + f""",
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+csz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+canon AS (
+  SELECT c.component, r.node AS doc_id, r.rank,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY r.rank DESC, r.node) AS rn
+  FROM comp c JOIN r{iters} r ON r.node = c.doc_id
+)
+SELECT canon.component, canon.doc_id AS canonical_doc_id,
+       canon.rank AS canonical_rank, csz.cluster_size
+FROM canon JOIN csz USING (component)
+WHERE rn = 1
+"""
+    )
+
+
+@_register("dedup_canonical_centrality", _canonical_sql())
+def q_dedup_canonical_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two graph operators COMPOSED into the decision a dedup
+    pipeline actually ships: per duplicate cluster, keep the most
+    CENTRAL copy (max PageRank, tie → min id) instead of
+    dedup_clusters' arbitrary min-id representative — centrality picks
+    the document most near-duplicated by the rest, which on crawl data
+    is usually the cleanest/most-complete copy. One shared pair
+    computation feeds both the component labels and the rank rounds."""
+    from pyspark.sql import Window as W
+
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+    from yfinance_etl_spark.operators.graph import dedup_clusters, pagerank
+
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    ).localCheckpoint(eager=True)
+    clusters = dedup_clusters(pairs)
+    ranks = pagerank(pairs, src="doc_a", dst="doc_b", iters=3)
+    w = W.partitionBy("component").orderBy(F.desc("rank"), F.asc("doc_id"))
+    return (
+        clusters.join(ranks, clusters.doc_id == ranks.node)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("rank").alias("canonical_rank"),
+            "cluster_size",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5518,67 +5645,64 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r12 rotation (tools/rotate_window.py, staleness-first): the nine
-# never-attested r12 newcomers (ann_int8_persisted, ann_ivfpq_topk,
-# ann_pq_topk, crawl_incremental_dedup, curation_verdict,
-# knn_join_topk, stream_curation_verdict, stream_delta_verified,
-# url_frontier_dedup) lead, then the r9-last-attested dedup/ANN half (their r11 slots went
-# to the r11 newcomers), then the r10-attested set in staleness order.
-# sketch_profile is oracle-less by design (opaque HLL/GK state;
-# accuracy pinned by the epsilon test, distinct-count verifiability by
-# kmv_distinct) — it can only ever get the weak rows-only check, so it
-# does not occupy a hash-attestable window slot.
+# r13 rotation (tools/rotate_window.py, staleness-first): the six
+# never-attested r13 newcomers (ann_ivfpq_appended, ann_ivfpq_persisted,
+# crawl_two_day_dedup, dedup_canonical_centrality, dedup_graph_pagerank,
+# knn_join_banded) lead, then staleness order per the rotation tool.
+# sketch_profile is oracle-less by design (opaque HLL/GK state) — it can
+# only ever get the weak rows-only check, so it does not occupy a
+# hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "ann_int8_persisted",  # never
-    "ann_ivfpq_topk",  # never
-    "ann_pq_topk",  # never
-    "crawl_incremental_dedup",  # never
-    "curation_verdict",  # never
-    "knn_join_topk",  # never
-    "stream_curation_verdict",  # never
-    "stream_delta_verified",  # never
-    "url_frontier_dedup",  # never
-    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9
-    "ann_bucketed_topk",  # r2,3,4,5,6,9
-    "ann_ivf_topk",  # r2,3,4,5,6,9
-    "ann_multiprobe_topk",  # r2,3,4,5,6,9
-    "dedup_embedding_cosine",  # r2,3,4,5,6,9
-    "dedup_simhash",  # r2,3,4,5,6,9
-    "dedup_exact_fingerprint",  # r1,2,3,4,5,6,9
-    "dedup_minhash_lsh",  # r1,2,3,4,5,6,9
-    "dedup_ngram_jaccard",  # r1,2,3,4,5,6,9
-    "knn_cosine_topk",  # r1,2,3,4,5,6,9
-    "contamination_bloom",  # r10
-    "dedup_delta_snapshot",  # r10
-    "jsonl_ingest_profile",  # r10
-    "lm_perplexity",  # r10
-    "multimodal_jpeg_meta",  # r10
-    "split_leakage_check",  # r10
-    "funnel_conversions",  # r7,8,10
-    "cohort_retention",  # r6,7,8,10
-    "compacted_sink_roundtrip",  # r6,7,8,10
-    "contamination_check",  # r6,7,8,10
-    "datasource_monthly_bars",  # r6,7,8,10
-    "dedup_clusters",  # r6,7,8,10
-    "dedup_embedding_banded",  # r6,7,8,10
-    "doc_quality_gopher",  # r6,7,8,10
-    "frame_sample",  # r6,7,8,10
-    "fund_expense_ratio",  # r6,7,8,10
-    "incremental_rollup",  # r6,7,8,10
-    "kmeans_clusters",  # r6,7,8,10
-    "kmv_distinct",  # r6,7,8,10
-    "multimodal_resize",  # r6,7,8,10
-    "order_value_deciles",  # r6,7,8,10
-    "events_json_profile",  # r3,4,5,7,8,10
-    "scalar_profile",  # r3,4,5,7,8,10
-    "sql_top_orders_per_priority",  # r3,4,5,7,8,10
-    "bucketed_join_revenue",  # r2,3,4,5,7,8,10
-    "chunk_stats",  # r2,3,4,5,7,8,10
-    "datasource_history",  # r2,3,4,5,7,8,10
-    "doc_sentiment",  # r2,3,4,5,7,8,10
-    "metrics_unpivot",  # r2,3,4,5,7,8,10
-    "multimodal_features",  # r2,3,4,5,7,8,10
-    "newsfeed_sentiment",  # r2,3,4,5,7,8,10
+    "ann_ivfpq_appended",  # never
+    "ann_ivfpq_persisted",  # never
+    "crawl_two_day_dedup",  # never
+    "dedup_canonical_centrality",  # never
+    "dedup_graph_pagerank",  # never
+    "knn_join_banded",  # never
+    "pdf_page_text",  # r2,3,4,5,7,8,10
+    "peer_group_lookup",  # r2,3,4,5,7,8,10
+    "rag_answers",  # r2,3,4,5,7,8,10
+    "rag_retrieval",  # r2,3,4,5,7,8,10
+    "revenue_rollup",  # r2,3,4,5,7,8,10
+    "rolling_fingerprint",  # r2,3,4,5,7,8,10
+    "sector_weights",  # r2,3,4,5,7,8,10
+    "sink_roundtrip",  # r2,3,4,5,7,8,10
+    "token_stats",  # r2,3,4,5,7,8,10
+    "benchmark_ols",  # r1,2,3,4,5,7,8,10
+    "cumulative_return",  # r1,2,3,4,5,7,8,10
+    "customers_without_urgent_orders_anti",  # r1,2,3,4,5,7,8,10
+    "dividend_yield",  # r1,2,3,4,5,7,8,10
+    "ema_20",  # r1,2,3,4,5,7,8,10
+    "flagship_risk",  # r1,2,3,4,5,7,8,10
+    "orders_with_lineitems_semi",  # r1,2,3,4,5,7,8,10
+    "positional_lookback",  # r1,2,3,4,5,7,8,10
+    "pricing_summary",  # r1,2,3,4,5,7,8,10
+    "revenue_by_region",  # r1,2,3,4,5,7,8,10
+    "ann_int8_topk",  # r11
+    "encoding_quality",  # r11
+    "multimodal_exif_meta",  # r11
+    "sequence_packing",  # r11
+    "stream_delta_candidates",  # r11
+    "char_entropy",  # r9,11
+    "contamination_substring",  # r9,11
+    "dedup_editdistance",  # r9,11
+    "display_formatting",  # r9,11
+    "dsir_importance_topk",  # r9,11
+    "ema_20_segmented",  # r9,11
+    "pdf_report_roundtrip",  # r9,11
+    "semantic_dedup",  # r9,11
+    "substring_dup_spans",  # r9,11
+    "substring_dup_winnowed",  # r9,11
+    "temperature_mix_lang",  # r9,11
+    "vocab_heavy_hitters",  # r9,11
+    "weighted_sample_topk",  # r9,11
+    "winsorized_order_value",  # r9,11
+    "zorder_curve",  # r9,11
+    "order_value_quantiles",  # r6,9,11
+    "orders_cube",  # r6,9,11
+    "pii_redaction",  # r6,9,11
+    "price_band_join",  # r6,9,11
+    "price_pivot_wide",  # r6,9,11
 ]
 
 

@@ -1761,3 +1761,43 @@ def test_ivfpq_append_is_frozen_structure_encoding(spark, tmp_path):
     got = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=idx).collect())
     want = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=twin).collect())
     assert got == want and len(got) == 25
+
+
+def test_int8_codes_append_is_staleness_free(spark, tmp_path):
+    """The int8 tier's delta append (write_int8_codes mode='append') has
+    ZERO staleness by construction — the quantization scale is
+    per-vector, so there is no trained structure to go stale: base +
+    appended delta must equal a one-shot full write bit-for-bit, and the
+    two-stage retrieval over the appended store equals the inline path
+    exactly. (Contrast: IVFPQ append quantizes against frozen codebooks
+    and its recall drift is swept — kind=annappend.)"""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.similarity import (
+        int8_topk,
+        read_int8_codes,
+        write_int8_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_pred = F.col("vec_id") % 5 != 0
+
+    appended = str(tmp_path / "appended")
+    write_int8_codes(emb.filter(base_pred), appended)
+    write_int8_codes(emb.filter(~base_pred), appended, mode="append")
+
+    full = str(tmp_path / "full")
+    write_int8_codes(emb, full)
+
+    a = sorted(tuple(r) for r in read_int8_codes(spark, appended).collect())
+    f = sorted(tuple(r) for r in read_int8_codes(spark, full).collect())
+    assert a == f and len(a) == emb.count()
+
+    got = sorted(
+        tuple(r)
+        for r in int8_topk(
+            emb, k=5, codes_df=read_int8_codes(spark, appended)
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in int8_topk(emb, k=5).collect())
+    assert got == want and len(got) == 25

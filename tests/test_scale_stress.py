@@ -544,3 +544,32 @@ def test_recorded_annappend_sweep_supports_the_claims():
         # blow-up's replicas stay inside the base's geometry, so the
         # non-monotone curve is the honest finding, not a clean decay)
         assert abs(r["recall_drift"]) <= 0.25, r
+
+
+def test_recorded_pagerank_sweep_supports_the_claims():
+    # tools/scale_stress.py pagerank — the new-operator-family sweep
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    pr = [r for r in lines if r.get("kind") == "pagerank"]
+    assert len(pr) >= 3, "pagerank sweep not recorded"
+    assert max(r["n_docs"] for r in pr) >= 16 * min(r["n_docs"] for r in pr)
+    for r in pr:
+        # rank mass conserved up to the 9dp per-round quantization —
+        # the decimal-sum discipline's observable
+        assert abs(r["rank_mass"] - 1.0) < 1e-4, r
+    summ = [r for r in lines if r.get("kind") == "pagerank_summary"][-1]
+    # the near-dup graph grows ~linearly under the linear-dup blow-up,
+    # and rank wall tracks edges (scheduling-flat at fixture sizes),
+    # never the doc-pair square
+    assert summ["edge_growth_exponent_vs_docs"] <= 1.3, summ
+    assert summ["wall_growth_exponent_vs_edges"] <= 1.3, summ

@@ -561,17 +561,27 @@ def int8_codes(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def write_int8_codes(embeddings: DataFrame, path: str) -> None:
+def write_int8_codes(
+    embeddings: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
     """Persist ``int8_codes(embeddings)`` through the S10 sink — the
     codes table a production retrieval pass scans in stage 1. Written
     once per embedding snapshot (linear, map-only); float vectors then
     enter only the candidate-sized rerank join
     (``int8_topk(codes_df=read_int8_codes(...))``), which is what makes
     the 4× scan-bandwidth claim an executable path rather than a
-    docstring promise."""
+    docstring promise.
+
+    ``mode="append"`` is the delta-maintenance step (the signature-store
+    /IVFPQ append for this tier) — and unlike IVFPQ's frozen codebooks,
+    int8 append has ZERO staleness by construction: the quantization
+    scale is PER-VECTOR (max|x| of that vector alone), so a delta
+    encodes identically whether written with the base snapshot or years
+    later — appended-store results equal a full rewrite bit-for-bit
+    (test-pinned), no recall drift to monitor."""
     from yfinance_etl_spark.sources.sink import write_partitioned
 
-    write_partitioned(int8_codes(embeddings), path)
+    write_partitioned(int8_codes(embeddings), path, mode=mode)
 
 
 def read_int8_codes(spark, path: str) -> DataFrame:

@@ -1801,3 +1801,30 @@ def test_int8_codes_append_is_staleness_free(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in int8_topk(emb, k=5).collect())
     assert got == want and len(got) == 25
+
+
+def test_salted_paths_survive_negative_ids(spark):
+    """The blocked-salt sub-joins must use pmod, not Spark's
+    sign-preserving %: a negative id's % salt lands in [-(S-1), 0],
+    which no replica carries — every pair involving that id would
+    silently VANISH from the salted join while the unsalted twin keeps
+    it (r13 self-review). Pinned on knn_join with negative vec_ids:
+    salted == unsalted, and the negative-id vectors DO emit rows."""
+    import numpy as np
+
+    from yfinance_etl_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], "x")
+        for i in range(-6, 6)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    base = sorted(tuple(r) for r in knn_join(emb, k=2, n_planes=2).collect())
+    salted = sorted(
+        tuple(r) for r in knn_join(emb, k=2, n_planes=2, salt=4).collect()
+    )
+    assert salted == base
+    assert any(r[0] < 0 for r in base)  # negative-id queries are present

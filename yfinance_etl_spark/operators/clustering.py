@@ -389,7 +389,9 @@ def semantic_dedup(
         ),
     )
     a = with_norm.withColumn(
-        "salt", (F.col("vec_id") % _SALT_BLOCKS).cast("int")
+        # pmod, not %: a negative vec_id's sign-preserving % salt would
+        # match no replica and its pairs would silently vanish
+        "salt", F.pmod(F.col("vec_id"), F.lit(_SALT_BLOCKS)).cast("int")
     ).alias("a")
     b = with_norm.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BLOCKS - 1)))

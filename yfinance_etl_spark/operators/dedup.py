@@ -1586,7 +1586,9 @@ def embedding_neardup(
     # re-concentrates each hot bucket into one task (measured 3.6 s ->
     # 9 s at sf0.1). The salt pays off when the join degrades to a
     # shuffle at true scale, where it splits the hot bucket's shuffle key.
-    a_ = b.withColumn("salt", (F.col("doc_id") % S).cast("int")).alias("a")
+    # pmod, not %: a negative doc_id's sign-preserving % salt would
+    # match no replica and its pairs would silently vanish
+    a_ = b.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(S)).cast("int")).alias("a")
     b_ = b.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))).alias("b")
     pairs = a_.join(
         b_,

@@ -141,6 +141,11 @@ def pagerank(
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # NULL endpoints are dropped, stated: a NULL node would receive
+        # rank but never match the contribs equi-join (NULL == NULL is
+        # NULL), silently vanishing after round 1 — exclude it up front
+        # (no near-dup pair source emits NULL ids; generic callers might)
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -405,7 +405,14 @@ def append_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     against the OLD corpus's geometry, so recall drifts as the appended
     fraction grows — the kind=annappend sweep measures that drift
     against a full retrain, which is the signal a deployment uses to
-    schedule retraining (exactly FAISS's add-vs-train split)."""
+    schedule retraining (exactly FAISS's add-vs-train split).
+
+    CONTRACT (the counting-Bloom retired⊆seen style — stated, not
+    silently broken): appended vec_ids must be NEW. Re-appending an id
+    already in the index duplicates its codes row, and a probe would
+    rank the duplicate as a second neighbor; deduplicating here would
+    cost a full index anti-join per delta, which callers that track
+    their snapshot boundary (every caller in this repo) never need."""
     from yfinance_etl_spark.operators.similarity import (
         check_finite_vectors,
         ivf_assign_to,

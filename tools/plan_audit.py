@@ -251,6 +251,14 @@ AUDITS: dict[str, str] = {
         "centroid frames; embeddings.parquet appears only under the "
         "query-row filter and the candidate-sized rerank join."
     ),
+    "ann_ivfpq_quant_error": (
+        "The online retraining signal over the appended index: the codes "
+        "scan (list_id-partitioned index parquet) reconstructs via "
+        "broadcast joins, joins the float snapshot on vec_id, and ONE "
+        "hash aggregate keyed on list_id emits the per-list decimal-sum "
+        "error — a map-side pass + one keyed agg, no training jobs, no "
+        "top-k windows anywhere in the plan."
+    ),
     "dedup_graph_pagerank": (
         "Fixed-round iterative message passing: each round's frames "
         "reduce to LogicalRDD leaves (per-round localCheckpoint — the "

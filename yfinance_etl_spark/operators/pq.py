@@ -473,6 +473,69 @@ def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     return IvfPqIndex(codes, cents, books)
 
 
+def _ivfpq_reconfull(index: IvfPqIndex) -> DataFrame:
+    """(vec_id, list_id, rfull): the index's full reconstruction —
+    coarse centroid + residual decode, map-side broadcast joins end to
+    end. Shared by the probe path and the quantization-error monitor so
+    the reconstruction algebra cannot drift between them."""
+    cents = F.broadcast(index.centroids)
+    recon_res = pq_reconstruct(index.codes, index.books, carry=("list_id",))
+    return (
+        recon_res.join(cents, recon_res.list_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("rvec", "cent_vec", lambda x, y: x + y).alias("rfull"),
+        )
+    )
+
+
+def ivfpq_quantization_error(
+    embeddings: DataFrame,
+    index: IvfPqIndex | None = None,
+    k_centroids: int = 8,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """(list_id, n_vectors, mean_sq_error): per-inverted-list mean
+    squared reconstruction error — THE production retraining signal for
+    an appended index. The kind=annappend sweep measures recall drift
+    against a full retrain OFFLINE (it needs the exact scan); this is
+    the metric a deployment watches ONLINE: frozen codebooks quantize a
+    drifting delta progressively worse, and the error is computable in
+    one map-side pass (reconstruction = broadcast joins; the squared
+    distance is the shared 9 dp _sqdist grid) + one keyed agg — no
+    exact-scan oracle needed. Per LIST, not global: drift localizes to
+    the lists receiving new-regime vectors, which is also where n_probe
+    recall dies first.
+
+    Deterministic cross-engine: per-row squared error on the 9 dp grid,
+    decimal(38,18) sum, mean rounded to 6 dp — the dsum discipline, so
+    the DuckDB oracle replays training + encode + reconstruction + this
+    aggregation exactly.
+
+    CONTRACT: ``embeddings`` must cover the index's vec_ids (the metric
+    joins codes to floats on vec_id, and an id missing from either side
+    silently leaves the mean) — callers monitor the SAME snapshot the
+    index was built+appended from, which every caller here does."""
+    if index is None:
+        index = build_ivfpq_index(embeddings, k_centroids, m, kc, iters)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    joined = _ivfpq_reconfull(index).join(emb, "vec_id")
+    sqerr = _sqdist(F.col("vec"), F.col("rfull"))
+    return joined.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(sqerr.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sq_error"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -533,16 +596,7 @@ def ivfpq_topk(
             f"rerank_factor must be an int or 'auto', got {rerank_factor!r}"
         )
     cents = F.broadcast(index.centroids)
-    recon_res = pq_reconstruct(index.codes, index.books, carry=("list_id",))
-    # full reconstruction = coarse centroid + residual reconstruction
-    recon = (
-        recon_res.join(cents, recon_res.list_id == cents.cent_id)
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("rvec", "cent_vec", lambda x, y: x + y).alias("rfull"),
-        )
-    )
+    recon = _ivfpq_reconfull(index)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
     )

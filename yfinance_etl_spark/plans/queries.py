@@ -3889,7 +3889,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_sql(base_pred: str | None = None) -> str:
+def _ivfpq_sql(base_pred: str | None = None,
+               tail_sql: str | None = None) -> str:
     """The IVF+PQ oracle. With ``base_pred`` (the APPEND form, r13):
     coarse centroids are selected from — and the residual codebooks
     trained on — the BASE slice alone, while EVERY vector (base +
@@ -3957,7 +3958,7 @@ rp{i}_enc AS (
             for i in range(_PQ_M)
         )
     rres = " || ".join(f"cm{i}.cent" for i in range(_PQ_M))
-    tail = f""",
+    recon_part = f""",
 recon AS (
   SELECT r.vec_id, r.list_id, {rres} AS rres
   FROM residuals r {joins}
@@ -3967,7 +3968,10 @@ reconfull AS (
          list_transform(range(1, {_PQ_DIM + 1}),
                         j -> rc.rres[j] + c.cent_vec[j]) AS rfull
   FROM recon rc JOIN cents c ON c.cent_id = rc.list_id
-),
+)"""
+    if tail_sql is not None:
+        return head + "".join(",\n" + c for c in chains) + recon_part + tail_sql
+    tail = f""",
 q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 5),
 ps AS (
   SELECT q.q_id, q.q_vec, c.cent_id,
@@ -4001,7 +4005,7 @@ SELECT q_id, neighbor_id, cos_sim,
 FROM rer
 QUALIFY knn_rank <= 5
 """
-    return head + "".join(",\n" + c for c in chains) + tail
+    return head + "".join(",\n" + c for c in chains) + recon_part + tail
 
 
 @_register("ann_ivfpq_topk", _ivfpq_sql())
@@ -4068,6 +4072,48 @@ def q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = read_ivfpq_index(spark, f"{base}/index")
     return ivfpq_topk(emb, k=5, rerank_factor=_PQ_RERANK, index=idx)
+
+
+_IVFPQ_ERR_TAIL = f"""
+SELECT rf.list_id, COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(ROUND(list_sum(list_transform(range(1, {_PQ_DIM + 1}),
+             j -> (e.vec[j] - rf.rfull[j]) * (e.vec[j] - rf.rfull[j]))), 9)
+             AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS mean_sq_error
+FROM reconfull rf JOIN emb e ON e.vec_id = rf.vec_id
+GROUP BY rf.list_id
+"""
+
+
+@_register(
+    "ann_ivfpq_quant_error",
+    _ivfpq_sql(base_pred=_IVFPQ_BASE_PRED, tail_sql=_IVFPQ_ERR_TAIL),
+)
+def q_ann_ivfpq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraining SIGNAL for the appended index, oracle-gated:
+    per-inverted-list mean squared reconstruction error over the
+    base-trained + delta-appended store. kind=annappend measures recall
+    drift OFFLINE (needs the exact scan); this is what a deployment
+    watches ONLINE — frozen codebooks quantize a drifting delta
+    progressively worse, localized to the lists receiving the new
+    regime, and the whole metric is one map-side reconstruction pass +
+    one keyed agg (9 dp squared-error grid, decimal sum, 6 dp mean —
+    the dsum discipline, replayed by the oracle)."""
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_quantization_error,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = scratch_dir("yfinance_etl_ivfpq_err", sf_dir, fresh=True)
+    write_ivfpq_index(emb.filter(_IVFPQ_BASE_PRED), f"{base}/index")
+    append_ivfpq_index(
+        emb.filter(f"NOT ({_IVFPQ_BASE_PRED})"), f"{base}/index"
+    )
+    idx = read_ivfpq_index(spark, f"{base}/index")
+    return ivfpq_quantization_error(emb, index=idx)
 
 
 
@@ -5645,16 +5691,17 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r13 rotation (tools/rotate_window.py, staleness-first): the six
+# r13 rotation (tools/rotate_window.py, staleness-first): the seven
 # never-attested r13 newcomers (ann_ivfpq_appended, ann_ivfpq_persisted,
-# crawl_two_day_dedup, dedup_canonical_centrality, dedup_graph_pagerank,
-# knn_join_banded) lead, then staleness order per the rotation tool.
-# sketch_profile is oracle-less by design (opaque HLL/GK state) — it can
-# only ever get the weak rows-only check, so it does not occupy a
-# hash-attestable window slot.
+# ann_ivfpq_quant_error, crawl_two_day_dedup, dedup_canonical_centrality,
+# dedup_graph_pagerank, knn_join_banded) lead, then staleness order per
+# the rotation tool. sketch_profile is oracle-less by design (opaque
+# HLL/GK state) — it can only ever get the weak rows-only check, so it
+# does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
     "ann_ivfpq_appended",  # never
     "ann_ivfpq_persisted",  # never
+    "ann_ivfpq_quant_error",  # never
     "crawl_two_day_dedup",  # never
     "dedup_canonical_centrality",  # never
     "dedup_graph_pagerank",  # never
@@ -5702,7 +5749,6 @@ _WINDOW_PRIORITY = [
     "orders_cube",  # r6,9,11
     "pii_redaction",  # r6,9,11
     "price_band_join",  # r6,9,11
-    "price_pivot_wide",  # r6,9,11
 ]
 
 

@@ -1568,6 +1568,10 @@ def test_knn_join_salt_and_auto_geometry_are_result_invisible(spark):
         tuple(r) for r in knn_join(emb, k=3, bands=3, dim=64, salt=4).collect()
     )
     assert b3 == b3_salted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        knn_join(emb, k=3, bands=3, n_planes=6)
 
 
 def test_knn_join_banded_recall_is_monotone_in_bands(spark):

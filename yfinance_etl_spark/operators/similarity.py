@@ -447,6 +447,12 @@ def knn_join(
     if bands is not None:
         if bands < 1:
             raise ValueError(f"bands must be >= 1, got {bands}")
+        if n_planes is not None:
+            raise ValueError(
+                "knn_join: bands and n_planes are mutually exclusive — the "
+                "banded form sizes each band with rows_per_band "
+                f"(got bands={bands}, n_planes={n_planes})"
+            )
         # disjoint mask windows b·r+1 … b·r+r; lsh_bucket fail-fasts a
         # window that would run past dim-1
         banded = emb

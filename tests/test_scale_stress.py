@@ -573,3 +573,35 @@ def test_recorded_pagerank_sweep_supports_the_claims():
     # never the doc-pair square
     assert summ["edge_growth_exponent_vs_docs"] <= 1.3, summ
     assert summ["wall_growth_exponent_vs_edges"] <= 1.3, summ
+
+
+def test_recorded_emattl_sweep_supports_the_eviction_claim():
+    # tools/scale_stress.py emattl — the TTL'd stateful EMA's measured
+    # state bound (r12 verdict item 5's long-stream discipline)
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    et = [r for r in lines if r.get("kind") == "emattl"]
+    assert len(et) >= 3, "emattl sweep not recorded"
+    assert max(r["total_users"] for r in et) >= 4 * min(r["total_users"] for r in et)
+    for r in et:
+        # TTL state tracks the ACTIVE window — flat at users_per_batch
+        # (+ small in-flight headroom) regardless of stream length...
+        assert r["ttl_state_rows_max"] <= 2 * r["users_per_batch"], r
+        # ...and every lapsed key is eventually REMOVED
+        assert r["ttl_rows_removed"] >= r["total_users"] - r["users_per_batch"], r
+        # while the NoTimeout twin's store grows with every key ever seen
+        assert r["nottl_state_rows_final"] == r["total_users"], r
+    # the contrast IS the claim: at the longest stream, TTL's peak state
+    # is a small fraction of NoTimeout's
+    big = max(et, key=lambda r: r["total_users"])
+    assert big["ttl_state_rows_max"] * 4 <= big["nottl_state_rows_max"], big

@@ -1932,9 +1932,107 @@ def main_pagerank(factors: list[int]) -> None:
         )
 
 
+def main_emattl(n_batches_list: list[int]) -> None:
+    """TTL'd stateful-EMA sweep (r13, the streamstate discipline for the
+    applyInPandasWithState operator): a churning key population — each
+    micro-batch brings a fresh window of W users, prior users go silent —
+    drives the TTL'd stream; state must track the ACTIVE window (max
+    state rows ~W + in-flight) while the NoTimeout twin's state grows
+    with every key ever seen (B·W). One JSON line per stream length,
+    kind="emattl"."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from yfinance_etl_spark.session import get_spark as _gs
+    from yfinance_etl_spark.streaming.streams import ema_stream
+
+    spark = _gs("scale-stress-emattl")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    W = 50  # active users per batch window
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    t0 = datetime(2024, 1, 1)
+
+    for n_batches in n_batches_list:
+        src = tempfile.mkdtemp(prefix="emattl_")
+        try:
+            for i in range(n_batches):
+                rows = [
+                    (i * W + u, i * W + u, t0 + timedelta(hours=i), 1.0 + u)
+                    for u in range(W)
+                ]
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{src}/f{i}")
+            total_rows = n_batches * W
+
+            def run(ttl_ms):
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{src}/f*")
+                )
+                q = (
+                    ema_stream(stream, alpha=0.1, ttl_ms=ttl_ms)
+                    .writeStream.format("memory")
+                    .queryName(f"emattl_{ttl_ms}_{n_batches}")
+                    .outputMode("update")
+                    .trigger(processingTime="50 milliseconds")
+                    .start()
+                )
+                deadline = time.time() + 180
+                while time.time() < deadline:
+                    seen = sum(p["numInputRows"] for p in q.recentProgress)
+                    idle = [
+                        p
+                        for p in q.recentProgress
+                        if p["numInputRows"] == 0 and p["stateOperators"]
+                    ]
+                    if seen >= total_rows and len(idle) >= 2:
+                        break
+                    time.sleep(0.2)
+                q.stop()
+                q.awaitTermination()
+                states = [
+                    p["stateOperators"][0]["numRowsTotal"]
+                    for p in q.recentProgress
+                    if p["stateOperators"]
+                ]
+                removed = sum(
+                    p["stateOperators"][0].get("numRowsRemoved", 0)
+                    for p in q.recentProgress
+                    if p["stateOperators"]
+                )
+                return max(states), states[-1], removed
+
+            ttl_max, ttl_final, ttl_removed = run(1)
+            not_max, not_final, _ = run(None)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "kind": "emattl",
+                    "n_batches": n_batches,
+                    "users_per_batch": W,
+                    "total_users": n_batches * W,
+                    "ttl_state_rows_max": ttl_max,
+                    "ttl_state_rows_final": ttl_final,
+                    "ttl_rows_removed": ttl_removed,
+                    "nottl_state_rows_max": not_max,
+                    "nottl_state_rows_final": not_final,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "pagerank":
+    if argv and argv[0] == "emattl":
+        main_emattl([int(x) for x in argv[1:]] or [4, 8, 16])
+    elif argv and argv[0] == "pagerank":
         main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "annappend":
         main_annappend([int(x) for x in argv[1:]] or [1, 2, 4, 16])

@@ -3900,7 +3900,12 @@ def _ivfpq_sql(base_pred: str | None = None,
     scored+ranked CTE pair against the chain's FINAL centroids (the
     assign_cte rule: 9dp d2 grid, ties → lowest cent_id); for base rows
     it coincides with the chain's own final assignment, so one encode
-    path covers both populations."""
+    path covers both populations.
+
+    ``tail_sql`` swaps the probe suffix for a caller-supplied one over
+    the shared CTEs (everything up to ``reconfull``) — the socket the
+    quantization-error oracle plugs into, so the probe and monitor
+    replays can never drift on training/encode/reconstruction."""
     w = _PQ_DIM // _PQ_M
     cent_src = "emb" if base_pred is None else f"(SELECT * FROM emb WHERE {base_pred})"
     train_src = "residuals" if base_pred is None else f"(SELECT * FROM residuals WHERE {base_pred})"

@@ -90,9 +90,18 @@ def main() -> int:
             materialize(load_table(spark, sf_dir, t))
     setup_sec = time.perf_counter() - t0
 
+    # Experiment knobs (tools/bench_drift.py suite-composition legs):
+    # EXCLUDE skips named queries; LAST defers named queries to the end
+    # of the pass while keeping registry order otherwise.
+    exclude = {n for n in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if n}
+    last = [n for n in os.environ.get("SPARK_GRAFT_BENCH_LAST", "").split(",") if n]
+    names = [n for n in REGISTRY if n not in exclude and n not in last]
+    names += [n for n in last if n in REGISTRY and n not in exclude]
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in REGISTRY.items():
+    for name in names:
+        q = REGISTRY[name]
         t1 = time.perf_counter()
         try:
             materialize(q.fn(spark, sf_dir))

@@ -1531,6 +1531,13 @@ def test_scaled_plane_count_rule_and_bounds(spark):
 
     with _pytest.raises(ValueError, match="target_occupancy"):
         scaled_plane_count(100, 0)
+    # degenerate mask window (r13 advice): a clamp would hand
+    # lsh_bucket(n_planes=0) a single constant bucket — the quadratic
+    # blow-up the rule exists to prevent. Must fail loudly instead.
+    with _pytest.raises(ValueError, match="Walsh mask window"):
+        scaled_plane_count(1 << 20, 32, dim=1)
+    with _pytest.raises(ValueError, match="Walsh mask window"):
+        scaled_plane_count(1 << 20, 32, dim=4, first_mask=4)
 
 
 def test_knn_join_salt_and_auto_geometry_are_result_invisible(spark):
@@ -1765,6 +1772,30 @@ def test_ivfpq_append_is_frozen_structure_encoding(spark, tmp_path):
     got = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=idx).collect())
     want = sorted(tuple(r) for r in ivfpq_topk(emb, k=5, index=twin).collect())
     assert got == want and len(got) == 25
+
+
+def test_ivfpq_append_assert_new_ids_detects_duplicates(spark, tmp_path):
+    """The appended-ids-must-be-NEW contract is detectable on demand
+    (r13 advice): assert_new_ids=True runs one count-vs-count-distinct
+    aggregate over the codes table after the append — a legitimate delta
+    passes, re-appending an id already in the index raises instead of
+    silently double-counting it in probes and the quant-error monitor."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_pred = F.col("vec_id") % 5 != 0
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb.filter(base_pred), path)
+    delta = emb.filter(~base_pred)
+    append_ivfpq_index(delta, path, assert_new_ids=True)  # new ids: passes
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        append_ivfpq_index(delta, path, assert_new_ids=True)  # re-append
 
 
 def test_int8_codes_append_is_staleness_free(spark, tmp_path):

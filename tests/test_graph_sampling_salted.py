@@ -628,7 +628,7 @@ def test_pack_documents_raises_loudly_on_null_text(spark):
 def test_pagerank_quantized_recursion_hand_replayed(spark):
     """pagerank on a path graph 1-2-3, replayed exactly in Python with
     the same quantization schedule (9 dp contributions, decimal-exact
-    sums, 9 dp ranks, engine-evaluated teleport): the center must
+    sums, 9 dp ranks, 9 dp-quantized teleport): the center must
     out-rank the leaves, the leaves tie by symmetry, mass stays ~1, and
     every value matches the quantized recursion bit-for-bit — the same
     determinism contract the DuckDB oracle relies on."""
@@ -644,7 +644,8 @@ def test_pagerank_quantized_recursion_hand_replayed(spark):
     # python replay of the exact quantized recursion
     deg = {1: 1, 2: 2, 3: 1}
     n = 3
-    teleport = (1.0 - 0.85) / n
+    # quantized to the shared 9 dp grid, same as the engine + oracle
+    teleport = round((1.0 - 0.85) / n, 9)
     ranks = {v: round(1.0 / n, 9) for v in deg}
     sym = [(1, 2), (2, 1), (2, 3), (3, 2)]
     for _ in range(3):

@@ -628,6 +628,43 @@ def test_stream_delta_batch_replay_is_idempotent(spark, tmp_path):
     assert second == first
 
 
+def test_stream_delta_fresh_checkpoint_clears_stale_sink(spark, tmp_path):
+    """The idempotent batch_id=N overwrite only covers batch ids the new
+    run REACHES: a fresh-checkpoint rerun with a different batch
+    decomposition would leave earlier runs' higher-numbered directories
+    in place and read_delta_pairs would return their rows as phantom
+    pairs (r13 advice). The operator enforces the pairing contract —
+    fresh checkpoint => the sink is cleared before the run — so a stale
+    directory cannot survive into the new run's pair set."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        delta_neardup_stream,
+        minhash_bands,
+        read_delta_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = F.col("doc_id") % 10 < 2
+    corpus_bands = minhash_bands(docs.filter(~pred)).localCheckpoint(eager=True)
+    out = str(tmp_path / "out")
+
+    # a stale directory from a hypothetical earlier run whose batch
+    # decomposition the new run will not reproduce (batch_id=999)
+    spark.createDataFrame(
+        [(-1, -2, 3)], "new_doc_id long, corpus_doc_id long, n_shared_bands long"
+    ).write.parquet(f"{out}/batch_id=999")
+
+    delta_neardup_stream(
+        ST.read_documents_stream(spark, sf).filter(pred),
+        corpus_bands, out, str(tmp_path / "fresh_ckpt"),
+    )
+    pairs = read_delta_pairs(spark, out)
+    assert pairs.filter(F.col("new_doc_id") == -1).count() == 0  # no phantom
+    assert pairs.count() > 0
+
+
 def test_crawl_two_day_grows_the_store_and_stays_delta_only(spark, monkeypatch):
     """The two-day loop's three pins (r12 verdict item 4):
 

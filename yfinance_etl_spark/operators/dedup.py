@@ -626,6 +626,18 @@ def delta_neardup_stream(
     complete-mode streaming aggregation (state = every pair ever
     emitted) cannot offer.
 
+    Sink/checkpoint pairing contract (r13 advice): the per-batch
+    ``batch_id=N`` overwrite is idempotent only when the batch
+    decomposition is stable — i.e. a RESTART from the same checkpoint.
+    A rerun from a FRESH checkpoint into the same ``out_dir`` may
+    decompose the source into fewer/different batches (different
+    maxFilesPerTrigger, compacted source) and overwrite only the batch
+    ids it reaches, leaving stale ``batch_id=N`` directories whose rows
+    ``read_delta_pairs`` would return as phantom pairs. A fresh
+    checkpoint therefore REQUIRES a fresh ``out_dir`` — enforced here:
+    when ``checkpoint_dir`` does not yet exist (new stream identity) any
+    pre-existing ``out_dir`` contents are cleared before the run.
+
     Scale shape per batch: signature compute for the DELTA alone
     (map-only minhash over the batch), band equi-join against
     ``corpus_bands`` (in production ``read_minhash_signatures`` over the
@@ -635,7 +647,18 @@ def delta_neardup_stream(
     Reference analog: the re-download-and-recompute loop
     (streamlit_app.py:819-822) is the batch antipattern this replaces.
     """
+    import os
+    import shutil
+
     from yfinance_etl_spark.streaming.streams import run_foreachbatch
+
+    # fresh checkpoint => fresh sink (docstring contract): a new stream
+    # identity must not inherit batch_id directories from an earlier run
+    # whose decomposition it won't reproduce. Local-path check only —
+    # matches this repo's scratch-dir sinks; an object-store deployment
+    # would enforce the same pairing in its launcher.
+    if not os.path.isdir(checkpoint_dir) and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if corpus_docs is None:

@@ -155,11 +155,16 @@ def pagerank(
         return sym.select(
             F.col("a").alias("node"), F.lit(0.0).alias("rank")
         )
-    # (1 - damping) evaluated IN THE ENGINE, not in Python: python's
-    # 1 - 0.85 is 0.15000000000000002 while a SQL oracle writing
-    # (1 - 0.85) gets the same binary double — keep both engines on the
-    # identical expression
-    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    # The teleport term is quantized to the SAME 9 dp grid as every other
+    # intermediate (r13 advice): DuckDB parses 0.85 as DECIMAL and computes
+    # (1 - 0.85)/n exactly (0.049999999999999996 for n=3) while Spark's
+    # double expression gives 0.05000000000000001 — a ~1e-17 skew the
+    # per-round ROUND(, 9) hides at fixture scale but that can flip a
+    # digit when a pre-round value lands within epsilon of a .5e-9
+    # boundary. Rounding teleport itself puts both engines on the
+    # identical grid double by construction (oracle mirrors with
+    # ROUND((1 - d)/nn.n, 9) in _pagerank_sql).
+    teleport = F.round((F.lit(1.0) - F.lit(damping)) / F.lit(n), 9)
     ranks = deg.select(
         F.col("a").alias("node"), F.round(F.lit(1.0) / F.lit(n), 9).alias("rank")
     )

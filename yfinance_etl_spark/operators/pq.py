@@ -387,7 +387,9 @@ def write_ivfpq_index(
     )
 
 
-def append_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
+def append_ivfpq_index(
+    new_embeddings: DataFrame, path: str, assert_new_ids: bool = False
+) -> None:
     """Index maintenance under APPEND (r12 verdict stretch #8): encode a
     delta of NEW vectors against the EXISTING persisted coarse centroids
     and residual codebooks — zero retraining — and append their
@@ -412,7 +414,11 @@ def append_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     already in the index duplicates its codes row, and a probe would
     rank the duplicate as a second neighbor; deduplicating here would
     cost a full index anti-join per delta, which callers that track
-    their snapshot boundary (every caller in this repo) never need."""
+    their snapshot boundary (every caller in this repo) never need.
+    ``assert_new_ids=True`` makes a violation DETECTABLE without the
+    anti-join (r13 advice): one post-append aggregate over the codes
+    table (count vs count-distinct on vec_id — map-side partials, no
+    per-id shuffle fan-out) raises if any id now appears twice."""
     from yfinance_etl_spark.operators.similarity import (
         check_finite_vectors,
         ivf_assign_to,
@@ -443,6 +449,22 @@ def append_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     write_partitioned(
         codes, f"{path}/codes", partition_by=("list_id",), mode="append"
     )
+    if assert_new_ids:
+        row = (
+            spark.read.parquet(f"{path}/codes")
+            .agg(
+                F.count("vec_id").alias("n"),
+                F.countDistinct("vec_id").alias("nd"),
+            )
+            .first()
+        )
+        if row["n"] != row["nd"]:
+            raise ValueError(
+                f"append_ivfpq_index contract violated: {row['n'] - row['nd']} "
+                f"duplicate vec_id codes row(s) in {path}/codes — appended "
+                "ids must be new (a probe would rank a duplicate as a "
+                "second neighbor)"
+            )
 
 
 def read_ivfpq_index(spark, path: str) -> IvfPqIndex:

@@ -394,6 +394,15 @@ def scaled_plane_count(
         raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
     p = max(1, math.ceil(math.log2(max(n_vectors, 2) / target_occupancy)))
     if dim is not None:
+        if dim - first_mask < 1:
+            # a clamp here would return <= 0 planes; lsh_bucket(n_planes=0)
+            # passes its own guard (first_mask + 0 <= dim) and puts EVERY
+            # vector in one constant bucket — the quadratic blow-up this
+            # rule exists to prevent. Fail loudly instead (r13 advice).
+            raise ValueError(
+                f"no Walsh mask window: dim={dim} leaves {dim - first_mask} "
+                f"usable planes after first_mask={first_mask}; need >= 1"
+            )
         p = min(p, dim - first_mask)
     return p
 

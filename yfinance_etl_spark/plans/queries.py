@@ -3229,8 +3229,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantization), oracle = the same rounds unrolled as CTEs: per-edge
 # contributions quantized to the 9 dp grid BEFORE the decimal(38,18)
 # sum (order-insensitive, exact in both engines), rank re-quantized to 9 dp per
-# round, teleport written as the ENGINE expression (1 - 0.85) so neither
-# side inherits python's 0.15000000000000002.
+# round, and the teleport term itself quantized to the same 9 dp grid on
+# BOTH sides (r13 advice: DuckDB's exact-DECIMAL (1-0.85)/n and Spark's
+# double expression differ by ~1e-17 pre-round; ROUND(,9) on each side
+# makes the term identical by construction).
 # ---------------------------------------------------------------------------
 
 
@@ -3249,7 +3251,7 @@ m{k} AS (
   GROUP BY e.b
 ),
 r{k} AS (
-  SELECT m.node, ROUND((1 - {damping}) / nn.n + {damping} * m.s, 9) AS rank
+  SELECT m.node, ROUND(ROUND((1 - {damping}) / nn.n, 9) + {damping} * m.s, 9) AS rank
   FROM m{k} m CROSS JOIN nn
 )""")
     return f"""

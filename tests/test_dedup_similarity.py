@@ -1146,6 +1146,55 @@ def test_counting_bloom_conservation_and_no_false_negatives(spark):
     assert present <= members  # no false negatives, ever
 
 
+def test_counting_bloom_add_grows_the_standing_table_incrementally(spark):
+    """counting_bloom_add (the crawl-cycle append step): base + added
+    delta must equal a one-shot build over the union — bit-for-bit on
+    the sparse (pos, cnt) table — and the incremental-counters form of
+    frontier_to_fetch must return exactly the rebuild form's output on
+    the grown frontier."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        counting_bloom_add,
+        counting_bloom_build,
+        frontier_to_fetch,
+    )
+
+    base = spark.createDataFrame([(f"k{i}",) for i in range(30)], "k string")
+    delta = spark.createDataFrame([(f"n{i}",) for i in range(10)], "k string")
+    grown = counting_bloom_add(counting_bloom_build(base, "k"), delta, "k")
+    oneshot = counting_bloom_build(base.unionAll(delta), "k")
+    assert sorted(map(tuple, grown.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    assert grown.agg(F.sum("cnt")).collect()[0][0] == 40 * 5
+
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5)]
+        + [(f"n{i}",) for i in range(5)]
+        + [(f"x{i}",) for i in range(5)],
+        "k string",
+    )
+    seen = base.unionAll(delta)
+    none_retired = base.limit(0)
+    incr = sorted(
+        (r.k, r.to_fetch)
+        for r in frontier_to_fetch(
+            probes, seen, none_retired, col="k", counters=grown
+        ).collect()
+    )
+    rebuild = sorted(
+        (r.k, r.to_fetch)
+        for r in frontier_to_fetch(probes, seen, none_retired, col="k").collect()
+    )
+    assert incr == rebuild
+    assert dict(incr) == {
+        **{f"k{i}": False for i in range(5)},
+        **{f"n{i}": False for i in range(5)},
+        **{f"x{i}": True for i in range(5)},
+    }
+
+
 def test_frontier_to_fetch_exact_even_with_forced_false_positives(spark):
     """to_fetch is EXACT regardless of filter geometry: at bits=8 nearly
     every probe is a Bloom maybe, and the verify join must kill every
@@ -1796,6 +1845,74 @@ def test_ivfpq_append_assert_new_ids_detects_duplicates(spark, tmp_path):
     append_ivfpq_index(delta, path, assert_new_ids=True)  # new ids: passes
     with _pytest.raises(ValueError, match="duplicate vec_id"):
         append_ivfpq_index(delta, path, assert_new_ids=True)  # re-append
+
+
+def test_ivfpq_retrain_signal_flags_drifted_and_skewed_lists(spark):
+    """The split-or-retrain rule on controlled inputs: a list whose live
+    mean_sq_error grew past IVFPQ_ERROR_RATIO_RETRAIN x its train-time
+    baseline flags needs_retrain; a list holding more than
+    IVFPQ_OCCUPANCY_SPLIT_FACTOR x the mean occupancy flags needs_split;
+    a list absent from the baseline compares against the baseline's
+    weighted mean; healthy lists flag nothing."""
+    from yfinance_etl_spark.operators.pq import ivfpq_retrain_signal
+
+    baseline = spark.createDataFrame(
+        [(i, 100, 0.10) for i in range(5)],
+        "list_id long, n_vectors long, mean_sq_error double",
+    )
+    # list 0 healthy; list 1 error doubled (ratio 2.0 > 1.5); list 5 is
+    # new (absent from baseline, compares vs weighted mean 0.10) and
+    # holds 0.8 of the corpus — far past 4x the mean list share (1/6)
+    current = spark.createDataFrame(
+        [(0, 100, 0.11), (1, 100, 0.20), (2, 100, 0.10), (3, 100, 0.10),
+         (4, 100, 0.10), (5, 2000, 0.12)],
+        "list_id long, n_vectors long, mean_sq_error double",
+    )
+    occupancy = spark.createDataFrame(
+        [(i, 100, 0.04) for i in range(5)] + [(5, 2000, 0.80)],
+        "list_id long, n_vectors long, occupancy_frac double",
+    )
+    rows = {
+        r.list_id: r
+        for r in ivfpq_retrain_signal(current, baseline, occupancy=occupancy).collect()
+    }
+    assert len(rows) == 6
+    assert not rows[0].needs_retrain and not rows[0].needs_split
+    assert rows[1].needs_retrain and not rows[1].needs_split
+    assert rows[1].error_ratio == 2.0
+    assert not rows[2].needs_retrain
+    assert rows[5].needs_split  # 0.80 > 4.0 * mean(1/6)
+    assert rows[5].error_ratio == 1.2  # vs the baseline's weighted mean
+
+    # without occupancy, the skew axis degrades to never-flagging
+    no_occ = {
+        r.list_id: r for r in ivfpq_retrain_signal(current, baseline).collect()
+    }
+    assert all(not r.needs_split for r in no_occ.values())
+
+
+def test_ivfpq_occupancy_tracks_list_sizes(spark, tmp_path):
+    """ivfpq_occupancy over a real persisted index: fractions sum to 1,
+    n_vectors per list match a direct groupBy of the codes table."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        ivfpq_occupancy,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb, path)
+    idx = read_ivfpq_index(spark, path)
+    occ = ivfpq_occupancy(idx).collect()
+    want = {
+        r.list_id: r["count"]
+        for r in idx.codes.groupBy("list_id").count().collect()
+    }
+    assert {r.list_id: r.n_vectors for r in occ} == want
+    assert abs(sum(r.occupancy_frac for r in occ) - 1.0) < 1e-4
 
 
 def test_int8_codes_append_is_staleness_free(spark, tmp_path):

@@ -531,19 +531,44 @@ def test_recorded_annappend_sweep_supports_the_claims():
         if ln.strip()
     ]
     aa = [r for r in lines if r.get("kind") == "annappend"]
-    assert len(aa) >= 3, "annappend sweep not recorded"
+    assert len(aa) >= 5, "annappend sweep not recorded"
     assert max(r["n_vectors"] for r in aa) >= 16 * min(r["n_vectors"] for r in aa)
+    inreg = [r for r in aa if r["regime"] == "inregime"]
+    shifted = [r for r in aa if r["regime"] == "shifted"]
+    assert len(inreg) >= 3 and len(shifted) >= 3, "both regimes required"
+    from yfinance_etl_spark.operators.pq import IVFPQ_ERROR_RATIO_RETRAIN
+
     for r in aa:
+        assert r["n_queries"] >= 40, r  # widened past the flappy 5-query set
         if r["appended_frac"] > 0:
             # the append path's reason to exist: encoding the delta costs
             # a small fraction of retraining the whole index
             assert r["sec_append"] * 2 <= r["sec_retrain"], r
-        # drift is RECORDED, bounded on this corpus: frozen codebooks
-        # never cost more than 0.25 recall vs a full retrain (worst
-        # measured: +0.24 at 50% appended; NEGATIVE at 94% — the
-        # blow-up's replicas stay inside the base's geometry, so the
-        # non-monotone curve is the honest finding, not a clean decay)
-        assert abs(r["recall_drift"]) <= 0.25, r
+        # recall vs a full retrain stays bounded on this corpus in BOTH
+        # regimes (worst measured: +0.155 in-regime at 75% appended; the
+        # shifted regime's retrained twin also underfits the bimodal
+        # corpus, so its drift is small too — the error monitor, not
+        # recall-vs-retrain, is the regime detector)
+        assert abs(r["recall_drift"]) <= 0.2, r
+    # THE CALIBRATION (r13 verdict weak): the committed trip threshold
+    # separates the regimes with margin on both sides — in-regime appends
+    # (delta from the base's own geometry) measured error_ratio <= 1.023
+    # and fire NOTHING; shifted-regime appends (the production failure)
+    # measured >= 7.5 and fire needs_retrain on the receiving lists.
+    for r in inreg:
+        assert r["error_ratio"] < IVFPQ_ERROR_RATIO_RETRAIN / 1.4, r
+        assert r["n_lists_needs_retrain"] == 0 and r["n_lists_needs_split"] == 0, r
+    for r in shifted:
+        assert r["error_ratio"] > IVFPQ_ERROR_RATIO_RETRAIN * 4, r
+        assert r["n_lists_needs_retrain"] >= 1, r
+        # drift LOCALIZES (why the monitor is per-list): the hottest
+        # list's error ratio dwarfs the median list's
+        assert r["max_list_error_ratio"] >= 5 * r["median_list_error_ratio"], r
+        # frozen centroids concentrate the shifted delta into few lists:
+        # occupancy skew is the stage-1 cost/recall killer and the
+        # split rule's detector fires on the hot list
+        assert r["max_occupancy_frac"] >= 2 * r["max_occupancy_frac_retrained"], r
+        assert r["n_lists_needs_split"] >= 1, r
 
 
 def test_recorded_pagerank_sweep_supports_the_claims():

@@ -1774,14 +1774,32 @@ def main_knnjoin(factors: list[int]) -> None:
 
 
 def main_annappend(factors: list[int]) -> None:
-    """ANN index maintenance under append (r12 verdict stretch #8): the
-    corpus grows to ×factor of the base; the base trains the IVFPQ
-    index, everything past it APPENDS against the frozen coarse
-    quantizer + codebooks (appended fraction = (factor−1)/factor). Per
-    factor: append wall vs full-retrain wall (the cost the append path
-    avoids), recall@5 of the appended index vs the retrained index vs
-    the exact scan — the recall DRIFT a deployment watches to schedule
-    retraining. One JSON line per factor, kind="annappend"."""
+    """ANN index maintenance under append, now CALIBRATING the online
+    retraining signal against its own measured drift (r13 verdict weak +
+    tasks #2/#5): the corpus grows to xfactor of the base; the base
+    trains the IVFPQ index, everything past it APPENDS against the
+    frozen coarse quantizer + codebooks.
+
+    Two delta REGIMES per factor:
+
+    * ``inregime`` -- the blow-up's perturbed replicas (delta drawn from
+      the base's own geometry): the frozen codebooks stay valid, so the
+      monitor must NOT fire. Expected: error_ratio ~ 1, recall drift ~ 0.
+    * ``shifted`` -- every delta vector displaced by a constant +0.5 per
+      dimension (a new data regime the base never trained on): the
+      production failure the monitor exists to catch. Expected:
+      error_ratio >> 1, recall visibly below the retrained index, and
+      the delta CONCENTRATING into few inverted lists (occupancy skew --
+      frozen centroids can't spread a regime they never saw).
+
+    Per leg this records the calibration tuple the r13 verdict asked for
+    -- (appended_frac, recall_drift, error_ratio) -- plus per-list shape
+    (max/median list error ratio), max_occupancy_frac (appended vs
+    retrained), and the committed rule's own output (n lists flagged
+    needs_retrain / needs_split). Recall uses a 40-query stride sample
+    across the id space (base AND delta ids), not the 5-query fixture
+    default whose recall@5 flapped +-0.12 between r13 legs. One JSON
+    line per (factor, regime), kind="annappend"."""
     import shutil
     import tempfile
 
@@ -1789,6 +1807,9 @@ def main_annappend(factors: list[int]) -> None:
 
     from yfinance_etl_spark.operators.pq import (
         append_ivfpq_index,
+        ivfpq_occupancy,
+        ivfpq_quantization_error,
+        ivfpq_retrain_signal,
         ivfpq_topk,
         read_ivfpq_index,
         write_ivfpq_index,
@@ -1802,64 +1823,120 @@ def main_annappend(factors: list[int]) -> None:
     emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     knn_topk(emb0.limit(50), k=2).count()  # codegen warm-up
 
+    def wmean(err_rows) -> float:
+        n = sum(r["n_vectors"] for r in err_rows)
+        return sum(r["mean_sq_error"] * r["n_vectors"] for r in err_rows) / n
+
     for f in factors:
-        emb = (
+        emb_in = (
             blow_up_embeddings(emb0, f).repartition(64).localCheckpoint(eager=True)
         )
-        n_vec = emb.count()
-        # replica 0 (vec_id % factor == 0 under the blow-up's id map) is
-        # the base snapshot; every later replica is appended delta
-        base = emb.filter(F.col("vec_id") % f == 0)
-        delta = emb.filter(F.col("vec_id") % f != 0)
-        d = tempfile.mkdtemp(prefix="annappend_")
-        try:
-            write_ivfpq_index(base, f"{d}/idx")
-            t0 = time.perf_counter()
-            if f > 1:
-                append_ivfpq_index(delta, f"{d}/idx")
-            sec_append = round(time.perf_counter() - t0, 2)
-            idx = read_ivfpq_index(spark, f"{d}/idx")
-            n_indexed = idx.codes.count()
-            assert n_indexed == n_vec, (n_indexed, n_vec)
-            exact = {
-                (r.q_id, r.neighbor_id) for r in knn_topk(emb, k=5).collect()
-            }
-            appended = {
-                (r.q_id, r.neighbor_id)
-                for r in ivfpq_topk(
-                    emb, k=5, rerank_factor="auto", index=idx
+        n_vec = emb_in.count()
+        qids = [i * max(n_vec // 40, 1) for i in range(40)]
+        for regime in ("inregime", "shifted") if f > 1 else ("inregime",):
+            # replica 0 (vec_id % factor == 0 under the blow-up's id map)
+            # is the base snapshot; every later replica is appended delta
+            is_base = F.col("vec_id") % f == 0
+            if regime == "shifted":
+                emb = emb_in.withColumn(
+                    "embedding",
+                    F.when(is_base, F.col("embedding")).otherwise(
+                        F.transform(
+                            "embedding", lambda x: (x + F.lit(0.5)).cast("float")
+                        )
+                    ),
+                ).localCheckpoint(eager=True)
+            else:
+                emb = emb_in
+            base = emb.filter(is_base)
+            delta = emb.filter(~is_base)
+            d = tempfile.mkdtemp(prefix="annappend_")
+            try:
+                write_ivfpq_index(base, f"{d}/idx")
+                bidx = read_ivfpq_index(spark, f"{d}/idx")
+                # the deployment's train-time baseline, recorded BEFORE
+                # any append touches the index
+                baseline_err = ivfpq_quantization_error(base, index=bidx)
+                baseline_rows = baseline_err.collect()
+                t0 = time.perf_counter()
+                if f > 1:
+                    append_ivfpq_index(delta, f"{d}/idx")
+                sec_append = round(time.perf_counter() - t0, 2)
+                idx = read_ivfpq_index(spark, f"{d}/idx")
+                n_indexed = idx.codes.count()
+                assert n_indexed == n_vec, (n_indexed, n_vec)
+                current_err = ivfpq_quantization_error(emb, index=idx)
+                current_rows = current_err.collect()
+                occ = ivfpq_occupancy(idx)
+                occ_rows = occ.collect()
+                signal_rows = ivfpq_retrain_signal(
+                    current_err, baseline_err, occupancy=occ
                 ).collect()
-            }
-            t0 = time.perf_counter()
-            write_ivfpq_index(emb, f"{d}/retrain")
-            sec_retrain = round(time.perf_counter() - t0, 2)
-            ridx = read_ivfpq_index(spark, f"{d}/retrain")
-            retrained = {
-                (r.q_id, r.neighbor_id)
-                for r in ivfpq_topk(
-                    emb, k=5, rerank_factor="auto", index=ridx
-                ).collect()
-            }
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
-        rec = lambda got: round(len(got & exact) / max(len(exact), 1), 3)  # noqa: E731
-        print(
-            json.dumps(
-                {
-                    "kind": "annappend",
-                    "sf_dir": sf_dir,
-                    "factor": f,
-                    "n_vectors": n_vec,
-                    "appended_frac": round((f - 1) / f, 3),
-                    "sec_append": sec_append,
-                    "sec_retrain": sec_retrain,
-                    "recall_appended": rec(appended),
-                    "recall_retrained": rec(retrained),
-                    "recall_drift": round(rec(retrained) - rec(appended), 3),
+                exact = {
+                    (r.q_id, r.neighbor_id)
+                    for r in knn_topk(emb, query_ids=qids, k=5).collect()
                 }
-            ),
-            flush=True,
-        )
+                appended = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, query_ids=qids, k=5, rerank_factor="auto", index=idx
+                    ).collect()
+                }
+                t0 = time.perf_counter()
+                write_ivfpq_index(emb, f"{d}/retrain")
+                sec_retrain = round(time.perf_counter() - t0, 2)
+                ridx = read_ivfpq_index(spark, f"{d}/retrain")
+                retrained = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, query_ids=qids, k=5, rerank_factor="auto", index=ridx
+                    ).collect()
+                }
+                rocc_rows = ivfpq_occupancy(ridx).collect()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+            rec = lambda got: round(len(got & exact) / max(len(exact), 1), 3)  # noqa: E731
+            print(
+                json.dumps(
+                    {
+                        "kind": "annappend",
+                        "sf_dir": sf_dir,
+                        "factor": f,
+                        "regime": regime,
+                        "n_vectors": n_vec,
+                        "n_queries": len(qids),
+                        "appended_frac": round((f - 1) / f, 3),
+                        "sec_append": sec_append,
+                        "sec_retrain": sec_retrain,
+                        "recall_appended": rec(appended),
+                        "recall_retrained": rec(retrained),
+                        "recall_drift": round(rec(retrained) - rec(appended), 3),
+                        "error_ratio": round(
+                            wmean(current_rows) / wmean(baseline_rows), 3
+                        ),
+                        "max_list_error_ratio": max(
+                            float(r["error_ratio"]) for r in signal_rows
+                        ),
+                        "median_list_error_ratio": sorted(
+                            float(r["error_ratio"]) for r in signal_rows
+                        )[len(signal_rows) // 2],
+                        "max_occupancy_frac": max(
+                            float(r["occupancy_frac"]) for r in occ_rows
+                        ),
+                        "max_occupancy_frac_retrained": max(
+                            float(r["occupancy_frac"]) for r in rocc_rows
+                        ),
+                        "n_lists_needs_retrain": sum(
+                            1 for r in signal_rows if r["needs_retrain"]
+                        ),
+                        "n_lists_needs_split": sum(
+                            1 for r in signal_rows if r["needs_split"]
+                        ),
+                        "n_lists": len(signal_rows),
+                    }
+                ),
+                flush=True,
+            )
 
 
 def main_pagerank(factors: list[int]) -> None:

@@ -930,6 +930,33 @@ def counting_bloom_remove(counters: DataFrame, keys: DataFrame, col: str,
     )
 
 
+def counting_bloom_add(counters: DataFrame, keys: DataFrame, col: str,
+                       bits: int = BLOOM_BITS,
+                       n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Insert the distinct keys of ``keys[col]`` into an EXISTING counter
+    table — the crawl-cycle append step (day N's kept URLs join the
+    standing frontier without a rebuild), symmetric to
+    ``counting_bloom_remove``: increment = the build aggregation on the
+    new keys, full-outer-joined on pos and summed (positions only the
+    delta hits enter the table; positions only the base holds pass
+    through).
+
+    CONTRACT (same family as remove's): adding a key that is already in
+    the table double-counts its positions — one later remove leaves it
+    still present. Callers add sets disjoint from what the table holds;
+    the crawl composition guarantees this because a kept URL was by
+    definition not in the frontier when it was fetched."""
+    inc = counting_bloom_build(keys, col, bits, n_hashes).withColumnRenamed(
+        "cnt", "inc"
+    )
+    return counters.join(inc, "pos", "full").select(
+        "pos",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0))
+        ).alias("cnt"),
+    )
+
+
 def counting_bloom_member_keys(probes: DataFrame, col: str,
                                counters: DataFrame,
                                bits: int = BLOOM_BITS,
@@ -964,7 +991,8 @@ def counting_bloom_member_keys(probes: DataFrame, col: str,
 def frontier_to_fetch(probes: DataFrame, seen: DataFrame, retired: DataFrame,
                       col: str,
                       bits: int = BLOOM_BITS,
-                      n_hashes: int = BLOOM_HASHES) -> DataFrame:
+                      n_hashes: int = BLOOM_HASHES,
+                      counters: DataFrame | None = None) -> DataFrame:
     """Exact crawl-frontier dedup with a counting-Bloom prefilter:
     annotate every probe row with ``to_fetch`` — TRUE iff its ``col`` is
     NOT in the live frontier (seen minus retired). Exactness is the
@@ -980,11 +1008,19 @@ def frontier_to_fetch(probes: DataFrame, seen: DataFrame, retired: DataFrame,
 
     Reference analog: the re-download loop (streamlit_app.py:819-822)
     refetches unconditionally; this is the membership structure that
-    makes fetch work O(new), not O(seen)."""
-    counters = counting_bloom_remove(
-        counting_bloom_build(seen, col, bits, n_hashes),
-        retired, col, bits, n_hashes,
-    )
+    makes fetch work O(new), not O(seen).
+
+    ``counters`` is the incremental form: pass the standing counter
+    table (built once, grown with ``counting_bloom_add`` / shrunk with
+    ``counting_bloom_remove`` as the frontier evolves) and this call
+    skips the per-call rebuild — ``seen``/``retired`` then only feed the
+    exact-verify join and must describe the same live set the counters
+    encode."""
+    if counters is None:
+        counters = counting_bloom_remove(
+            counting_bloom_build(seen, col, bits, n_hashes),
+            retired, col, bits, n_hashes,
+        )
     maybe = counting_bloom_member_keys(probes, col, counters, bits, n_hashes)
     live = (
         seen.select(col).distinct()

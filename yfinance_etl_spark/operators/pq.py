@@ -558,6 +558,128 @@ def ivfpq_quantization_error(
     )
 
 
+#: Retrain trip point for ``ivfpq_retrain_signal``, CALIBRATED on the
+#: kind=annappend sweep (scale_stress_results.jsonl, r14): in-regime
+#: appended legs (delta drawn from the base's own geometry) measured a
+#: global error_ratio of 1.000–1.023 through 94% appended fraction and
+#: fired nothing, while shifted-regime legs (every delta vector displaced
+#: +0.5/dim — the new-data-regime failure the monitor exists to catch)
+#: measured 7.57–13.19 with the drift localized to the receiving lists
+#: (max list ratio 13–15× vs median 1.06–1.59). 1.5 sits between the two
+#: regimes with ≥6× margin on both sides;
+#: test_recorded_annappend_sweep_supports_the_claims pins the separation
+#: so a future change cannot silently invalidate the calibration.
+IVFPQ_ERROR_RATIO_RETRAIN = 1.5
+
+#: Occupancy-skew trip point: a list holding more than this multiple of
+#: the MEAN list occupancy is the stage-1 cost killer (one huge probed
+#: slice) and the recall killer (n_probe misses concentrate there) —
+#: the split-or-retrain rule fires on it even when reconstruction error
+#: alone has not tripped. Frozen coarse centroids concentrate a drifting
+#: delta into few lists, so skew and error usually rise together; the
+#: sweep records max_occupancy_frac per leg to show exactly that.
+IVFPQ_OCCUPANCY_SPLIT_FACTOR = 4.0
+
+
+def ivfpq_occupancy(index: IvfPqIndex) -> DataFrame:
+    """(list_id, n_vectors, occupancy_frac): inverted-list sizes as a
+    fraction of the corpus — one map-side-combined groupBy over the
+    codes table (never touches float vectors). The cheap half of the
+    maintenance signal: probed-slice cost is proportional to the probed
+    lists' occupancy, so a skewed list is visible here before any
+    error metric moves."""
+    counts = index.codes.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = counts.agg(F.sum("n_vectors").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "list_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("t"), 6).alias("occupancy_frac"),
+    )
+
+
+def ivfpq_retrain_signal(
+    current_err: DataFrame,
+    baseline_err: DataFrame,
+    occupancy: DataFrame | None = None,
+    error_ratio_threshold: float = IVFPQ_ERROR_RATIO_RETRAIN,
+    occupancy_split_factor: float = IVFPQ_OCCUPANCY_SPLIT_FACTOR,
+) -> DataFrame:
+    """The split-or-retrain RULE (r13 verdict #5), per inverted list:
+    join the live ``ivfpq_quantization_error`` frame against the
+    baseline recorded at (re)train time and flag
+
+    * ``needs_retrain`` — this list's mean squared reconstruction error
+      grew past ``error_ratio_threshold`` × its train-time level: the
+      frozen codebooks no longer describe what the list holds;
+    * ``needs_split`` — this list's occupancy exceeds
+      ``occupancy_split_factor`` × the mean list occupancy: probe cost
+      and recall degrade even at acceptable reconstruction error.
+
+    Per-list on purpose (the monitor's granularity exists for this):
+    drift localizes to the lists receiving new-regime vectors, so a
+    deployment can re-quantize ONE list's residual space — or split one
+    oversized list — without retraining the whole index; a global-mean
+    signal would dilute a hot list below threshold exactly when it
+    matters. Lists absent from the baseline (created by an append into
+    empty space — impossible under frozen centroids, but cheap to
+    handle) compare against the baseline's weighted mean.
+
+    All inputs are list-sized (≤ k_centroids rows): the joins are
+    broadcast trivially and the frame is driver-readable by contract."""
+    base = baseline_err.select(
+        "list_id",
+        F.col("n_vectors").alias("n_base"),
+        F.col("mean_sq_error").alias("mse_base"),
+    )
+    gmean = base.agg(
+        (
+            F.sum(F.col("mse_base") * F.col("n_base")) / F.sum("n_base")
+        ).alias("g")
+    )
+    cur = current_err.select(
+        "list_id", "n_vectors", F.col("mean_sq_error").alias("mse_current")
+    )
+    joined = (
+        cur.join(F.broadcast(base), "list_id", "left")
+        .crossJoin(F.broadcast(gmean))
+        .withColumn(
+            "error_ratio",
+            F.round(
+                F.col("mse_current") / F.coalesce(F.col("mse_base"), F.col("g")),
+                6,
+            ),
+        )
+    )
+    mean_occ = None
+    if occupancy is not None:
+        occ = occupancy.select("list_id", "occupancy_frac")
+        mean_occ = occupancy.agg(F.avg("occupancy_frac").alias("mean_occ"))
+        joined = joined.join(F.broadcast(occ), "list_id", "left").crossJoin(
+            F.broadcast(mean_occ)
+        )
+    else:
+        joined = joined.withColumn("occupancy_frac", F.lit(None).cast("double"))
+        joined = joined.withColumn("mean_occ", F.lit(None).cast("double"))
+    return joined.select(
+        "list_id",
+        "n_vectors",
+        "mse_current",
+        "mse_base",
+        "error_ratio",
+        "occupancy_frac",
+        (F.col("error_ratio") > F.lit(error_ratio_threshold)).alias(
+            "needs_retrain"
+        ),
+        F.coalesce(
+            F.col("occupancy_frac")
+            > F.lit(occupancy_split_factor) * F.col("mean_occ"),
+            F.lit(False),
+        ).alias("needs_split"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,

@@ -1125,6 +1125,193 @@ def q_crawl_two_day_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label(d1, drops1, 1).unionAll(label(d2, drops2, 2))
 
 
+# ---------------------------------------------------------------------------
+# FULL crawl cycle (r13 verdict #7): a real crawl dedups twice — URLs
+# before fetching (the counting-Bloom frontier: don't re-download what
+# you hold) and CONTENT after fetching (the MinHash delta pass: don't
+# keep what near-dups the corpus) — and each day's survivors append into
+# BOTH standing stores. Composition day 2 makes both appends
+# load-bearing: day-1 survivors' URLs suppress their own re-fetch, and
+# day-1 survivors' signatures catch day-2 near-dups of them; day-1
+# CONTENT-dropped docs' URLs were never recorded, so day 2 re-fetches
+# and re-drops them (the stated survivors-only append semantics).
+# Reference analog: streamlit_app.py:819-822 refetches and re-embeds
+# everything unconditionally.
+# ---------------------------------------------------------------------------
+
+_CRAWLF_D1_CAND = "doc_id % 10 IN (2, 3, 4, 5)"  # 4,5 re-probe the corpus
+_CRAWLF_D2_CAND = "doc_id % 10 < 4"  # 0,1 new; 2,3 re-probe day 1's fetch
+
+_CRAWLF_SQL = f"""
+WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+minh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+live1 AS (SELECT url FROM u WHERE doc_id % 10 >= 4),
+c1 AS (SELECT doc_id, url FROM u WHERE {_CRAWLF_D1_CAND}),
+f1 AS (SELECT c1.doc_id FROM c1 LEFT JOIN live1 l ON l.url = c1.url WHERE l.url IS NULL),
+cand1 AS (
+  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM (SELECT b.* FROM bands b JOIN f1 ON f1.doc_id = b.doc_id) n
+  JOIN (SELECT * FROM bands WHERE doc_id % 10 >= 4) c
+    ON n.band_id = c.band_id AND n.band_val = c.band_val
+  GROUP BY 1, 2
+),
+drops1 AS ({_crawl_drops_cte('cand1')}),
+kept1 AS (
+  SELECT doc_id FROM f1
+  WHERE doc_id NOT IN (SELECT new_doc_id FROM drops1)
+),
+live2 AS (
+  SELECT url FROM live1
+  UNION ALL
+  SELECT u.url FROM u JOIN kept1 k ON k.doc_id = u.doc_id
+),
+c2 AS (SELECT doc_id, url FROM u WHERE {_CRAWLF_D2_CAND}),
+f2 AS (SELECT c2.doc_id FROM c2 LEFT JOIN live2 l ON l.url = c2.url WHERE l.url IS NULL),
+corpus2 AS (
+  SELECT * FROM bands WHERE doc_id % 10 >= 4
+  UNION ALL
+  SELECT b.* FROM bands b JOIN kept1 k ON k.doc_id = b.doc_id
+),
+cand2 AS (
+  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM (SELECT b.* FROM bands b JOIN f2 ON f2.doc_id = b.doc_id) n
+  JOIN corpus2 c ON n.band_id = c.band_id AND n.band_val = c.band_val
+  GROUP BY 1, 2
+),
+drops2 AS ({_crawl_drops_cte('cand2')})
+SELECT c1.doc_id, CAST(1 AS INT) AS crawl_day,
+       (f.doc_id IS NOT NULL) AS fetched,
+       (f.doc_id IS NOT NULL AND d.new_doc_id IS NULL) AS kept
+FROM c1
+LEFT JOIN f1 f ON f.doc_id = c1.doc_id
+LEFT JOIN drops1 d ON d.new_doc_id = c1.doc_id
+UNION ALL
+SELECT c2.doc_id, CAST(2 AS INT) AS crawl_day,
+       (f.doc_id IS NOT NULL) AS fetched,
+       (f.doc_id IS NOT NULL AND d.new_doc_id IS NULL) AS kept
+FROM c2
+LEFT JOIN f2 f ON f.doc_id = c2.doc_id
+LEFT JOIN drops2 d ON d.new_doc_id = c2.doc_id
+"""
+
+
+@_register("crawl_frontier_cycle", _CRAWLF_SQL)
+def q_crawl_frontier_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier + content dedup composed into the decision sequence a
+    crawler actually runs, per day: probe candidate URLs against the
+    standing counting-Bloom frontier (only to_fetch survivors are
+    "downloaded"), MinHash-delta the fetched docs against the standing
+    signature store, and append the kept docs to BOTH stores — URLs via
+    ``counting_bloom_add`` (no frontier rebuild), signatures via the
+    band_id-partitioned append. Day 2 exercises the grown state on both
+    axes. Output: (doc_id, crawl_day, fetched, kept)."""
+    from yfinance_etl_spark.operators.dedup import (
+        counting_bloom_add,
+        counting_bloom_build,
+        frontier_to_fetch,
+        minhash_bands,
+        minhash_delta_neardup,
+        read_minhash_signatures,
+        write_minhash_signatures,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    base = scratch_dir("yfinance_etl_crawlf", sf_dir, fresh=True)
+    # full-table band subplan filtered per slice (split-form cache algebra)
+    bands = minhash_bands(docs)
+    write_minhash_signatures(docs, f"{base}/sigs", bands=bands.filter(mod >= 4))
+
+    seen1 = u.filter(mod >= 4)
+    no_retired = u.limit(0)
+    counters1 = counting_bloom_build(seen1, "url").localCheckpoint(eager=True)
+
+    def run_day(cand_pred, seen, counters, tag: str):
+        fetch = (
+            frontier_to_fetch(
+                u.filter(cand_pred), seen, no_retired, col="url", counters=counters
+            )
+            .filter("to_fetch")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        drops = (
+            minhash_delta_neardup(
+                docs.join(fetch, "doc_id", "left_semi"),
+                docs,
+                threshold=0.7,
+                corpus_bands=read_minhash_signatures(spark, f"{base}/sigs"),
+            )
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return fetch, drops
+
+    fetch1, drops1 = run_day(mod.isin(2, 3, 4, 5), seen1, counters1, "1")
+    kept1 = fetch1.join(drops1, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # survivors append into BOTH standing stores (delta-sized writes)
+    write_minhash_signatures(
+        docs, f"{base}/sigs",
+        bands=bands.join(kept1, "doc_id", "left_semi"), mode="append",
+    )
+    kept1_urls = u.join(kept1, "doc_id", "left_semi")
+    counters2 = counting_bloom_add(counters1, kept1_urls, "url")
+    seen2 = seen1.unionAll(kept1_urls)
+
+    fetch2, drops2 = run_day(mod < 4, seen2, counters2, "2")
+
+    def label(cand_pred, fetched, drops, day: int) -> DataFrame:
+        return (
+            u.filter(cand_pred)
+            .select("doc_id")
+            .join(fetched.withColumn("f", F.lit(True)), "doc_id", "left")
+            .join(drops.withColumn("d", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(day).cast("int").alias("crawl_day"),
+                F.coalesce(F.col("f"), F.lit(False)).alias("fetched"),
+                (
+                    F.coalesce(F.col("f"), F.lit(False)) & F.col("d").isNull()
+                ).alias("kept"),
+            )
+        )
+
+    return label(mod.isin(2, 3, 4, 5), fetch1, drops1, 1).unionAll(
+        label(mod < 4, fetch2, drops2, 2)
+    )
+
+
 @_register("dedup_delta_snapshot", _MINHASH_DELTA_SQL)
 def q_dedup_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.dedup import minhash_delta_neardup_split
@@ -1477,6 +1664,72 @@ def q_knn_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_join_scaled_sql(k: int = 3, max_planes: int = 12,
+                         target_occupancy: int = 32) -> str:
+    """Oracle for the PRODUCTION DEFAULT geometry (r13 verdict #3): the
+    plane count is not inlined — a scalar CTE derives it from the same
+    rule the engine's ``scaled_plane_count`` applies,
+    LEAST(GREATEST(1, CEIL(LOG2(GREATEST(N,2)/occupancy))), dim-1), so
+    the oracle proves the count()-driven path end to end at EVERY sf the
+    gate runs (1 plane at sf0.001's 20 vectors, 3 at sf0.01, 6 at
+    sf0.1). ``max_planes`` projections are unrolled statically and a
+    plane only contributes its bucket bit while its index < the derived
+    count — valid through 32·2^12 ≈ 131k vectors, far past any fixture.
+    (The rule is integer-valued; both engines evaluate CEIL∘LOG2 in IEEE
+    doubles, which could diverge only when N/occupancy is an exact power
+    of two — no fixture is.)"""
+    sign = lambda p: (  # noqa: E731
+        f"CASE WHEN bit_count((i - 1) & {p + 1}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * ({sign(p)}))) AS proj{p}"
+        for p in range(max_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {p} < np.p AND proj{p} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(max_planes)
+    )
+    return f"""
+WITH emb AS ({_EMB_SOURCE_L}),
+np AS (
+  SELECT LEAST(GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {target_occupancy}.0)) AS INT)), 63) AS p
+  FROM emb
+),
+proj AS (
+  SELECT vec_id, vec, label,
+         {projs}
+  FROM emb
+),
+bkt AS (
+  SELECT vec_id, vec, label, CAST({bucket} AS BIGINT) AS bucket
+  FROM proj CROSS JOIN np
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, b.label,
+         ROUND({_cos_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM bkt a
+  JOIN bkt b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+)
+SELECT q_id, neighbor_id, label, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+FROM scored
+QUALIFY knn_rank <= {k}
+"""
+
+
+@_register("knn_join_scaled", _knn_join_scaled_sql())
+def q_knn_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN join's production DEFAULT path, hash-gated (r13 verdict
+    #3): ``n_planes=None`` → one count() → ``scaled_plane_count`` —
+    the corpus-scaled geometry the sweep measured at candidate exponent
+    1.11 (vs 2.01 fixed). ``knn_join_topk`` stays as the pinned-geometry
+    twin; this entry is the one that breaks if the default rule ever
+    drifts from what the oracle derives."""
+    from yfinance_etl_spark.operators.similarity import knn_join
+
+    return knn_join(_t(spark, sf_dir, "embeddings"), k=3, dim=64)
+
+
 def _ann_oracle(n_planes: int = 6) -> str:
     return f"""
 WITH {_lsh_ctes(n_planes, _EMB_SOURCE)},
@@ -1764,6 +2017,52 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return final.select(
         "user_id", F.col("s.n_events").alias("n_events"), r6(F.col("s.ema_value")).alias("ema_value")
+    )
+
+
+@_register("stream_ema_ttl", _STREAM_EMA_SQL)
+def q_stream_ema_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TTL'd (production-eviction) form of the stateful EMA under
+    the processing-time trigger it requires, hash-gated (r13 verdict
+    #4). Determinism against trigger timing is BY CONSTRUCTION: the
+    events are re-laid-out hash-partitioned by user_id into 4 files and
+    fed one file per trigger, so every key's full history arrives in
+    exactly ONE micro-batch — its published EMA is the fold over all
+    its rows no matter when the TTL later evicts its state, and the
+    full-history oracle (_STREAM_EMA_SQL, the ttl_ms=None twin's) stays
+    exact. Eviction itself is still real: after the source drains, the
+    200 ms inactivity TTL removes every key's state on the continuing
+    ticks (the runner waits for the store to empty before stopping —
+    observation only, the rows are already published). The batch-twin
+    equivalence on ACTIVE windows when keys DO lapse mid-stream is
+    pinned separately (tests/test_streaming.py::
+    test_stream_ema_ttl_evicts_inactive_keys_with_batch_twin)."""
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.streaming import streams as ST
+
+    base = scratch_dir("yfinance_etl_ema_ttl", sf_dir, fresh=True)
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    out = ST.run_update_processing_trigger(
+        ST.ema_stream(stream, alpha=0.1, ttl_ms=200),
+        drained_state_rows=0,
+        timeout_sec=30.0,
+    )
+    # update mode emits once per (key, batch); single-batch keys emit
+    # exactly once, but keep the max-by-struct guard anyway so a future
+    # layout change degrades to duplicate-emission safety, not wrong rows
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ema_value")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        r6(F.col("s.ema_value")).alias("ema_value"),
     )
 
 
@@ -5706,6 +6005,9 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL/GK state) — it can only ever get the weak rows-only check, so it
 # does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "crawl_frontier_cycle",  # never (r14 newcomer)
+    "knn_join_scaled",  # never (r14 newcomer)
+    "stream_ema_ttl",  # never (r14 newcomer)
     "ann_ivfpq_appended",  # never
     "ann_ivfpq_persisted",  # never
     "ann_ivfpq_quant_error",  # never

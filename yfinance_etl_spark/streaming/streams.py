@@ -132,6 +132,65 @@ def run_to_memory(df: DataFrame, mode: str, state_partitions: int | None = 4) ->
     return spark.table(name)
 
 
+def run_update_processing_trigger(
+    df: DataFrame,
+    interval: str = "50 milliseconds",
+    state_partitions: int | None = 4,
+    drained_state_rows: int | None = None,
+    timeout_sec: float = 60.0,
+) -> DataFrame:
+    """Execute a stateful streaming plan under a REAL processing-time
+    trigger into a memory sink and return the published rows as a batch
+    frame — the runner the TTL'd ``ema_stream`` form needs, because
+    ProcessingTimeTimeout eviction only fires under a continuous
+    trigger (AvailableNow loops forever in its "no new data but
+    cleaning up state" phase — measured, see ``ema_stream``).
+
+    Stop policy: poll progress until the source is EXHAUSTED (a trigger
+    with zero input rows after at least one that carried data — the
+    file source hands out files in order, so an empty tick means none
+    are pending), then, when ``drained_state_rows`` is given, keep
+    ticking until the state store holds at most that many rows (TTL
+    eviction observed) or ``timeout_sec`` elapses. Published output is
+    complete at exhaustion either way — eviction removes state, never
+    un-publishes — so the timeout degrades the state OBSERVATION, not
+    the result. Same shuffle-conf scoping + lock discipline as
+    ``run_to_memory``."""
+    import time as _time
+
+    spark = df.sparkSession
+    name = f"stream_result_{next(_uid)}"
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(processingTime=interval)
+                .start()
+            )
+            deadline = _time.time() + timeout_sec
+            while _time.time() < deadline:
+                prog = list(q.recentProgress)
+                fed = any(p["numInputRows"] > 0 for p in prog)
+                empty_after = fed and prog[-1]["numInputRows"] == 0
+                if empty_after:
+                    if drained_state_rows is None:
+                        break
+                    ops = prog[-1]["stateOperators"]
+                    if ops and ops[0]["numRowsTotal"] <= drained_state_rows:
+                        break
+                _time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """St2: tumbling event-time window per event_type with a 1h watermark."""
     return (

@@ -1915,6 +1915,89 @@ def test_ivfpq_occupancy_tracks_list_sizes(spark, tmp_path):
     assert abs(sum(r.occupancy_frac for r in occ) - 1.0) < 1e-4
 
 
+def test_split_ivfpq_list_acts_on_the_needs_split_flag(spark, tmp_path):
+    """The detect→act loop end to end on a shifted-regime append (the
+    sweep's production-failure construction): the signal flags the hot
+    list; split_ivfpq_list rewrites ONLY that list's slice; afterwards
+    (a) the codes table still covers every vector exactly once, (b) the
+    old partition directory is gone and exactly two new list dirs exist,
+    (c) max occupancy drops, (d) the split lists' weighted mean squared
+    reconstruction error is no worse than the hot list's pre-split error
+    (frozen books decode SMALLER residuals), and (e) a probe over the
+    split index still honors the output contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_occupancy,
+        ivfpq_quantization_error,
+        ivfpq_topk,
+        read_ivfpq_index,
+        split_ivfpq_list,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    is_base = F.col("vec_id") % 2 == 0
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(is_base, F.col("embedding")).otherwise(
+            F.transform("embedding", lambda x: (x + F.lit(0.5)).cast("float"))
+        ),
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(shifted.filter(is_base), path)
+    append_ivfpq_index(shifted.filter(~is_base), path)
+
+    idx = read_ivfpq_index(spark, path)
+    n_total = idx.codes.count()
+    occ = {r.list_id: r for r in ivfpq_occupancy(idx).collect()}
+    hot = max(occ.values(), key=lambda r: r.occupancy_frac)
+    pre_err = {
+        r.list_id: r
+        for r in ivfpq_quantization_error(shifted, index=idx).collect()
+    }
+
+    new_ids = split_ivfpq_list(spark, path, int(hot.list_id), shifted)
+    assert len(new_ids) == 2
+
+    idx2 = read_ivfpq_index(spark, path)
+    assert idx2.codes.count() == n_total  # (a) nothing lost or duplicated
+    assert idx2.codes.select("vec_id").distinct().count() == n_total
+    dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/codes")
+        if d.startswith("list_id=")
+    }
+    assert int(hot.list_id) not in dirs and set(new_ids) <= dirs  # (b)
+    occ2 = {r.list_id: r for r in ivfpq_occupancy(idx2).collect()}
+    assert max(r.occupancy_frac for r in occ2.values()) < hot.occupancy_frac  # (c)
+
+    post_err = {
+        r.list_id: r
+        for r in ivfpq_quantization_error(shifted, index=idx2).collect()
+    }
+    pre = pre_err[hot.list_id]
+    n0, n1 = (post_err[i].n_vectors for i in new_ids)
+    split_mse = (
+        post_err[new_ids[0]].mean_sq_error * n0
+        + post_err[new_ids[1]].mean_sq_error * n1
+    ) / (n0 + n1)
+    assert n0 + n1 == pre.n_vectors
+    assert split_mse <= pre.mean_sq_error + 1e-9  # (d)
+    # untouched lists keep their error rows bit-identical
+    for lid, row in post_err.items():
+        if lid not in new_ids:
+            assert row.mean_sq_error == pre_err[lid].mean_sq_error, lid
+
+    out = ivfpq_topk(shifted, k=3, rerank_factor="auto", index=idx2)
+    rows = out.collect()
+    assert {r.knn_rank for r in rows} <= {1, 2, 3}  # (e)
+    assert len({(r.q_id, r.neighbor_id) for r in rows}) == len(rows) > 0
+
+
 def test_int8_codes_append_is_staleness_free(spark, tmp_path):
     """The int8 tier's delta append (write_int8_codes mode='append') has
     ZERO staleness by construction — the quantization scale is

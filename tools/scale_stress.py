@@ -1893,6 +1893,42 @@ def main_annappend(factors: list[int]) -> None:
                     ).collect()
                 }
                 rocc_rows = ivfpq_occupancy(ridx).collect()
+                # ACT on the flag (r14): split every needs_split list and
+                # measure what the act bought — occupancy, error, recall
+                split_row = None
+                flagged = [
+                    int(r["list_id"]) for r in signal_rows if r["needs_split"]
+                ]
+                if flagged:
+                    from yfinance_etl_spark.operators.pq import split_ivfpq_list
+
+                    t0 = time.perf_counter()
+                    for lid in flagged:
+                        split_ivfpq_list(spark, f"{d}/idx", lid, emb)
+                    sec_split = round(time.perf_counter() - t0, 2)
+                    sidx = read_ivfpq_index(spark, f"{d}/idx")
+                    s_occ = ivfpq_occupancy(sidx).collect()
+                    s_err = ivfpq_quantization_error(emb, index=sidx).collect()
+                    split_hits = {
+                        (r.q_id, r.neighbor_id)
+                        for r in ivfpq_topk(
+                            emb, query_ids=qids, k=5,
+                            rerank_factor="auto", index=sidx,
+                        ).collect()
+                    }
+                    split_row = {
+                        "n_lists_split": len(flagged),
+                        "sec_split": sec_split,
+                        "max_occupancy_frac_after_split": max(
+                            float(r["occupancy_frac"]) for r in s_occ
+                        ),
+                        "error_ratio_after_split": round(
+                            wmean(s_err) / wmean(baseline_rows), 3
+                        ),
+                        "recall_split": round(
+                            len(split_hits & exact) / max(len(exact), 1), 3
+                        ),
+                    }
             finally:
                 shutil.rmtree(d, ignore_errors=True)
             rec = lambda got: round(len(got & exact) / max(len(exact), 1), 3)  # noqa: E731
@@ -1933,6 +1969,7 @@ def main_annappend(factors: list[int]) -> None:
                             1 for r in signal_rows if r["needs_split"]
                         ),
                         "n_lists": len(signal_rows),
+                        **(split_row or {}),
                     }
                 ),
                 flush=True,

@@ -467,6 +467,123 @@ def append_ivfpq_index(
             )
 
 
+def split_ivfpq_list(
+    spark,
+    path: str,
+    list_id: int,
+    snapshot: DataFrame,
+    iters: int = PQ_ITERS,
+) -> tuple[int, int]:
+    """ACT on a ``needs_split`` flag (the other half of the
+    detect→act maintenance loop ``ivfpq_retrain_signal`` opens): re-derive
+    ONE oversized inverted list into two sub-lists and rewrite only that
+    list's slice of the persisted index — never touching the other lists,
+    the codebooks, or the standing corpus.
+
+    Mechanics: fetch the hot list's float vectors from ``snapshot`` (a
+    vec_id equi-join — candidate-slice-sized, the ExactSubstr
+    fetch-verify pattern), run the deterministic 2-means on them, insert
+    the two sub-centroids under FRESH cent_ids (max existing + 1, + 2),
+    re-encode the list's vectors as residuals against their new centroid
+    with the FROZEN codebooks, append the re-encoded rows into the codes
+    table's new list_id partitions, and drop the old partition directory.
+    Probes need no code change — they read the centroid table per query,
+    and the grown table simply offers two finer probe targets where one
+    oversized one stood.
+
+    Why split instead of retrain: the sweep (kind=annappend) measures a
+    shifted-regime delta CONCENTRATING into one list (max occupancy 0.55
+    → 0.94 as appended fraction grows) — stage-1 probe cost is
+    proportional to probed-list size, so one hot list carries the whole
+    regression. Splitting it costs one scan of THAT list; a retrain costs
+    the corpus (measured 4-5x the append wall, and it invalidates every
+    list's baseline instead of two).
+
+    Cost contract: O(|list|) — one fetch join, a 2-means over the list,
+    one map-only re-encode, one partition write + one directory drop.
+    Quantization error for the split vectors cannot degrade on average
+    (the 2-means assignment's mean squared residual is no worse than the
+    single old centroid's; test-pinned empirically) — the frozen books
+    decode SMALLER residuals, so the per-list error monitor re-baselines
+    downward. Local path surgery only (the scratch-dir sink contract —
+    an object-store deployment would stage-and-swap the partition)."""
+    import shutil
+
+    from yfinance_etl_spark.operators.clustering import kmeans
+    from yfinance_etl_spark.sources.sink import write_partitioned
+
+    idx = read_ivfpq_index(spark, path)
+    hot_ids = idx.codes.filter(F.col("list_id") == list_id).select("vec_id")
+    hot = snapshot.join(hot_ids, "vec_id", "left_semi")
+    n_hot = hot.count()
+    if n_hot < 2:
+        raise ValueError(
+            f"split_ivfpq_list: list {list_id} holds {n_hot} vector(s); "
+            "nothing to split"
+        )
+    assigned, sub_cents = kmeans(hot, k=2, iters=iters, vec_col="embedding")
+    # kmeans labels clusters with its hash-spread seed ids, not 0..k-1 —
+    # remap the surviving labels (an empty cluster may drop one) onto
+    # fresh DENSE ids above the existing centroid range
+    base_id = int(
+        idx.centroids.agg(F.max("cent_id").alias("m")).first()["m"]
+    ) + 1
+    sub_rows = sub_cents.orderBy("cent_id").collect()
+    if len(sub_rows) < 2:
+        raise ValueError(
+            f"split_ivfpq_list: 2-means collapsed list {list_id} into "
+            f"{len(sub_rows)} cluster(s) (degenerate/duplicate vectors); "
+            "nothing to split"
+        )
+    id_map = {int(r["cent_id"]): base_id + i for i, r in enumerate(sub_rows)}
+    new_ids = tuple(id_map.values())
+    remap = F.element_at(
+        F.create_map(*[F.lit(x) for kv in id_map.items() for x in kv]),
+        F.col("cent_id").cast("int"),
+    ).cast("long")
+    new_cent_df = spark.createDataFrame(
+        [
+            (id_map[int(r["cent_id"])], [float(x) for x in r["cent"]])
+            for r in sub_rows
+        ],
+        "list_id long, cent_vec array<double>",
+    )
+    resid = (
+        assigned.select("vec_id", "vec", remap.alias("list_id"))
+        .join(F.broadcast(new_cent_df), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+        )
+    )
+    codes = pq_codes(resid, idx.books, vec_col="residual", carry=("list_id",))
+    write_partitioned(
+        codes, f"{path}/codes", partition_by=("list_id",), mode="append"
+    )
+    shutil.rmtree(f"{path}/codes/list_id={list_id}")
+    # centroid table rewrite goes through DRIVER rows (config-sized by
+    # contract): a lazy plan reading centroids/ while overwriting the
+    # same directory would be a read-under-write hazard
+    kept_rows = [
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+        for r in idx.centroids.collect()
+        if int(r["cent_id"]) != list_id
+    ]
+    new_cent_rows = [
+        (id_map[int(r["cent_id"])], [float(x) for x in r["cent"]])
+        for r in sub_rows
+    ]
+    write_partitioned(
+        spark.createDataFrame(
+            sorted(kept_rows + new_cent_rows),
+            "cent_id long, cent_vec array<double>",
+        ),
+        f"{path}/centroids",
+    )
+    return new_ids
+
+
 def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     """Read a persisted index back for ``ivfpq_topk(index=...)``. The
     codebooks come to the driver (config-sized by construction — they

@@ -462,6 +462,7 @@ def minhash_delta_neardup(
     corpus_docs: DataFrame,
     threshold: float = 0.7,
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot (delta) near-dedup — the incremental form every
     recurring-crawl pipeline runs: dedup the NEW snapshot against the
@@ -497,7 +498,15 @@ def minhash_delta_neardup(
     """
     if corpus_bands is None:
         corpus_bands = minhash_bands(corpus_docs)
-    cand = _delta_candidates(minhash_bands(new_docs), corpus_bands)
+    # ``new_bands`` is the split-form cache move on the NEW side (same
+    # rationale as write_minhash_signatures' bands param): when the new
+    # snapshot is a filter of a shared table, pass
+    # minhash_bands(full).filter/semi-join so the full-table md5 stage
+    # stays cache-substitutable — minhash_bands(filter(full)) here would
+    # recompute it cold (measured ~2×7 s inside crawl_frontier_cycle).
+    if new_bands is None:
+        new_bands = minhash_bands(new_docs)
+    cand = _delta_candidates(new_bands, corpus_bands)
 
     def _sets(docs: DataFrame, ids: DataFrame) -> DataFrame:
         return (

@@ -1266,10 +1266,15 @@ def q_crawl_frontier_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drops = (
             minhash_delta_neardup(
-                docs.join(fetch, "doc_id", "left_semi"),
+                # full table on the verify side (the candidate semi-join
+                # restricts it to fetched ids anyway) + the full-table
+                # band subplan semi-joined to the fetch list: both sides
+                # stay substitutable against the shared cached stages
+                docs,
                 docs,
                 threshold=0.7,
                 corpus_bands=read_minhash_signatures(spark, f"{base}/sigs"),
+                new_bands=bands.join(fetch, "doc_id", "left_semi"),
             )
             .select(F.col("new_doc_id").alias("doc_id"))
             .distinct()

@@ -1146,6 +1146,51 @@ def test_counting_bloom_conservation_and_no_false_negatives(spark):
     assert present <= members  # no false negatives, ever
 
 
+def test_contrastive_triplets_hard_and_permuted_negatives(spark):
+    """Hand-checkable corpus: two exact dups (positives of each other)
+    with a partial-overlap neighbor (their HARD negative), an unrelated
+    doc, and a second isolated dup pair whose only candidate is its own
+    positive — forcing the seeded-permutation FALLBACK negative, which
+    must avoid the anchor's positive and every candidate. Deterministic
+    across runs; floor >= threshold fails loudly."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.operators.pairs import contrastive_triplets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),          # exact dup of 1
+            (3, "a b c d x y z w"),          # partial overlap with 1,2
+            (4, "p q r s t u v"),            # unrelated
+            (5, "m n o m2 n2 o2 m3 n3"),     # isolated dup pair
+            (6, "m n o m2 n2 o2 m3 n3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.anchor_id: r for r in contrastive_triplets(docs).collect()}
+    # anchors: exactly the docs with a verified positive
+    assert set(out) == {1, 2, 5, 6}
+    assert out[1].positive_id == 2 and out[2].positive_id == 1
+    assert out[1].pos_jaccard == 1.0
+    # 3 shares "a b c"/"b c d" with 1 and 2: the mined hard negative
+    assert out[1].negative_id == 3 and out[1].neg_kind == "hard"
+    assert 0.0 < out[1].neg_jaccard < 0.8
+    assert out[2].negative_id == 3
+    # 5/6's only candidate is each other -> permuted fallback, which may
+    # not be the positive (and has no shared indexed shingle: 0.0)
+    for a, p in ((5, 6), (6, 5)):
+        assert out[a].positive_id == p
+        assert out[a].neg_kind == "permuted"
+        assert out[a].negative_id in {1, 2, 3, 4}
+        assert out[a].neg_jaccard == 0.0
+    # deterministic: a second run is row-identical
+    again = {r.anchor_id: r for r in contrastive_triplets(docs).collect()}
+    assert again == out
+    with _pytest.raises(ValueError, match="floor"):
+        contrastive_triplets(docs, threshold=0.5, floor=0.6)
+
+
 def test_counting_bloom_add_grows_the_standing_table_incrementally(spark):
     """counting_bloom_add (the crawl-cycle append step): base + added
     delta must equal a one-shot build over the union — bit-for-bit on

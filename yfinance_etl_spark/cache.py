@@ -32,9 +32,11 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         doc_shingles(load_table(spark, sf_dir, "documents")),
         # map-only but md5-dense: shared by the MinHash and SimHash queries
         doc_hashes(load_table(spark, sf_dir, "documents")),
-        # the inverted-index self-join both the pair query AND the
-        # clustering query build on — one materialization serves both
-        jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8),
+        # the inverted-index self-join the pair/clustering/graph queries
+        # build on — cached UNFILTERED (r14) so thresholded consumers
+        # substitute Filter(InMemoryRelation) and the contrastive-pair
+        # miner (which needs below-threshold pairs too) hits the same entry
+        jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),
         # whole-doc embeddings: computed on BOTH branches of the

@@ -147,10 +147,16 @@ def _df_filtered_shingles(docs: DataFrame, max_df_frac: float) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, max_df_frac: float = MAX_DF_FRAC
+    docs: DataFrame, threshold: float | None = 0.8,
+    max_df_frac: float = MAX_DF_FRAC,
 ) -> DataFrame:
     """All doc pairs with word-3gram Jaccard ≥ threshold, via inverted index
-    (hot shingles df-filtered first — see _df_filtered_shingles)."""
+    (hot shingles df-filtered first — see _df_filtered_shingles).
+    ``threshold=None`` returns EVERY candidate pair with its verified
+    jaccard — the form the contrastive-pair miner consumes (hard
+    negatives live below the dup threshold) and the one the bench cache
+    pins, so every thresholded consumer substitutes a filter on top of
+    the same cached frame."""
     sh = _df_filtered_shingles(docs, max_df_frac)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -163,12 +169,12 @@ def jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
+    return out if threshold is None else out.filter(F.col("jaccard") >= threshold)
 
 
 #: smallest prime above 2³² — modulus of the affine MinHash permutations

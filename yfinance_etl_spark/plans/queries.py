@@ -3525,6 +3525,103 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contrastive training-pair mining (r14): the dedup candidate graph's
+# byproduct turned into supervision — positives are the verified >= 0.8
+# pairs, hard negatives the candidates that shared indexed vocabulary yet
+# verified below it (the "looks close, isn't" rows a contrastive loss
+# needs), with a seeded-permutation fallback negative when the anchor's
+# neighborhood offers none. Oracle replays the whole derivation: inverted
+# index, both window ranks, the md5 ring, the offset jump, and the
+# collision-drop rule.
+# ---------------------------------------------------------------------------
+
+_TRIPLETS_SQL = f"""
+WITH {_SHINGLE_CTES},
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfreq USING (shingle) CROSS JOIN total
+  WHERE df <= 0.5 * n_docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+sym AS (
+  SELECT doc_a AS anchor_id, doc_b AS other_id, j FROM jac
+  UNION ALL
+  SELECT doc_b AS anchor_id, doc_a AS other_id, j FROM jac
+),
+pos AS (
+  SELECT anchor_id, other_id AS positive_id, j AS pos_jaccard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY j DESC, other_id) AS rn
+    FROM sym WHERE j >= 0.8
+  ) WHERE rn = 1
+),
+hard AS (
+  SELECT anchor_id, other_id AS hard_id, j AS hard_jaccard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY j DESC, other_id) AS rn
+    FROM sym WHERE j < 0.8 AND j >= 0.05
+  ) WHERE rn = 1
+),
+ring AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY
+           md5('ctr:' || CAST(doc_id AS VARCHAR)) || ':'
+           || lpad(CAST(doc_id AS VARCHAR), 20, '0')) AS rk
+  FROM documents
+),
+fb0 AS (
+  SELECT p.anchor_id, p.positive_id, r.rk AS ark, t.n_docs AS n,
+         1 + CAST('0x' || substr(md5('ctr#' || CAST(p.anchor_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % (t.n_docs - 1) AS o
+  FROM pos p JOIN ring r ON r.doc_id = p.anchor_id CROSS JOIN total t
+),
+fb AS (
+  SELECT f.anchor_id, r2.doc_id AS fb_id
+  FROM fb0 f JOIN ring r2 ON r2.rk = ((f.ark - 1 + f.o) % f.n) + 1
+  WHERE r2.doc_id != f.positive_id
+    AND NOT EXISTS (SELECT 1 FROM sym s
+                    WHERE s.anchor_id = f.anchor_id AND s.other_id = r2.doc_id)
+)
+SELECT p.anchor_id, p.positive_id,
+       COALESCE(h.hard_id, fb.fb_id) AS negative_id,
+       p.pos_jaccard,
+       CAST(COALESCE(h.hard_jaccard, 0.0) AS DOUBLE) AS neg_jaccard,
+       CASE WHEN h.hard_id IS NOT NULL THEN 'hard' ELSE 'permuted' END AS neg_kind
+FROM pos p
+LEFT JOIN hard h USING (anchor_id)
+LEFT JOIN fb USING (anchor_id)
+WHERE COALESCE(h.hard_id, fb.fb_id) IS NOT NULL
+"""
+
+
+@_register("contrastive_triplets", _TRIPLETS_SQL)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import jaccard_pairs
+    from yfinance_etl_spark.operators.pairs import contrastive_triplets
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_triplets(
+        docs, threshold=0.8, floor=0.05,
+        pairs=jaccard_pairs(docs, threshold=None),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the dedup graph (r13): where dedup_clusters picks each
 # cluster's min-id representative, rank scores CENTRALITY — the document
 # most near-duplicated by the rest (usually the cleanest copy) and the
@@ -6010,6 +6107,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL/GK state) — it can only ever get the weak rows-only check, so it
 # does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "contrastive_triplets",  # never (r14 newcomer)
     "crawl_frontier_cycle",  # never (r14 newcomer)
     "knn_join_scaled",  # never (r14 newcomer)
     "stream_ema_ttl",  # never (r14 newcomer)

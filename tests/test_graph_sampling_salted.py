@@ -660,3 +660,44 @@ def test_pagerank_quantized_recursion_hand_replayed(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-5
     with _pytest.raises(ValueError, match="iters"):
         pagerank(edges, iters=0)
+
+
+def test_quota_sample_largest_remainder_exact_counts(spark):
+    """Hand-checkable Hamilton apportionment: strata of 64/16/4 docs give
+    sqrt weights 8/4/2 (Z=14 exactly). total=10 -> quotas 5.714/2.857/
+    1.428, floors 5/2/1, two leftovers to the largest fractions (B .857,
+    A .714) -> EXACT allocs 6/3/1. total=80 -> C's quota (11.4) exceeds
+    its 4 docs: the cap binds, C contributes everything it has, and the
+    shortfall is visible (alloc > picked, total picked < 80) instead of
+    silently reshuffled. Deterministic across runs; total<0 fails."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.operators.sampling import quota_sample
+
+    rows = (
+        [(i, "A") for i in range(64)]
+        + [(100 + i, "B") for i in range(16)]
+        + [(200 + i, "C") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out10 = quota_sample(df, "source", key="doc_id", total=10)
+    c10 = {r.source: r["count"] for r in out10.groupBy("source").count().collect()}
+    assert c10 == {"A": 6, "B": 3, "C": 1}
+    allocs = {r.source: r.alloc for r in out10.select("source", "alloc").distinct().collect()}
+    assert allocs == {"A": 6, "B": 3, "C": 1}
+
+    out80 = quota_sample(df, "source", key="doc_id", total=80)
+    c80 = {r.source: r["count"] for r in out80.groupBy("source").count().collect()}
+    assert c80["C"] == 4 and c80["B"] == 16  # caps bind: all they have
+    assert c80["A"] == 46  # 45 + 1 largest-remainder leftover
+    assert sum(c80.values()) == 66 < 80  # shortfall visible, not hidden
+    alloc_c = out80.filter(F.col("source") == "C").select("alloc").first()[0]
+    assert alloc_c > 4  # the unmet quota stays visible next to the 4 picked
+
+    # deterministic: identical doc_id set on a second run
+    again = {r.doc_id for r in quota_sample(df, "source", key="doc_id", total=10).collect()}
+    assert again == {r.doc_id for r in out10.collect()}
+
+    with _pytest.raises(ValueError, match="total"):
+        quota_sample(df, "source", key="doc_id", total=-1)

@@ -399,6 +399,41 @@ def lm_perplexity(
     )
 
 
+def ppl_buckets(
+    docs: DataFrame,
+    train_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3 — the
+    step AFTER the perplexity score: the corpus is ranked by LM
+    perplexity and cut into terciles; 'head' is the cleanest third a
+    pretraining mix keeps outright, 'tail' the third it drops or
+    down-weights). Composes ``lm_perplexity`` with EXACT tercile cuts —
+    the ``percentile``/``quantile_cont`` pair the winsorized/quantile
+    queries already proved bit-equal cross-engine (linear interpolation
+    over identical 4dp-rounded ppl doubles) — then one broadcast of the
+    2-value cut row back over the score frame: the corpus crosses the
+    wire once for the score and never again for the bucketing.
+
+    Returns (id_col, ppl, ppl_bucket) for every >= 2-token doc;
+    bucket boundaries are inclusive on the low side (ppl == cut →
+    the cleaner bucket), matching the oracle's CASE order."""
+    lm = lm_perplexity(docs, train_pred, text_col=text_col, id_col=id_col)
+    # 1.0D: Spark parses a bare 1.0/3 as DECIMAL(7,6) = 0.333333, which
+    # is a DIFFERENT cut than DuckDB's double 1/3 — force double division
+    # so both engines interpolate at the identical fraction
+    cuts = lm.agg(F.expr("percentile(ppl, array(1.0D/3.0D, 2.0D/3.0D))").alias("c"))
+    return lm.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c")[0], "head")
+        .when(F.col("ppl") <= F.col("c")[1], "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
 #: the encoding-health regex classes, shared by encoding_quality and
 #: curation_verdict (hex escapes interpreted identically by Java regex
 #: and RE2; U+FFFD matched as a literal code point — parity proven past

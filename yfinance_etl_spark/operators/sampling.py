@@ -16,7 +16,7 @@ training-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: split name → [lo, hi) bucket range out of 100
@@ -310,6 +310,92 @@ def temperature_mix(
     return (
         keyed.join(F.broadcast(rates), sk)
         .filter(b < F.col("rate_ppm"))
+        .drop(sk)
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    total: int,
+    temperature: float = 2.0,
+    salt: str = "quota",
+) -> DataFrame:
+    """EXACT-count mixture sampling — the apportionment complement of
+    ``temperature_mix``: where the rate form keeps each row with
+    probability r_s (EXPECTED counts; the realized mix wobbles), this
+    turns the same temperature-flattened weights into integer per-stratum
+    quotas via Hamilton's largest-remainder method and takes EXACTLY that
+    many rows per stratum — the form a fixed-size training-mix build
+    needs ("500k docs, temperature-flattened across domains", where a
+    2% wobble is 10k docs of domain skew).
+
+    Largest remainder: quota_s = total·w_s/Z; every stratum gets
+    ⌊quota_s⌋, and the ``total − Σ⌊quota⌋`` leftovers go one each to the
+    largest fractional parts (tie → stratum ascending). A stratum smaller
+    than its quota contributes everything it has — the shortfall is the
+    same honest cap as ``temperature_rates``' rate_ppm=1e6, visible as
+    ``alloc > n_picked``; Σ picked == total whenever no cap binds.
+
+    Selection within a stratum is the seeded md5 order over ``key``
+    (deterministic sample-without-replacement): reproducible across
+    runs, engines, and partition layouts, same contract as the
+    split/stratified family.
+
+    Scale shape: one count aggregate (map-side combined to stratum
+    cardinality), the quota arithmetic on the STRATUM-sized frame (its
+    no-partition windows rank |strata| rows — bounded like every
+    driver-k artifact, never the fact table), a stratum-sized broadcast
+    back, and ONE fact-side window rank partitioned by stratum. Float
+    exposure: T=2 routes through SQRT (correctly-rounded in both
+    engines); Z is an exact decimal sum; quota = total·w/Z is the same
+    double expression on both sides, so ⌊quota⌋ and the fractional-part
+    ordering are bit-identical (a flip needs quota within an ULP of an
+    integer — the oracle gate's boundary alarm quantifies exposure)."""
+    from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
+
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    sk = "__stratum"
+    keyed = df.withColumn(
+        sk, F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
+    )
+    counts = keyed.groupBy(sk).agg(F.count(F.lit(1)).alias("n_docs"))
+    n = F.col("n_docs")
+    w = F.sqrt(n) if temperature == 2.0 else F.pow(n, F.lit(1.0 / temperature))
+    weighted = counts.select(sk, "n_docs", w.alias("__w"))
+    z = weighted.agg(dsum("__w", STAT_SCALE).alias("__z"))
+    quota = F.lit(float(total)) * F.col("__w") / F.col("__z")
+    q = weighted.crossJoin(F.broadcast(z)).select(
+        sk, "n_docs",
+        F.floor(quota).cast("long").alias("__base"),
+        (quota - F.floor(quota)).alias("__frac"),
+    )
+    rsum = q.agg((F.lit(total) - F.sum("__base")).alias("__r"))
+    wfrac = Window.orderBy(F.desc("__frac"), F.asc(sk))
+    alloc = (
+        q.crossJoin(F.broadcast(rsum))
+        .withColumn("__fr", F.row_number().over(wfrac))
+        .select(
+            sk, "n_docs",
+            (
+                F.col("__base")
+                + F.when(F.col("__fr") <= F.col("__r"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    pick_key = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.coalesce(F.col(key).cast("string"), F.lit("\x00")),
+        )
+    )
+    wpick = Window.partitionBy(sk).orderBy(pick_key, F.col(key))
+    return (
+        keyed.join(F.broadcast(alloc), sk)
+        .withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") <= F.col("alloc"))
         .drop(sk)
     )
 

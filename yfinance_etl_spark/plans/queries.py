@@ -4999,6 +4999,31 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(docs, F.col("lang") == "en")
 
 
+# CCNet's step AFTER the score: rank by perplexity, cut at exact terciles,
+# keep/down-weight by bucket (head = cleanest third). Exact-quantile cuts
+# ride the percentile == quantile_cont bit-equality precedent.
+_PPL_BUCKETS_SQL = f"""
+WITH lm AS ({_LM_PPL_SQL}),
+cuts AS (
+  SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2
+  FROM lm
+)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= c1 THEN 'head'
+            WHEN ppl <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM lm CROSS JOIN cuts
+"""
+
+
+@_register("ccnet_ppl_buckets", _PPL_BUCKETS_SQL)
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.quality import ppl_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return ppl_buckets(docs, F.col("lang") == "en")
+
+
 # ---------------------------------------------------------------------------
 # Token-budget shard packing (training-data sharding): documents in doc_id
 # order packed into ~2000-token shards via the DISTRIBUTED prefix-sum
@@ -6037,6 +6062,59 @@ SELECT doc_id, source, n_chars, ROUND(es_key, 6) + 0.0 AS es_key FROM top
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-quota mixture sampling (r14): Hamilton largest-remainder
+# apportionment of a fixed budget across temperature-flattened strata —
+# the EXACT-count complement of temperature_mix_lang's rate-based form
+# (a fixed-size training-mix build can't tolerate the rate form's
+# realized-count wobble). Oracle replays the whole derivation: sqrt
+# weights, decimal-exact Z, floor/frac, the remainder ranking, and the
+# seeded md5 pick order.
+# ---------------------------------------------------------------------------
+
+_QUOTA_TOTAL = 120
+
+_QUOTA_SQL = f"""
+WITH counts AS (
+  SELECT COALESCE(CAST(source AS VARCHAR), chr(0)) AS st, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+wtd AS (SELECT st, n_docs, SQRT(n_docs) AS w FROM counts),
+z AS (SELECT {S.dsum('w', S.STAT_SCALE)} AS z FROM wtd),
+q AS (
+  SELECT st, n_docs,
+         CAST(FLOOR({_QUOTA_TOTAL}.0 * w / z) AS BIGINT) AS base,
+         {_QUOTA_TOTAL}.0 * w / z - FLOOR({_QUOTA_TOTAL}.0 * w / z) AS frac
+  FROM wtd CROSS JOIN z
+),
+r AS (SELECT {_QUOTA_TOTAL} - SUM(base) AS rr FROM q),
+alloc AS (
+  SELECT st, n_docs,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, st) <= r.rr
+                     THEN 1 ELSE 0 END AS alloc
+  FROM q CROSS JOIN r
+),
+picked AS (
+  SELECT d.doc_id, d.source, a.n_docs, a.alloc,
+         ROW_NUMBER() OVER (PARTITION BY a.st
+                            ORDER BY md5('quota:' || CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS pick
+  FROM documents d
+  JOIN alloc a ON a.st = COALESCE(CAST(d.source AS VARCHAR), chr(0))
+)
+SELECT doc_id, source, n_docs, alloc, pick FROM picked WHERE pick <= alloc
+"""
+
+
+@_register("quota_sample_mix", _QUOTA_SQL)
+def q_quota_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quota_sample(docs, "source", key="doc_id", total=_QUOTA_TOTAL)
+    return out.select("doc_id", "source", "n_docs", "alloc", "pick")
+
+
 @_register("weighted_sample_topk", _WSAMPLE_SQL)
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.sampling import weighted_sample
@@ -6107,6 +6185,8 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL/GK state) — it can only ever get the weak rows-only check, so it
 # does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "ccnet_ppl_buckets",  # never (r14 newcomer)
+    "quota_sample_mix",  # never (r14 newcomer)
     "contrastive_triplets",  # never (r14 newcomer)
     "crawl_frontier_cycle",  # never (r14 newcomer)
     "knn_join_scaled",  # never (r14 newcomer)

@@ -673,3 +673,62 @@ def test_pagerank_last_round_is_one_agg_exchange_over_checkpoints(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") >= 2  # checkpointed edges + ranks
     assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_knn_join_scaled_default_is_equi_join(spark):
+    """The production-default geometry plans the same equi-join family
+    as the pinned twin: bucket-key join, never a Cartesian/nested-loop
+    product, top-k via WindowGroupLimit instead of a global sort."""
+    plan = _plan(spark, "knn_join_scaled")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_contrastive_triplets_no_cartesian_and_distributed_ring(spark):
+    """Pair mining stays relational: no Cartesian anywhere; both
+    best-per-anchor picks resolve via WindowGroupLimit; the fallback
+    ring rides pack_shards' checkpointed prefix-sum (Scan ExistingRDD
+    leaf), not a single-task no-partition window over the corpus."""
+    plan = _plan(spark, "contrastive_triplets")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the accepted 1-row-total broadcasts
+    # (the df<=0.5·n_docs filter) — never a pair-side product
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "n_docs" in frag.split("\n")[0], frag.split("\n")[0]
+    assert "WindowGroupLimit" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed ring
+    # every corpus-sized Window is partitioned (anchor/stratum keys); the
+    # ring's global rank never appears here — it lives behind the
+    # checkpoint (pack_shards' range+pid shape)
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n")[0]
+        assert "anchor_id" in head or "__rkey" not in head, head
+
+
+def test_ccnet_buckets_broadcast_lm_tables_and_cut_row(spark):
+    """The LM count tables (<= 256^2 cells) and the 2-value tercile cut
+    row must re-enter as broadcasts; the score frame is checkpointed so
+    the bigram pass runs once (visible as the ExistingRDD leaf)."""
+    plan = _plan(spark, "ccnet_ppl_buckets")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed score frame
+
+
+def test_quota_sample_fact_pays_one_pick_exchange(spark):
+    """Quota arithmetic lives on the stratum-sized frame; the fact side's
+    only wide ops are the broadcast alloc join and ONE hashpartitioning
+    exchange for the per-stratum pick window."""
+    plan = _plan(spark, "quota_sample_mix")
+    assert "CartesianProduct" not in plan
+    # the alloc table re-enters the fact side as a broadcast, never a
+    # fact shuffle join
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE fact parquet pass in the returned plan: the quota
+    # arithmetic derives from the checkpointed stratum-sized count frame
+    # (ExistingRDD leaves), so the fact is scanned once for the pick
+    # window and the count pass ran once at checkpoint time — never once
+    # per derivation branch (5 scans observed before the pin)
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Scan ExistingRDD" in plan

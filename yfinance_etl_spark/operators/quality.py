@@ -419,7 +419,12 @@ def ppl_buckets(
     Returns (id_col, ppl, ppl_bucket) for every >= 2-token doc;
     bucket boundaries are inclusive on the low side (ppl == cut →
     the cleaner bucket), matching the oracle's CASE order."""
-    lm = lm_perplexity(docs, train_pred, text_col=text_col, id_col=id_col)
+    # the score frame feeds BOTH the cut aggregate and the labeled output;
+    # doc-count-sized but expensive to build (the bigram scoring pass) —
+    # pin it so the corpus-side work runs once
+    lm = lm_perplexity(
+        docs, train_pred, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     # 1.0D: Spark parses a bare 1.0/3 as DECIMAL(7,6) = 0.333333, which
     # is a DIFFERENT cut than DuckDB's double 1/3 — force double division
     # so both engines interpolate at the identical fraction

@@ -361,7 +361,15 @@ def quota_sample(
     keyed = df.withColumn(
         sk, F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
     )
-    counts = keyed.groupBy(sk).agg(F.count(F.lit(1)).alias("n_docs"))
+    # stratum-sized and consumed by FOUR derivation branches (weights, Z,
+    # remainder sum, alloc) — without the pin each branch re-scans the
+    # fact for its own copy of the count aggregate (5 parquet scans
+    # observed in the plan; 2 after: the checkpoint's own and the fact's)
+    counts = (
+        keyed.groupBy(sk)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     n = F.col("n_docs")
     w = F.sqrt(n) if temperature == 2.0 else F.pow(n, F.lit(1.0 / temperature))
     weighted = counts.select(sk, "n_docs", w.alias("__w"))

@@ -268,6 +268,36 @@ AUDITS: dict[str, str] = {
         "per-node decimal-sum aggregation — per-round cost identical to "
         "a keyed agg, rounds fixed so the DuckDB oracle can unroll them."
     ),
+    "knn_join_scaled": (
+        "The production-default geometry (n_planes=None -> count() -> "
+        "scaled_plane_count): identical plan family to knn_join_topk — "
+        "the in-bucket self-join is a SortMergeJoin/ShuffledHashJoin on "
+        "the bucket key (NEVER CartesianProduct), per-pair work is one "
+        "dot product against hoisted norms, and top-k resolves via "
+        "WindowGroupLimit, not a global sort."
+    ),
+    "contrastive_triplets": (
+        "No CartesianProduct anywhere: positives/hard-negatives are two "
+        "WindowGroupLimit ranks over the SAME inverted-index pair frame "
+        "(anchor-keyed exchanges); the fallback ring is pack_shards' "
+        "distributed prefix-sum shape (range exchange + pid window + "
+        "k-scalar offset broadcast — no single-task global window), and "
+        "the collision guard is a candidate-sized left-anti join."
+    ),
+    "ccnet_ppl_buckets": (
+        "The LM count tables enter as BroadcastHashJoins (bigram/unigram "
+        "tables bounded by 256² cells); the score frame is checkpointed "
+        "once (the bigram pass runs ONCE, not once per consumer) and the "
+        "2-value tercile cut row re-enters as a broadcast — the corpus "
+        "crosses the wire exactly once."
+    ),
+    "quota_sample_mix": (
+        "Quota arithmetic (floor/frac/largest-remainder rank) runs on the "
+        "STRATUM-sized frame — its no-partition window ranks |strata| "
+        "rows, never the fact; the alloc table re-enters as a "
+        "BroadcastHashJoin and the fact pays exactly one Exchange for the "
+        "per-stratum pick window."
+    ),
 }
 
 
@@ -329,36 +359,6 @@ STREAM_AUDITS: dict[str, tuple[str, object]] = {
         "built-in agg state path) because the state is the operator's "
         "own GroupState.",
         _stream_ema_unstarted,
-    ),
-    "knn_join_scaled": (
-        "The production-default geometry (n_planes=None -> count() -> "
-        "scaled_plane_count): identical plan family to knn_join_topk — "
-        "the in-bucket self-join is a SortMergeJoin/ShuffledHashJoin on "
-        "the bucket key (NEVER CartesianProduct), per-pair work is one "
-        "dot product against hoisted norms, and top-k resolves via "
-        "WindowGroupLimit, not a global sort."
-    ),
-    "contrastive_triplets": (
-        "No CartesianProduct anywhere: positives/hard-negatives are two "
-        "WindowGroupLimit ranks over the SAME inverted-index pair frame "
-        "(anchor-keyed exchanges); the fallback ring is pack_shards' "
-        "distributed prefix-sum shape (range exchange + pid window + "
-        "k-scalar offset broadcast — no single-task global window), and "
-        "the collision guard is a candidate-sized left-anti join."
-    ),
-    "ccnet_ppl_buckets": (
-        "The LM count tables enter as BroadcastHashJoins (bigram/unigram "
-        "tables bounded by 256² cells); the score frame is checkpointed "
-        "once (the bigram pass runs ONCE, not once per consumer) and the "
-        "2-value tercile cut row re-enters as a broadcast — the corpus "
-        "crosses the wire exactly once."
-    ),
-    "quota_sample_mix": (
-        "Quota arithmetic (floor/frac/largest-remainder rank) runs on the "
-        "STRATUM-sized frame — its no-partition window ranks |strata| "
-        "rows, never the fact; the alloc table re-enters as a "
-        "BroadcastHashJoin and the fact pays exactly one Exchange for the "
-        "per-stratum pick window."
     ),
 }
 

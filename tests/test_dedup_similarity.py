@@ -2161,3 +2161,33 @@ def test_ivfpq_quantization_error_detects_a_drifted_delta(spark, tmp_path):
     # the drifted half quantizes against codebooks that never saw its
     # regime: corpus-weighted error must jump well clear of the base's
     assert e1 > 2 * e0, (e0, e1)
+
+
+def test_cut_dup_spans_rebuilds_text_without_duplicated_runs(spark):
+    """Hand-checkable ExactSubstr ACT fixture (min_len=8): the lowest id
+    keeps its copy; higher ids lose each shared run; two disjoint runs
+    cut independently; a fully-shared doc collapses to the empty string;
+    an unrelated doc passes through byte-identical."""
+    from yfinance_etl_spark.operators.dedup import cut_dup_spans
+
+    base = "0123456789abcdefghijklmnop"  # 26 distinct chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"PREFIX-{base}-SUFFIX"),
+            (2, f"aa{base}bb"),
+            (3, "qqqqq wwww eeee rr"),          # nothing shared >= 8
+            (4, base[:10] + "XXXX" + base[10:20] + "YYYY"),
+            (5, base),                           # fully shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cut_dup_spans(docs, min_len=8).collect()}
+    assert out[1].text_clean == f"PREFIX-{base}-SUFFIX"  # canonical kept
+    assert out[1].n_cut_spans == 0 and out[1].n_cut_chars == 0
+    assert out[2].text_clean == "aabb"
+    assert (out[2].n_cut_spans, out[2].n_cut_chars) == (1, 26)
+    assert out[3].text_clean == "qqqqq wwww eeee rr"
+    assert out[4].text_clean == "XXXXYYYY"
+    assert (out[4].n_cut_spans, out[4].n_cut_chars) == (2, 20)
+    assert out[5].text_clean == ""  # fully cut, not dropped
+    assert (out[5].n_cut_spans, out[5].n_cut_chars) == (1, 26)

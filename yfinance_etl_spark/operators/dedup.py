@@ -1501,6 +1501,117 @@ def substring_dup_spans(
     return _merge_diagonal_spans(matches, min_len)
 
 
+def cut_dup_spans(docs: DataFrame, min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
+    """The ExactSubstr ACT step — ``substring_dup_spans`` only REPORTS
+    shared verbatim runs; this CUTS them (Lee et al. 2021 §4: the
+    deduplicated corpus removes the duplicated substring itself, not the
+    whole document — boilerplate dies, the unique prose around it
+    survives). Returns every doc with ``text_clean``, ``n_cut_spans``,
+    and ``n_cut_chars`` (0/unchanged for untouched docs).
+
+    Policy, deterministic and one-shot: for each maximal shared run of a
+    pair (doc_a < doc_b), the occurrence in the LOWER id is the kept
+    canonical copy and the HIGHER id's occurrence is cut — the same
+    min-id convention ``dedup_clusters`` uses. All cut intervals are
+    computed from the ORIGINAL corpus in one pass, then a doc's
+    intervals are merged (gaps-and-islands: strictly overlapping
+    intervals fuse; a doc near-duplicating several canonicals loses the
+    union) and the surviving text is rebuilt relationally — the KEPT
+    gap segments between cuts (plus the tail) become (start, chunk)
+    rows via one per-doc window, and an ordered array_join reassembles
+    them. No per-row Python, no driver text handling.
+
+    Scale shape: everything up to the cut intervals is the
+    ``substring_dup_spans`` plan (hash-narrowed gram equi-join, one
+    (da,db)-keyed window family); the rebuild adds one doc-keyed window
+    over the (tiny) merged-interval frame, a doc_id equi-join back to
+    the text, and one doc-keyed aggregation. Cost tracks shared-text
+    volume + one corpus text pass."""
+    grams = char_grams(docs, min_len)
+    matches = _hashed_gram_matches(grams, docs, min_len)
+    # diagonal runs → one cut interval per maximal run, in db's text
+    # (0-based inclusive [s0, e0]; span_len = gram_count + L - 1)
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    cuts = (
+        runs.groupBy("da", "db", F.col("pa") - F.col("pb"), "grp")
+        .agg(
+            F.min("pb").alias("s0"),
+            (F.min("pb") + F.count(F.lit(1)) + F.lit(min_len - 2)).alias("e0"),
+        )
+        .select(F.col("db").alias("doc_id"), "s0", "e0")
+    )
+    # per-doc interval merge (strict overlap fuses; adjacency may stay
+    # split — the rebuild's empty gap segment makes that equivalent)
+    wd = Window.partitionBy("doc_id").orderBy("s0", "e0")
+    prev_max = F.max("e0").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "ng",
+            F.when(F.col("s0") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("ng").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s0").alias("cs"), F.max("e0").alias("ce"))
+    )
+    # kept segments, 1-based substring coordinates: the gap BEFORE each
+    # cut ([prev_ce+2, cs] — empty when cuts touch) and the tail after
+    # the last cut
+    ws = Window.partitionBy("doc_id").orderBy("cs")
+    gaps = merged.select(
+        "doc_id",
+        (F.coalesce(F.lag("ce").over(ws), F.lit(-1)) + F.lit(2)).alias("gs"),
+        (F.col("cs") - (F.coalesce(F.lag("ce").over(ws), F.lit(-1)) + 1)).alias("glen"),
+    )
+    tails = merged.groupBy("doc_id").agg((F.max("ce") + F.lit(2)).alias("gs"))
+    txt = docs.select("doc_id", F.col("text"))
+    pieces = (
+        gaps.filter(F.col("glen") > 0)
+        .join(txt, "doc_id")
+        .select("doc_id", "gs", F.expr("substring(text, gs, glen)").alias("chunk"))
+        .unionByName(
+            tails.join(txt, "doc_id")
+            .select(
+                "doc_id", "gs",
+                F.expr("substring(text, gs, length(text) - gs + 1)").alias("chunk"),
+            )
+            .filter(F.length("chunk") > 0)
+        )
+    )
+    rebuilt = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            "",
+        ).alias("__clean")
+    )
+    stats = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cut_spans"),
+        F.sum(F.col("ce") - F.col("cs") + 1).alias("n_cut_chars"),
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            *[c for c in docs.columns if c != "text"],
+            # a fully-cut doc has stats but zero pieces → empty string
+            F.when(
+                F.col("n_cut_spans").isNotNull(),
+                F.coalesce(F.col("__clean"), F.lit("")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text_clean"),
+            F.coalesce(F.col("n_cut_spans"), F.lit(0)).alias("n_cut_spans"),
+            F.coalesce(F.col("n_cut_chars"), F.lit(0)).alias("n_cut_chars"),
+        )
+    )
+
+
 def substring_contamination(
     docs: DataFrame,
     bench_pred,

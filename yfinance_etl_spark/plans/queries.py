@@ -5792,6 +5792,100 @@ m AS (
 """
 
 
+# The ExactSubstr ACT step (Lee et al. cut the duplicated substring; the
+# spans query only reports it): per pair the lower id keeps its copy, the
+# higher id's occurrence is cut; per-doc intervals merge (gaps-and-islands)
+# and the kept gap segments + tail rebuild the text relationally. The
+# oracle replays the REBUILD itself and the hash gate compares
+# md5(text_clean) — any off-by-one in the interval arithmetic flips it.
+_SUBSTR_CUT_SQL = f"""
+WITH {_SUBSTR_GRAMS_CTE},
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT da, db, pa, pb, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+  FROM m
+),
+cuts AS (
+  SELECT db AS doc_id, MIN(pb) AS s0,
+         MIN(pb) + COUNT(*) + {_SUBSTR_L} - 2 AS e0
+  FROM runs GROUP BY da, db, diag, grp
+),
+marked AS (
+  SELECT doc_id, s0, e0,
+         CASE WHEN s0 > COALESCE(MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ng
+  FROM cuts
+),
+grped AS (
+  SELECT doc_id, s0, e0,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+merged AS (SELECT doc_id, MIN(s0) AS cs, MAX(e0) AS ce FROM grped GROUP BY doc_id, grp),
+gaps AS (
+  SELECT doc_id,
+         COALESCE(LAG(ce) OVER w, -1) + 2 AS gs,
+         cs - (COALESCE(LAG(ce) OVER w, -1) + 1) AS glen
+  FROM merged WINDOW w AS (PARTITION BY doc_id ORDER BY cs)
+),
+tails AS (SELECT doc_id, MAX(ce) + 2 AS gs FROM merged GROUP BY doc_id),
+pieces AS (
+  SELECT gp.doc_id, gp.gs,
+         substr(d.text, CAST(gp.gs AS INT), CAST(gp.glen AS INT)) AS chunk
+  FROM gaps gp JOIN documents d USING (doc_id)
+  WHERE gp.glen > 0
+  UNION ALL
+  SELECT t.doc_id, t.gs,
+         substr(d.text, CAST(t.gs AS INT),
+                CAST(greatest(length(d.text) - t.gs + 1, 0) AS INT)) AS chunk
+  FROM tails t JOIN documents d USING (doc_id)
+  WHERE length(d.text) - t.gs + 1 > 0
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY gs) AS clean FROM pieces GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_cut_spans,
+         CAST(SUM(ce - cs + 1) AS BIGINT) AS n_cut_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(CASE WHEN s.doc_id IS NOT NULL THEN COALESCE(r.clean, '')
+                   ELSE d.text END) AS clean_len,
+       COALESCE(s.n_cut_spans, 0) AS n_cut_spans,
+       COALESCE(s.n_cut_chars, 0) AS n_cut_chars,
+       md5(CASE WHEN s.doc_id IS NOT NULL THEN COALESCE(r.clean, '')
+                ELSE d.text END) AS clean_md5
+FROM documents d
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""
+
+
+@_register("substring_dup_cut", _SUBSTR_CUT_SQL)
+def q_substring_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's substring ACT step hash-gated on the rebuilt
+    text itself: md5(text_clean) per doc — the strongest possible gate
+    for a text-surgery operator (every kept character in its original
+    order, every cut exactly the reported span)."""
+    from yfinance_etl_spark.operators.dedup import cut_dup_spans
+
+    out = cut_dup_spans(_t(spark, sf_dir, "documents"), _SUBSTR_L)
+    return out.select(
+        "doc_id",
+        F.length("text_clean").alias("clean_len"),
+        F.col("n_cut_spans").cast("long").alias("n_cut_spans"),
+        F.col("n_cut_chars").cast("long").alias("n_cut_chars"),
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 _SUBSTR_CONTAM_SQL = f"""
 WITH {_SUBSTR_GRAMS_CTE},
 m AS (
@@ -6185,6 +6279,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL/GK state) — it can only ever get the weak rows-only check, so it
 # does not occupy a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "substring_dup_cut",  # never (r14 newcomer)
     "ccnet_ppl_buckets",  # never (r14 newcomer)
     "quota_sample_mix",  # never (r14 newcomer)
     "contrastive_triplets",  # never (r14 newcomer)

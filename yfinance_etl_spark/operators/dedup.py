@@ -1539,7 +1539,16 @@ def cut_dup_spans(docs: DataFrame, min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
             F.min("pb").alias("s0"),
             (F.min("pb") + F.count(F.lit(1)) + F.lit(min_len - 2)).alias("e0"),
         )
+        # DISTINCT is correctness, not tidiness: the same interval cut on
+        # behalf of several canonical partners yields TIED (s0, e0) rows,
+        # and the merge below runs TWO window passes over the same sort
+        # keys (prev-max, then running group sum) — an engine free to
+        # order ties differently between the passes can split one island
+        # into two (observed: DuckDB doubled one doc's n_cut_chars at
+        # sf0.1 while Spark merged). Deduped, (s0, e0) is unique per doc
+        # and the ordering is total on both sides.
         .select(F.col("db").alias("doc_id"), "s0", "e0")
+        .distinct()
     )
     # per-doc interval merge (strict overlap fuses; adjacency may stay
     # split — the rebuild's empty gap segment makes that equivalent)

@@ -5810,9 +5810,14 @@ runs AS (
   FROM m
 ),
 cuts AS (
-  SELECT db AS doc_id, MIN(pb) AS s0,
-         MIN(pb) + COUNT(*) + {_SUBSTR_L} - 2 AS e0
-  FROM runs GROUP BY da, db, diag, grp
+  -- DISTINCT mirrors the engine: tied (s0, e0) duplicates (one interval
+  -- owed to several canonical partners) would let the two window passes
+  -- below order ties differently and split an island (observed at sf0.1)
+  SELECT DISTINCT doc_id, s0, e0 FROM (
+    SELECT db AS doc_id, MIN(pb) AS s0,
+           MIN(pb) + COUNT(*) + {_SUBSTR_L} - 2 AS e0
+    FROM runs GROUP BY da, db, diag, grp
+  )
 ),
 marked AS (
   SELECT doc_id, s0, e0,

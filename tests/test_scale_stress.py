@@ -638,3 +638,39 @@ def test_recorded_emattl_sweep_supports_the_eviction_claim():
     # is a small fraction of NoTimeout's
     big = max(et, key=lambda r: r["total_users"])
     assert big["ttl_state_rows_max"] * 4 <= big["nottl_state_rows_max"], big
+
+
+def test_recorded_cutsub_sweep_supports_the_claims():
+    # tools/scale_stress.py cutsub — the ExactSubstr ACT step at scale
+    import json
+    import math
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    cs = [r for r in lines if r.get("kind") == "cutsub"]
+    assert len(cs) >= 3, "cutsub sweep not recorded"
+    assert max(r["n_docs"] for r in cs) >= 16 * min(r["n_docs"] for r in cs)
+    for r in cs:
+        # the rebuild's hard invariant at every scale: every byte is
+        # either kept (in order) or accounted to a cut span — nothing
+        # lost, nothing duplicated
+        assert r["chars_conserved"] is True, r
+        assert r["clean_chars"] + r["cut_chars"] == r["total_chars"], r
+    summ = [r for r in lines if r.get("kind") == "cutsub_summary"][-1]
+    # wall tracks the near-linear spans plan (rebuild adds O(intervals) +
+    # one text pass), never the doc-pair square
+    assert summ["wall_growth_exponent"] <= 1.3, summ
+    lo = min(cs, key=lambda r: r["n_docs"])
+    hi = max(cs, key=lambda r: r["n_docs"])
+    wall_exp = math.log(hi["sec_cut"] / lo["sec_cut"]) / math.log(
+        hi["n_docs"] / lo["n_docs"]
+    )
+    assert abs(wall_exp - summ["wall_growth_exponent"]) < 0.05

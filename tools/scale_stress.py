@@ -1976,6 +1976,86 @@ def main_annappend(factors: list[int]) -> None:
             )
 
 
+def main_cutsub(factors: list[int]) -> None:
+    """cut_dup_spans scale sweep (r14, the ACT half of ExactSubstr): blow
+    the corpus up ×factor and measure the whole detect→cut→rebuild wall
+    plus the decomposed volumes — cut-interval rows (the rebuild's only
+    new join input over the spans plan), cut-char fraction, and the byte
+    conservation invariant Σ|clean| + Σcut_chars == Σ|text| (the rebuild
+    loses or duplicates NOTHING, at every scale). Claim under test: the
+    rebuild adds O(intervals + one text pass) on top of the measured
+    near-linear spans plan, so cut wall must track the spans wall's
+    exponent, never the doc-pair square. One JSON line per factor,
+    kind="cutsub", then the exponent summary."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import (
+        SUBSTR_MIN_LEN as L,
+        cut_dup_spans,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-cutsub")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cut_dup_spans(docs0.limit(30), L).count()  # codegen warm-up
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0, f).repartition(64).localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        total_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+        t0 = time.perf_counter()
+        out = cut_dup_spans(docs, L)
+        agg = out.agg(
+            F.sum(F.length("text_clean")).alias("clean_chars"),
+            F.sum("n_cut_chars").alias("cut_chars"),
+            F.sum("n_cut_spans").alias("cut_spans"),
+            F.sum((F.col("n_cut_spans") > 0).cast("int")).alias("docs_cut"),
+        ).collect()[0]
+        wall = round(time.perf_counter() - t0, 2)
+        row = {
+            "kind": "cutsub",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": n_docs,
+            "total_chars": int(total_chars),
+            "clean_chars": int(agg["clean_chars"]),
+            "cut_chars": int(agg["cut_chars"]),
+            "cut_spans": int(agg["cut_spans"]),
+            "docs_cut": int(agg["docs_cut"]),
+            "chars_conserved": int(agg["clean_chars"]) + int(agg["cut_chars"])
+            == int(total_chars),
+            "sec_cut": wall,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    lo, hi = rows[0], rows[-1]
+    import math
+
+    print(
+        json.dumps(
+            {
+                "kind": "cutsub_summary",
+                "wall_growth_exponent": round(
+                    math.log(hi["sec_cut"] / lo["sec_cut"])
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+                "span_growth_exponent": round(
+                    math.log(max(hi["cut_spans"], 1) / max(lo["cut_spans"], 1))
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_pagerank(factors: list[int]) -> None:
     """PageRank sweep (r13, the new-operator-family discipline): blow
     the documents up ×factor, build the jaccard-0.8 near-dup graph, and
@@ -2174,6 +2254,8 @@ if __name__ == "__main__":
         )
     elif argv and argv[0] == "substr_blowup":
         main_substr_blowup([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "cutsub":
+        main_cutsub([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup_scaledk":
         main_semdedup_scaledk([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup":

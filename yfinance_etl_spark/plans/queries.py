@@ -6276,71 +6276,61 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has appeared in a driver artifact.
 # ---------------------------------------------------------------------------
 
-# r13 rotation (tools/rotate_window.py, staleness-first): the seven
-# never-attested r13 newcomers (ann_ivfpq_appended, ann_ivfpq_persisted,
-# ann_ivfpq_quant_error, crawl_two_day_dedup, dedup_canonical_centrality,
-# dedup_graph_pagerank, knn_join_banded) lead, then staleness order per
-# the rotation tool. sketch_profile is oracle-less by design (opaque
-# HLL/GK state) — it can only ever get the weak rows-only check, so it
-# does not occupy a hash-attestable window slot.
+# r14 rotation (tools/rotate_window.py, staleness-first): the seven
+# never-attested r14 newcomers lead, then staleness order per the tool.
+# sketch_profile is oracle-less by design (rows-only) and does not occupy
+# a hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "substring_dup_cut",  # never (r14 newcomer)
-    "ccnet_ppl_buckets",  # never (r14 newcomer)
-    "quota_sample_mix",  # never (r14 newcomer)
-    "contrastive_triplets",  # never (r14 newcomer)
-    "crawl_frontier_cycle",  # never (r14 newcomer)
-    "knn_join_scaled",  # never (r14 newcomer)
-    "stream_ema_ttl",  # never (r14 newcomer)
-    "ann_ivfpq_appended",  # never
-    "ann_ivfpq_persisted",  # never
-    "ann_ivfpq_quant_error",  # never
-    "crawl_two_day_dedup",  # never
-    "dedup_canonical_centrality",  # never
-    "dedup_graph_pagerank",  # never
-    "knn_join_banded",  # never
-    "pdf_page_text",  # r2,3,4,5,7,8,10
-    "peer_group_lookup",  # r2,3,4,5,7,8,10
-    "rag_answers",  # r2,3,4,5,7,8,10
-    "rag_retrieval",  # r2,3,4,5,7,8,10
-    "revenue_rollup",  # r2,3,4,5,7,8,10
-    "rolling_fingerprint",  # r2,3,4,5,7,8,10
-    "sector_weights",  # r2,3,4,5,7,8,10
-    "sink_roundtrip",  # r2,3,4,5,7,8,10
-    "token_stats",  # r2,3,4,5,7,8,10
-    "benchmark_ols",  # r1,2,3,4,5,7,8,10
-    "cumulative_return",  # r1,2,3,4,5,7,8,10
-    "customers_without_urgent_orders_anti",  # r1,2,3,4,5,7,8,10
-    "dividend_yield",  # r1,2,3,4,5,7,8,10
-    "ema_20",  # r1,2,3,4,5,7,8,10
-    "flagship_risk",  # r1,2,3,4,5,7,8,10
-    "orders_with_lineitems_semi",  # r1,2,3,4,5,7,8,10
-    "positional_lookback",  # r1,2,3,4,5,7,8,10
-    "pricing_summary",  # r1,2,3,4,5,7,8,10
-    "revenue_by_region",  # r1,2,3,4,5,7,8,10
-    "ann_int8_topk",  # r11
-    "encoding_quality",  # r11
-    "multimodal_exif_meta",  # r11
-    "sequence_packing",  # r11
-    "stream_delta_candidates",  # r11
-    "char_entropy",  # r9,11
-    "contamination_substring",  # r9,11
-    "dedup_editdistance",  # r9,11
-    "display_formatting",  # r9,11
-    "dsir_importance_topk",  # r9,11
-    "ema_20_segmented",  # r9,11
-    "pdf_report_roundtrip",  # r9,11
-    "semantic_dedup",  # r9,11
-    "substring_dup_spans",  # r9,11
-    "substring_dup_winnowed",  # r9,11
-    "temperature_mix_lang",  # r9,11
-    "vocab_heavy_hitters",  # r9,11
-    "weighted_sample_topk",  # r9,11
-    "winsorized_order_value",  # r9,11
-    "zorder_curve",  # r9,11
-    "order_value_quantiles",  # r6,9,11
-    "orders_cube",  # r6,9,11
-    "pii_redaction",  # r6,9,11
-    "price_band_join",  # r6,9,11
+    "ccnet_ppl_buckets",  # never
+    "contrastive_triplets",  # never
+    "crawl_frontier_cycle",  # never
+    "knn_join_scaled",  # never
+    "quota_sample_mix",  # never
+    "stream_ema_ttl",  # never
+    "substring_dup_cut",  # never
+    "price_pivot_wide",  # r6,9,11
+    "salted_revenue_by_segment",  # r6,9,11
+    "shard_packing",  # r6,9,11
+    "stratified_sample",  # r6,9,11
+    "stream_interval_join",  # r6,9,11
+    "stream_static_enriched",  # r6,9,11
+    "symbol_search",  # r6,9,11
+    "tfidf_top_terms",  # r6,9,11
+    "ticker_correlation_matrix",  # r6,9,11
+    "train_split_counts",  # r6,9,11
+    "tz_normalize",  # r6,9,11
+    "url_domain_stats",  # r6,9,11
+    "watchlist_parse",  # r6,9,11
+    "audio_features",  # r7,8,9,11
+    "lang_profile",  # r1,6,9,11
+    "stream_dedup_distinct",  # r3,5,6,9,11
+    "stream_session_rollup",  # r3,5,6,9,11
+    "stream_sliding_avg",  # r3,5,6,9,11
+    "stream_tumbling_counts",  # r3,5,6,9,11
+    "asof_click_attribution",  # r3,4,5,6,9,11
+    "stream_ema_stateful",  # r3,4,5,6,9,11
+    "sma_min_periods",  # r1,2,3,4,5,7,8,11
+    "sortino",  # r1,2,3,4,5,7,8,11
+    "text_quality",  # r1,2,3,4,5,7,8,11
+    "top_orders",  # r1,2,3,4,5,7,8,11
+    "uptrend_flags",  # r1,2,3,4,5,7,8,11
+    "ann_int8_persisted",  # r12
+    "ann_ivfpq_topk",  # r12
+    "ann_pq_topk",  # r12
+    "crawl_incremental_dedup",  # r12
+    "curation_verdict",  # r12
+    "knn_join_topk",  # r12
+    "stream_curation_verdict",  # r12
+    "stream_delta_verified",  # r12
+    "url_frontier_dedup",  # r12
+    "contamination_bloom",  # r10,12
+    "dedup_delta_snapshot",  # r10,12
+    "jsonl_ingest_profile",  # r10,12
+    "lm_perplexity",  # r10,12
+    "multimodal_jpeg_meta",  # r10,12
+    "split_leakage_check",  # r10,12
+    "funnel_conversions",  # r7,8,10,12
+    "cohort_retention",  # r6,7,8,10,12
 ]
 
 

@@ -701,3 +701,75 @@ def test_quota_sample_largest_remainder_exact_counts(spark):
 
     with _pytest.raises(ValueError, match="total"):
         quota_sample(df, "source", key="doc_id", total=-1)
+
+
+def test_quota_sample_prefilter_is_exact_and_fallback_covers_undershoot(
+    spark, monkeypatch
+):
+    """The r15 two-phase pick must be invisible in the OUTPUT: rows AND
+    pick ranks equal an independent full-sort reference (hashlib md5 over
+    the whole stratum), because hex-prefix order is string order — every
+    row preceding a survivor is itself a survivor, so survivor ranks are
+    full ranks. Then the margins are shrunk to force the gate: margin 0
+    undershoots ~half the strata, margin -1e9 kills EVERY survivor —
+    both must route through the fallback and still produce the identical
+    result (the gate is a correctness guarantee, not a heuristic)."""
+    import hashlib
+
+    from yfinance_etl_spark.operators import sampling
+    from yfinance_etl_spark.operators.sampling import quota_sample
+
+    rows = (
+        [(i, "A") for i in range(300)]
+        + [(1000 + i, "B") for i in range(60)]
+        + [(2000 + i, "C") for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def reference(total):
+        by_stratum: dict[str, list[tuple[str, int]]] = {}
+        for i, s in rows:
+            by_stratum.setdefault(s, []).append(
+                (hashlib.md5(f"quota:{i}".encode()).hexdigest(), i)
+            )
+        # alloc straight from the operator's own stratum-sized arithmetic
+        # (tested independently above); what's under test here is the PICK
+        allocs = {
+            r.source: r.alloc
+            for r in quota_sample(df, "source", key="doc_id", total=total)
+            .select("source", "alloc")
+            .distinct()
+            .collect()
+        }
+        out = set()
+        for s, lst in by_stratum.items():
+            for rank, (_, i) in enumerate(sorted(lst), start=1):
+                if rank <= allocs.get(s, 0):
+                    out.add((i, rank))
+        return out
+
+    want = reference(total=40)
+    got = {
+        (r.doc_id, r.pick)
+        for r in quota_sample(df, "source", key="doc_id", total=40).collect()
+    }
+    assert got == want
+
+    # margin 0: the survivor count is ~Binomial(n, alloc/n) — roughly
+    # half the strata undershoot and take the gated fallback
+    monkeypatch.setattr(sampling, "_PICK_MARGIN_SQRT", 0.0)
+    monkeypatch.setattr(sampling, "_PICK_MARGIN_ABS", 0.0)
+    got0 = {
+        (r.doc_id, r.pick)
+        for r in quota_sample(df, "source", key="doc_id", total=40).collect()
+    }
+    assert got0 == want
+
+    # negative margin: bound <= 0 keeps nothing, every stratum fails the
+    # gate, the result is pure-fallback — and still identical
+    monkeypatch.setattr(sampling, "_PICK_MARGIN_ABS", -1e9)
+    gotneg = {
+        (r.doc_id, r.pick)
+        for r in quota_sample(df, "source", key="doc_id", total=40).collect()
+    }
+    assert gotneg == want

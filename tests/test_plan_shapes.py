@@ -716,19 +716,25 @@ def test_ccnet_buckets_broadcast_lm_tables_and_cut_row(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed score frame
 
 
-def test_quota_sample_fact_pays_one_pick_exchange(spark):
-    """Quota arithmetic lives on the stratum-sized frame; the fact side's
-    only wide ops are the broadcast alloc join and ONE hashpartitioning
-    exchange for the per-stratum pick window."""
+def test_quota_sample_pick_window_ranks_only_the_survivor_frame(spark):
+    """r15 scale tier: the per-stratum pick window must rank the
+    CHECKPOINTED survivor frame (O(total) rows — bounded by the sample
+    size), never the fact table. The fact crossed the wire exactly once,
+    at the prefilter checkpoint, so the RETURNED plan carries no parquet
+    scan at all: its leaves are ExistingRDDs (survivors + the stratum-
+    sized count frame) and the gate re-enters as a broadcast."""
     plan = _plan(spark, "quota_sample_mix")
     assert "CartesianProduct" not in plan
-    # the alloc table re-enters the fact side as a broadcast, never a
-    # fact shuffle join
+    # the ok-strata gate re-enters the survivor side as a broadcast,
+    # never a shuffle join
     assert "BroadcastHashJoin" in plan
-    # exactly ONE fact parquet pass in the returned plan: the quota
-    # arithmetic derives from the checkpointed stratum-sized count frame
-    # (ExistingRDD leaves), so the fact is scanned once for the pick
-    # window and the count pass ran once at checkpoint time — never once
-    # per derivation branch (5 scans observed before the pin)
-    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    # ZERO fact parquet passes in the returned plan: the pick window's
+    # input is the checkpointed survivor frame — a full-stratum
+    # single-task sort can no longer appear here by construction
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert "Scan ExistingRDD" in plan
+    # the one Window in the plan is the stratum-partitioned survivor
+    # rank (partitionBy pins it off the single-partition global form)
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n")[0]
+        assert "__stratum" in head, head

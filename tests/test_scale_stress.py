@@ -640,6 +640,44 @@ def test_recorded_emattl_sweep_supports_the_eviction_claim():
     assert big["ttl_state_rows_max"] * 4 <= big["nottl_state_rows_max"], big
 
 
+def test_recorded_quotapick_sweep_supports_the_scale_claims():
+    # tools/scale_stress.py quotapick — the r15 scale tier for the r14
+    # weak: quota_sample's pick window must rank a survivor frame whose
+    # per-stratum size is bounded by the ALLOC (+ margins), constant in
+    # corpus size — never the full stratum the r14 form sorted
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    qs = [r for r in lines if r.get("kind") == "quotapick"]
+    assert len(qs) >= 3, "quotapick sweep not recorded"
+    assert max(r["n_docs"] for r in qs) >= 16 * min(r["n_docs"] for r in qs)
+    for r in qs:
+        # exact budget met, survivors inside the constant ceiling, and
+        # the production margin never tripped the fallback
+        assert r["n_picked"] == r["total"], r
+        assert r["survivors_within_bound"] is True, r
+        assert r["n_fallback_strata"] == 0, r
+    # the load-bearing claim: the biggest stratum grew 16x but what the
+    # rank window sorts did NOT follow it — compare the two non-take-all
+    # legs (the smallest corpus can sit in the bound-saturated regime
+    # where survivors == the whole, still-small stratum)
+    legs = sorted(qs, key=lambda r: r["n_docs"])[-2:]
+    growth = legs[1]["max_stratum_rows"] / legs[0]["max_stratum_rows"]
+    surv_growth = (
+        legs[1]["max_stratum_survivors"] / legs[0]["max_stratum_survivors"]
+    )
+    assert growth >= 4 and surv_growth <= 1.25, (growth, surv_growth)
+
+
 def test_recorded_cutsub_sweep_supports_the_claims():
     # tools/scale_stress.py cutsub — the ExactSubstr ACT step at scale
     import json

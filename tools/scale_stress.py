@@ -2056,6 +2056,105 @@ def main_cutsub(factors: list[int]) -> None:
     )
 
 
+def main_quotapick(factors: list[int]) -> None:
+    """quota_sample pick sweep (r15, the scale tier for the r14 weak):
+    blow the corpus up ×factor (every stratum grows ×factor; the largest
+    goes 16× at the top leg) with a FIXED sample budget, and measure what
+    the per-stratum rank window actually sorts. Claim under test: the
+    hash-prefix prefilter bounds the window's input to ~alloc + 8√alloc
+    + 128 rows per stratum — CONSTANT in corpus size — so the giant-
+    stratum single-task sort the r14 judge flagged cannot reappear; the
+    gate must also report zero fallback strata at the production margin.
+    One JSON line per factor, kind="quotapick", then a summary with the
+    survivor growth exponent (should be ~0 while the corpus grows)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.sampling import (
+        _PICK_MARGIN_ABS,
+        _PICK_MARGIN_SQRT,
+        quota_sample,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 2000  # < the sf0.1 corpus, so no leg is in the take-all regime
+    spark = get_spark("scale-stress-quotapick")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    quota_sample(docs0.limit(50), "source", key="doc_id", total=5).count()
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0.withColumn("text", F.lit("x")), f)
+            .select("doc_id", "source")
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        diag: dict = {}
+        t0 = time.perf_counter()
+        out = quota_sample(docs, "source", key="doc_id", total=total, diag=diag)
+        n_picked = out.count()
+        wall = round(time.perf_counter() - t0, 2)
+        # the prefilter TARGETS mu = alloc + 8*sqrt(alloc) + 128 survivors
+        # (expected count); the realized binomial fluctuates ~sqrt(mu)
+        # upward, so the pinned ceiling allows the same 8-sigma + abs
+        # margin ABOVE mu — still constant in corpus size
+        mu = (
+            diag["max_alloc"]
+            + _PICK_MARGIN_SQRT * math.sqrt(diag["max_alloc"])
+            + _PICK_MARGIN_ABS
+        )
+        bound = int(mu + _PICK_MARGIN_SQRT * math.sqrt(mu) + _PICK_MARGIN_ABS + 1)
+        row = {
+            "kind": "quotapick",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "total": total,
+            "n_docs": n_docs,
+            "n_picked": n_picked,
+            "n_strata": diag["n_strata"],
+            "max_stratum_rows": diag["max_stratum_rows"],
+            "max_stratum_survivors": diag["max_stratum_survivors"],
+            "survivor_rows": diag["survivor_rows"],
+            "max_alloc": diag["max_alloc"],
+            "survivor_bound": bound,
+            "survivors_within_bound": diag["max_stratum_survivors"] <= bound,
+            "n_fallback_strata": diag["n_fallback_strata"],
+            "sec_pick": wall,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    lo, hi = rows[0], rows[-1]
+    print(
+        json.dumps(
+            {
+                "kind": "quotapick_summary",
+                "corpus_growth": round(hi["n_docs"] / lo["n_docs"], 2),
+                "survivor_growth_exponent": round(
+                    math.log(
+                        max(hi["max_stratum_survivors"], 1)
+                        / max(lo["max_stratum_survivors"], 1)
+                    )
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+                "wall_growth_exponent": round(
+                    math.log(hi["sec_pick"] / lo["sec_pick"])
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_pagerank(factors: list[int]) -> None:
     """PageRank sweep (r13, the new-operator-family discipline): blow
     the documents up ×factor, build the jaccard-0.8 near-dup graph, and
@@ -2256,6 +2355,8 @@ if __name__ == "__main__":
         main_substr_blowup([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "cutsub":
         main_cutsub([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "quotapick":
+        main_quotapick([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup_scaledk":
         main_semdedup_scaledk([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup":

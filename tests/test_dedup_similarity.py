@@ -2043,6 +2043,44 @@ def test_split_ivfpq_list_acts_on_the_needs_split_flag(spark, tmp_path):
     assert len({(r.q_id, r.neighbor_id) for r in rows}) == len(rows) > 0
 
 
+def test_split_ivfpq_list_remap_survives_63bit_vec_ids(spark, tmp_path):
+    """r14 advice: kmeans labels clusters with its seed vec_ids — LONGs.
+    The old remap looked the cluster id up with cast('int'), so any
+    vec_id >= 2^31 wrapped, missed the map, and the re-encode inner join
+    silently DROPPED those vectors from the split partition. Shift the
+    fixture ids by 2^40 and verify the split still covers every vector
+    exactly once under the new long-typed remap."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        ivfpq_occupancy,
+        read_ivfpq_index,
+        split_ivfpq_list,
+        write_ivfpq_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + F.lit(2**40))
+        .localCheckpoint(eager=True)
+    )
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb, path)
+    idx = read_ivfpq_index(spark, path)
+    n_total = idx.codes.count()
+    hot = max(ivfpq_occupancy(idx).collect(), key=lambda r: r.occupancy_frac)
+
+    new_ids = split_ivfpq_list(spark, path, int(hot.list_id), emb)
+    assert len(new_ids) == 2
+    # the new centroid ids embed kmeans seed vec_ids nowhere — they are
+    # dense ids above the old range — but the REMAP had to traverse the
+    # 2^40-range cluster labels to get here without dropping a vector
+    idx2 = read_ivfpq_index(spark, path)
+    assert idx2.codes.count() == n_total
+    assert idx2.codes.select("vec_id").distinct().count() == n_total
+    assert idx2.codes.agg(F.min("vec_id")).first()[0] >= 2**40
+
+
 def test_int8_codes_append_is_staleness_free(spark, tmp_path):
     """The int8 tier's delta append (write_int8_codes mode='append') has
     ZERO staleness by construction — the quantization scale is

@@ -619,23 +619,30 @@ def test_stream_delta_batch_replay_is_idempotent(spark, tmp_path):
     assert len(first) > 0
     assert "batch_id" not in read_delta_pairs(spark, out).columns
 
-    # full redelivery: fresh checkpoint, same sink
+    # full redelivery: fresh checkpoint, same sink — requires the
+    # explicit clear_sink opt-in (r14 advice: never silently delete)
     delta_neardup_stream(
         ST.read_documents_stream(spark, sf).filter(pred),
-        corpus_bands, out, str(tmp_path / "ckpt2"),
+        corpus_bands, out, str(tmp_path / "ckpt2"), clear_sink=True,
     )
     second = sorted(tuple(r) for r in read_delta_pairs(spark, out).collect())
     assert second == first
 
 
-def test_stream_delta_fresh_checkpoint_clears_stale_sink(spark, tmp_path):
+def test_stream_delta_fresh_checkpoint_sink_conflict_raises_then_clears(
+    spark, tmp_path
+):
     """The idempotent batch_id=N overwrite only covers batch ids the new
     run REACHES: a fresh-checkpoint rerun with a different batch
     decomposition would leave earlier runs' higher-numbered directories
     in place and read_delta_pairs would return their rows as phantom
-    pairs (r13 advice). The operator enforces the pairing contract —
-    fresh checkpoint => the sink is cleared before the run — so a stale
-    directory cannot survive into the new run's pair set."""
+    pairs (r13 advice). r14 advice hardened the contract: the operator
+    must RAISE on the fresh-checkpoint/existing-sink conflict — a
+    mistyped checkpoint path must never silently delete sink data — and
+    only an explicit clear_sink=True clears the stale sink. URI-form
+    paths are rejected outright (they would bypass the os.path guard
+    and silently no-op the whole contract)."""
+    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from yfinance_etl_spark.operators.dedup import (
@@ -656,9 +663,21 @@ def test_stream_delta_fresh_checkpoint_clears_stale_sink(spark, tmp_path):
         [(-1, -2, 3)], "new_doc_id long, corpus_doc_id long, n_shared_bands long"
     ).write.parquet(f"{out}/batch_id=999")
 
+    stream = ST.read_documents_stream(spark, sf).filter(pred)
+    # default: conflict raises, and the sink is untouched
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        delta_neardup_stream(stream, corpus_bands, out, str(tmp_path / "ck1"))
+    assert read_delta_pairs(spark, out).filter(F.col("new_doc_id") == -1).count() == 1
+
+    # URI-form paths: rejected, never silently unguarded
+    with _pytest.raises(ValueError, match="plain local path"):
+        delta_neardup_stream(stream, corpus_bands, f"file:{out}", str(tmp_path / "ck2"))
+    with _pytest.raises(ValueError, match="plain local path"):
+        delta_neardup_stream(stream, corpus_bands, out, "hdfs://nn/ckpt")
+
+    # explicit opt-in: the stale sink is cleared before the run
     delta_neardup_stream(
-        ST.read_documents_stream(spark, sf).filter(pred),
-        corpus_bands, out, str(tmp_path / "fresh_ckpt"),
+        stream, corpus_bands, out, str(tmp_path / "fresh_ckpt"), clear_sink=True
     )
     pairs = read_delta_pairs(spark, out)
     assert pairs.filter(F.col("new_doc_id") == -1).count() == 0  # no phantom

@@ -1976,6 +1976,131 @@ def main_annappend(factors: list[int]) -> None:
             )
 
 
+def main_annappend_wobble(factor: int = 4, n_samples: int = 6) -> None:
+    """The in-regime recall-wobble error bar (r14 verdict #3): the
+    calibrated annappend sweep showed in-regime legs can move recall
+    vs-retrained by up to ±0.155 while error_ratio sits at ~1.02 — the
+    monitor detects distribution shift, not recall parity. This leg
+    quantifies that wobble: ONE factor, both regimes, the SAME appended
+    and retrained indexes probed with ``n_samples`` DISJOINT 40-query
+    stride samples. Per regime it records every sample's
+    (recall_appended, recall_retrained, drift) plus the spread — the
+    error bar the retrain-signal docstring's contract-boundary paragraph
+    cites. Expected: in-regime drifts scatter around 0 with a spread
+    comparable to the single-sample wobble (sampling noise, decoupled
+    from the flat error_ratio); shifted drifts stay modest while
+    error_ratio is >> threshold. One JSON line per regime,
+    kind="annappend_wobble"."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_quantization_error,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from yfinance_etl_spark.operators.similarity import knn_topk
+    from yfinance_etl_spark.operators.synth import blow_up_embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-annappend-wobble")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_in = (
+        blow_up_embeddings(emb0, factor).repartition(64).localCheckpoint(eager=True)
+    )
+    n_vec = emb_in.count()
+    stride = max(n_vec // (40 * n_samples), 1)
+    samples = [
+        [(i * n_samples + s) * stride for i in range(40)]
+        for s in range(n_samples)
+    ]
+
+    def wmean(err_rows) -> float:
+        n = sum(r["n_vectors"] for r in err_rows)
+        return sum(r["mean_sq_error"] * r["n_vectors"] for r in err_rows) / n
+
+    for regime in ("inregime", "shifted"):
+        is_base = F.col("vec_id") % factor == 0
+        if regime == "shifted":
+            emb = emb_in.withColumn(
+                "embedding",
+                F.when(is_base, F.col("embedding")).otherwise(
+                    F.transform(
+                        "embedding", lambda x: (x + F.lit(0.5)).cast("float")
+                    )
+                ),
+            ).localCheckpoint(eager=True)
+        else:
+            emb = emb_in
+        d = tempfile.mkdtemp(prefix="annwobble_")
+        try:
+            write_ivfpq_index(emb.filter(is_base), f"{d}/idx")
+            bidx = read_ivfpq_index(spark, f"{d}/idx")
+            baseline_rows = ivfpq_quantization_error(
+                emb.filter(is_base), index=bidx
+            ).collect()
+            append_ivfpq_index(emb.filter(~is_base), f"{d}/idx")
+            idx = read_ivfpq_index(spark, f"{d}/idx")
+            current_rows = ivfpq_quantization_error(emb, index=idx).collect()
+            write_ivfpq_index(emb, f"{d}/retrain")
+            ridx = read_ivfpq_index(spark, f"{d}/retrain")
+            drifts, recs_app, recs_ret = [], [], []
+            for qids in samples:
+                exact = {
+                    (r.q_id, r.neighbor_id)
+                    for r in knn_topk(emb, query_ids=qids, k=5).collect()
+                }
+                app = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, query_ids=qids, k=5, rerank_factor="auto", index=idx
+                    ).collect()
+                }
+                ret = {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivfpq_topk(
+                        emb, query_ids=qids, k=5, rerank_factor="auto", index=ridx
+                    ).collect()
+                }
+                ra = round(len(app & exact) / max(len(exact), 1), 3)
+                rr = round(len(ret & exact) / max(len(exact), 1), 3)
+                recs_app.append(ra)
+                recs_ret.append(rr)
+                drifts.append(round(rr - ra, 3))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "kind": "annappend_wobble",
+                    "sf_dir": sf_dir,
+                    "factor": factor,
+                    "regime": regime,
+                    "n_vectors": n_vec,
+                    "n_samples": n_samples,
+                    "n_queries_per_sample": 40,
+                    "error_ratio": round(
+                        wmean(current_rows) / wmean(baseline_rows), 3
+                    ),
+                    "recall_appended_samples": recs_app,
+                    "recall_retrained_samples": recs_ret,
+                    "recall_drift_samples": drifts,
+                    "drift_mean": round(statistics.mean(drifts), 3),
+                    "drift_stdev": round(statistics.stdev(drifts), 3),
+                    "drift_min": min(drifts),
+                    "drift_max": max(drifts),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main_cutsub(factors: list[int]) -> None:
     """cut_dup_spans scale sweep (r14, the ACT half of ExactSubstr): blow
     the corpus up ×factor and measure the whole detect→cut→rebuild wall
@@ -2329,6 +2454,8 @@ if __name__ == "__main__":
         main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "annappend":
         main_annappend([int(x) for x in argv[1:]] or [1, 2, 4, 16])
+    elif argv and argv[0] == "annappend_wobble":
+        main_annappend_wobble(*([int(x) for x in argv[1:]] or [4, 6]))
     elif argv and argv[0] == "pack":
         main_pack([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "pq":

@@ -35,7 +35,17 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         # the inverted-index self-join the pair/clustering/graph queries
         # build on — cached UNFILTERED (r14) so thresholded consumers
         # substitute Filter(InMemoryRelation) and the contrastive-pair
-        # miner (which needs below-threshold pairs too) hits the same entry
+        # miner (which needs below-threshold pairs too) hits the same entry.
+        # Size measured at bench scale (r14 advice): 20.3 MB at sf0.1,
+        # the largest entry but ~40% of a ~50 MB total against a 128 GiB
+        # heap — no eviction pressure on the other shared stages. The
+        # bound is structural, not lucky: jaccard_pairs' candidate set is
+        # banded (shared-shingle pairs under the 0.5 max-df cap), so the
+        # frame grows with true near-pair density, not the doc-pair
+        # square. If a future corpus pushes this entry past ~10% of
+        # storage memory, split it: a floor-filtered pair frame for the
+        # thresholded consumers + a slim (doc_a, doc_b) frame for the
+        # contrastive miner's anti-join fallback.
         jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),

@@ -617,6 +617,7 @@ def delta_neardup_stream(
     checkpoint_dir: str,
     corpus_docs: DataFrame | None = None,
     threshold: float = 0.7,
+    clear_sink: bool = False,
 ) -> list:
     """Continuous (streaming) form of ``minhash_delta_neardup``: new
     documents arrive as a STREAM; every micro-batch runs the batch delta
@@ -641,17 +642,25 @@ def delta_neardup_stream(
     complete-mode streaming aggregation (state = every pair ever
     emitted) cannot offer.
 
-    Sink/checkpoint pairing contract (r13 advice): the per-batch
-    ``batch_id=N`` overwrite is idempotent only when the batch
+    Sink/checkpoint pairing contract (r13 advice, hardened r15): the
+    per-batch ``batch_id=N`` overwrite is idempotent only when the batch
     decomposition is stable — i.e. a RESTART from the same checkpoint.
     A rerun from a FRESH checkpoint into the same ``out_dir`` may
     decompose the source into fewer/different batches (different
     maxFilesPerTrigger, compacted source) and overwrite only the batch
     ids it reaches, leaving stale ``batch_id=N`` directories whose rows
     ``read_delta_pairs`` would return as phantom pairs. A fresh
-    checkpoint therefore REQUIRES a fresh ``out_dir`` — enforced here:
-    when ``checkpoint_dir`` does not yet exist (new stream identity) any
-    pre-existing ``out_dir`` contents are cleared before the run.
+    checkpoint therefore REQUIRES a fresh ``out_dir`` — enforced here by
+    RAISING on the conflict (when ``checkpoint_dir`` does not yet exist
+    but ``out_dir`` does): a mistyped or relocated checkpoint path must
+    never silently delete previously produced sink data (r14 advice —
+    the earlier auto-rmtree did exactly that). Pass ``clear_sink=True``
+    to opt into clearing the stale sink explicitly. Both paths must be
+    plain local paths: URI forms (``file:/``, ``hdfs://``, ``s3a://``)
+    would bypass the ``os.path`` existence checks and silently no-op the
+    guard, so they are rejected — an object-store deployment enforces
+    the same pairing in its launcher, where the store's own listing API
+    is available.
 
     Scale shape per batch: signature compute for the DELTA alone
     (map-only minhash over the batch), band equi-join against
@@ -667,12 +676,27 @@ def delta_neardup_stream(
 
     from yfinance_etl_spark.streaming.streams import run_foreachbatch
 
+    # URI-style paths would make the os.path guards below silently
+    # vacuous — reject them instead of skipping the contract
+    for label, p in (("checkpoint_dir", checkpoint_dir), ("out_dir", out_dir)):
+        if "://" in p or p.startswith("file:"):
+            raise ValueError(
+                f"{label} must be a plain local path (got {p!r}): the "
+                "fresh-checkpoint/fresh-sink pairing guard cannot see "
+                "URI-form paths"
+            )
     # fresh checkpoint => fresh sink (docstring contract): a new stream
     # identity must not inherit batch_id directories from an earlier run
-    # whose decomposition it won't reproduce. Local-path check only —
-    # matches this repo's scratch-dir sinks; an object-store deployment
-    # would enforce the same pairing in its launcher.
+    # whose decomposition it won't reproduce
     if not os.path.isdir(checkpoint_dir) and os.path.isdir(out_dir):
+        if not clear_sink:
+            raise ValueError(
+                f"fresh checkpoint {checkpoint_dir!r} with existing sink "
+                f"{out_dir!r}: a new stream identity cannot safely share a "
+                "sink with an earlier run (stale batch_id directories would "
+                "surface as phantom pairs). Pass clear_sink=True to clear "
+                "the sink explicitly, or point at the original checkpoint."
+            )
         shutil.rmtree(out_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -537,10 +537,20 @@ def split_ivfpq_list(
         )
     id_map = {int(r["cent_id"]): base_id + i for i, r in enumerate(sub_rows)}
     new_ids = tuple(id_map.values())
+    # LONG-typed map keys (r14 advice): kmeans cent_ids are seed vec_ids
+    # (long) — an int-cast lookup key would wrap any id >= 2^31, miss the
+    # map, and the inner join below would silently DROP those vectors
+    # from the re-encoded partition
     remap = F.element_at(
-        F.create_map(*[F.lit(x) for kv in id_map.items() for x in kv]),
-        F.col("cent_id").cast("int"),
-    ).cast("long")
+        F.create_map(
+            *[
+                c
+                for k, v in id_map.items()
+                for c in (F.lit(k).cast("long"), F.lit(v).cast("long"))
+            ]
+        ),
+        F.col("cent_id").cast("long"),
+    )
     new_cent_df = spark.createDataFrame(
         [
             (id_map[int(r["cent_id"])], [float(x) for x in r["cent"]])
@@ -742,6 +752,23 @@ def ivfpq_retrain_signal(
     matters. Lists absent from the baseline (created by an append into
     empty space — impossible under frozen centroids, but cheap to
     handle) compare against the baseline's weighted mean.
+
+    CONTRACT BOUNDARY (r14 verdict #3 — what a green signal does and
+    does not promise): ``needs_retrain`` detects CODEBOOK/DATA
+    DISTRIBUTION MISMATCH — appended vectors whose residuals the frozen
+    codebooks quantize badly. It is NOT a recall-parity guarantee. The
+    calibrated kind=annappend sweep (scale_stress_results.jsonl) shows
+    the two are nearly decoupled on the fixture: in-regime appends sit
+    at error_ratio 1.00–1.02 (no trip, ≥6× below the 1.5 threshold)
+    while their appended-vs-retrained recall can still wobble by up to
+    ~0.15 on a 40-query sample — quantization error cannot see recall
+    variation that comes from WHERE queries land relative to list
+    boundaries rather than from codebook misfit. Deployments that need
+    a recall floor must measure recall directly on a held-out query
+    sample (the sweep's own method; see tests/test_recall_regression.py
+    for the live-measurement harness) — the error-ratio signal tells
+    you when the quantizer no longer fits the data, which is the one
+    failure mode that silently worsens forever without it.
 
     All inputs are list-sized (≤ k_centroids rows): the joins are
     broadcast trivially and the frame is driver-readable by contract."""

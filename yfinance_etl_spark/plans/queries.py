@@ -5001,7 +5001,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CCNet's step AFTER the score: rank by perplexity, cut at exact terciles,
 # keep/down-weight by bucket (head = cleanest third). Exact-quantile cuts
-# ride the percentile == quantile_cont bit-equality precedent.
+# ride the percentile == quantile_cont bit-equality precedent. The gate
+# runs the EXACT tier (bit-equal cross-engine); production default is the
+# GK percentile_approx tier — bounded mergeable sketch memory at any
+# corpus size (r15; tested in test_quality.py).
 _PPL_BUCKETS_SQL = f"""
 WITH lm AS ({_LM_PPL_SQL}),
 cuts AS (
@@ -5021,7 +5024,7 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.quality import ppl_buckets
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return ppl_buckets(docs, F.col("lang") == "en")
+    return ppl_buckets(docs, F.col("lang") == "en", cut="exact")
 
 
 # ---------------------------------------------------------------------------

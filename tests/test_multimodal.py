@@ -462,3 +462,82 @@ def test_image_exif_quarantines_non_jpeg(spark):
     )
     r = image_exif(assets).collect()[0]
     assert (r.orientation, r.display_width, r.display_height) == (None, None, None)
+
+
+def test_png_assets_are_real_pngs_and_dhash_rides_a_real_decode(spark):
+    """synthesize_png_assets must emit spec-valid grayscale PNGs (the
+    stdlib decoder inflates + unfilters them — real pixel work, not a
+    header echo), and image_dhash must reproduce a hand-computed dHash
+    from the ORIGINAL pixel arithmetic: a decode bug anywhere in the
+    zlib/filter path would desync the two."""
+    import hashlib
+
+    from yfinance_etl_spark.multimodal.columns import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        PNG_SIG,
+        _decode_png_mini,
+        image_dhash,
+        synthesize_png_assets,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(22)], "doc_id bigint")
+    assets = synthesize_png_assets(docs)
+    payloads = {r.doc_id: bytes(r.content) for r in assets.collect()}
+    for doc_id, b in payloads.items():
+        assert b.startswith(PNG_SIG), doc_id
+        base = doc_id - 1 if doc_id % 7 == 3 else doc_id
+        bw, bh = 1 + base % 3, 1 + base % 2
+        w, h, raw = _decode_png_mini(b)  # raises on any malformation
+        assert (w, h) == (DHASH_COLS * bw, DHASH_ROWS * bh)
+        # pixel spec replayed straight from the docstring arithmetic
+        for (x, y) in [(0, 0), (w - 1, h - 1), (w // 2, h // 3)]:
+            v = int(hashlib.md5(f"{base}:{x}:{y}".encode()).hexdigest()[:2], 16)
+            if doc_id % 7 == 3 and x < bw and y < bh:
+                v = (v + 100) % 256
+            assert raw[y * w + x] == v, (doc_id, x, y)
+
+    sig = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in image_dhash(assets).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    # planted replica pairs sit within one corner-block bit; distinct
+    # scenes decorrelate to ~32 bits
+    for d in (3, 10, 17):
+        assert ham(sig[d - 1], sig[d]) <= 1, d
+    assert ham(sig[0], sig[1]) > 7
+    assert ham(sig[4], sig[5]) > 7
+
+
+def test_dhash_neardup_banding_pigeonhole_boundary(spark):
+    """8 bands x 8 bits: Hamming <= 7 leaves at least one band clean, so
+    recall at the default threshold is 1.0 BY CONSTRUCTION — pinned with
+    a pair differing in exactly 7 bits spread over 7 distinct bands.
+    The converse boundary is documented too: 8 flipped bits hitting all
+    8 bands leave no clean band, and the pair (correctly, per the LSH
+    contract) does not surface even though its Hamming is 8."""
+    from yfinance_etl_spark.operators.dedup import dhash_neardup
+
+    base_hi, base_lo = 0x12345678, 0x0BCDEF01
+    # flip one bit in each of bands 0-6 (bands 0-3 = hi bytes 0-3,
+    # 4-6 = lo bytes 0-2): hamming 7, band 7 untouched
+    sev_hi = base_hi ^ 0x01010101
+    sev_lo = base_lo ^ 0x00010101
+    # flip one bit in every band: hamming 8, no clean band anywhere
+    eig_hi = base_hi ^ 0x01010101
+    eig_lo = base_lo ^ 0x01010101
+    sig = spark.createDataFrame(
+        [
+            (1, base_hi, base_lo),
+            (2, sev_hi, sev_lo),
+            (3, eig_hi, eig_lo),
+        ],
+        "doc_id bigint, dhash_hi bigint, dhash_lo bigint",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dhash_neardup(sig).collect()}
+    assert got[(1, 2)] == 7
+    assert (1, 3) not in got  # all 8 bands dirty: LSH boundary, documented
+    # (2,3): hi words equal, lo words differ only in byte 3 (one bit) —
+    # hamming 1 with 7 clean bands, found through any of them
+    assert got[(2, 3)] == 1

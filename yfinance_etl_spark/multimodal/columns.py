@@ -603,6 +603,165 @@ def resize_images(assets: DataFrame, max_dim: int = 64) -> DataFrame:
     )
 
 
+#: dHash geometry: 8 block-rows x 9 block-columns -> 8x8 = 64 comparison
+#: bits, packed as two 32-bit words (hi = rows 0-3, lo = rows 4-7) so the
+#: signature never touches the int64 sign bit in either engine
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+#: declared output schema of the dHash extractor
+IMAGE_DHASH_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+
+
+def synthesize_png_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG assets from the documents table — grayscale
+    8-bit non-interlaced streams (zlib-deflated, CRC-correct), the class
+    ``_decode_png_mini`` decodes with real inflate + unfilter. Pixel
+    content is pure doc_id arithmetic so the DuckDB oracle can replay the
+    PIXELS while the Spark path must earn them through an actual PNG
+    decode (the synthesize_jpeg_assets contract, extended from headers to
+    the full pixel pipeline):
+
+        base  = doc_id - 1 if doc_id % 7 == 3 else doc_id   (near-dup plant)
+        bw    = 1 + base % 3     bh = 1 + base % 2
+        w, h  = 9*bw, 8*bh       (exact dHash block grid — no resampling)
+        pixel(x, y) = first byte of md5('<base>:<x>:<y>')
+        replicas (doc_id % 7 == 3) additionally brighten block (0,0):
+        pixel = (pixel + 100) % 256 for x < bw, y < bh
+
+    md5-noise pixels make distinct scenes' dHash bits i.i.d. coin flips
+    (expected pairwise Hamming 32; P(<=7) ~ 1e-12, so the only pairs the
+    query emits are the planted replicas) — low-order polynomial
+    gradients were tried first and collapsed: monotone scanlines drive
+    every image's dHash toward all-ones and 70% of ALL pairs landed
+    within Hamming 7.
+
+    The replica construction makes (doc_id-1, doc_id) a planted NEAR-dup
+    pair: one brightened corner block can flip at most the single dHash
+    comparison it left-anchors (Hamming <= 1), while distinct scenes
+    differ in gradient slope and wrap phase across the whole grid."""
+    import hashlib
+    import struct
+    import zlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data))
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - 1 if doc_id % 7 == 3 else doc_id
+                bw, bh = 1 + base % 3, 1 + base % 2
+                w, h = DHASH_COLS * bw, DHASH_ROWS * bh
+                is_rep = doc_id % 7 == 3
+                raw = bytearray()
+                for y in range(h):
+                    raw.append(0)  # filter type 0 per scanline
+                    for x in range(w):
+                        v = int(
+                            hashlib.md5(
+                                f"{base}:{x}:{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        if is_rep and x < bw and y < bh:
+                            v = (v + 100) % 256
+                        raw.append(v)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payload = (
+                    PNG_SIG
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {"kind": "image", "width": w, "height": h,
+                         "mime": "image/png"},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, width: int, height: int, mime: string>",
+    )
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over DECODED pixel buffers — the
+    signature stage of image near-dup dedup (the brief's one dedup-less
+    modality until r15; compose with ``dedup.dhash_neardup`` for the
+    banded candidate join + Hamming verify).
+
+    Per asset: decode to raw pixels (PIL when installed, the stdlib PNG
+    inflate+unfilter path otherwise — REAL pixel work, same routing as
+    ``image_features``), average down to the 8x9 block grid, then one
+    bit per horizontally adjacent block pair: bit(i,j) = mean(i+1,j) >
+    mean(i,j). Gradient comparisons are what survive the transforms that
+    defeat exact byte hashing — re-encode, brightness shift, small
+    retouch — which is exactly the near-dup class a multimodal corpus
+    needs collapsed. 64 bits pack into two 32-bit words (rows 0-3 / 4-7;
+    bit index 8*row + col) so neither engine touches the int64 sign bit.
+
+    Multi-channel payloads hash the per-pixel channel SUM (a luma stand-
+    in with no float weights — deterministic in any engine); dimensions
+    not divisible by the grid use floor block edges (len*k//n), the
+    ``resize_images`` nearest-neighbor convention."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, body = _decode_payload(bytes(content))
+                ch = len(body) // (w * h) if w * h and len(body) % (w * h) == 0 else 0
+                if ch not in (1, 2, 3, 4):
+                    raise NotImplementedError(
+                        f"image_dhash needs a raw pixel body (got {len(body)} "
+                        f"bytes for {w}x{h}); decode the payload first"
+                    )
+                # per-cell block means over floor-edge grid; integer sums
+                # compared via cross-multiplication so no float ever enters
+                sums = [[0] * DHASH_COLS for _ in range(DHASH_ROWS)]
+                cnts = [[0] * DHASH_COLS for _ in range(DHASH_ROWS)]
+                xs = [x * DHASH_COLS // w for x in range(w)]
+                ys = [y * DHASH_ROWS // h for y in range(h)]
+                for y in range(h):
+                    row_off = y * w * ch
+                    by = ys[y]
+                    for x in range(w):
+                        off = row_off + x * ch
+                        v = sum(body[off : off + ch])
+                        sums[by][xs[x]] += v
+                        cnts[by][xs[x]] += 1
+                hi = lo = 0
+                for j in range(DHASH_ROWS):
+                    for i in range(DHASH_COLS - 1):
+                        # mean(i+1) > mean(i)  <=>  s1*c0 > s0*c1
+                        bit = (
+                            sums[j][i + 1] * cnts[j][i]
+                            > sums[j][i] * cnts[j][i + 1]
+                        )
+                        if bit:
+                            if j < 4:
+                                hi |= 1 << (8 * j + i)
+                            else:
+                                lo |= 1 << (8 * (j - 4) + i)
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
+
+    return assets.mapInPandas(extract, IMAGE_DHASH_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling shape for video-like payloads: body split on NUL
     markers, every Nth frame kept. Same mapInPandas plumbing as decode."""

@@ -2492,6 +2492,85 @@ def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal near-dup dedup (r15, the brief's last dedup-less modality):
+# synthesize_png_assets builds REAL grayscale PNGs whose pixels are doc_id
+# arithmetic (replicas of doc_id-1 planted at doc_id % 7 == 3 with one
+# brightened corner block), the Spark side DECODES them (stdlib zlib
+# inflate + scanline unfilter), dHashes the pixel grid, and runs the
+# 8-band Hamming-LSH + exact-popcount verify (dedup.dhash_neardup — the
+# simhash machinery widened to 64 bits). The oracle replays the PIXEL
+# arithmetic, block sums, comparison bits, band join, and popcount — so a
+# decode bug, a bit-packing bug, or a banding bug all hash-fail.
+# ---------------------------------------------------------------------------
+
+_IMAGE_PHASH_SQL = """
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+         doc_id % 7 = 3 AS is_rep
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, base, is_rep, 1 + base % 3 AS bw, 1 + base % 2 AS bh
+  FROM geom
+),
+px AS (
+  SELECT doc_id, x // bw AS bi, y // bh AS bj,
+         (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                  CAST(x AS VARCHAR) || ':' ||
+                                  CAST(y AS VARCHAR)), 1, 2) AS INT)
+          + CASE WHEN is_rep AND x < bw AND y < bh THEN 100 ELSE 0 END) % 256 AS v
+  FROM g2, UNNEST(range(0, 9*bw)) AS tx(x), UNNEST(range(0, 8*bh)) AS ty(y)
+),
+blocks AS (SELECT doc_id, bj, bi, SUM(v) AS s FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.bj AS j, a.bi AS i,
+         CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a
+  JOIN blocks b ON b.doc_id = a.doc_id AND b.bj = a.bj AND b.bi = a.bi + 1
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < 4 THEN CAST(bit AS BIGINT) << (8*j + i)
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(SUM(CASE WHEN j >= 4 THEN CAST(bit AS BIGINT) << (8*(j-4) + i)
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, b AS band_id,
+         CASE WHEN b < 4 THEN (dhash_hi >> (8*b)) & 255
+              ELSE (dhash_lo >> (8*(b-4))) & 255 END AS band_val
+  FROM sig, UNNEST(range(0, 8)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dhash_hi AS ahi, a.dhash_lo AS alo,
+         b.dhash_hi AS bhi, b.dhash_lo AS blo
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+"""
+
+
+@_register("dedup_image_phash", _IMAGE_PHASH_SQL)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.columns import (
+        image_dhash,
+        synthesize_png_assets,
+    )
+    from yfinance_etl_spark.operators.dedup import dhash_neardup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return dhash_neardup(image_dhash(synthesize_png_assets(docs)))
+
+
+# ---------------------------------------------------------------------------
 # S6/S7 + L1: news-feed REST connector (paginated, query-pushdown) feeding
 # the sentiment scorer — the reference's fetch_news → TextBlob → bucket
 # pipeline (streamlit_app.py:464-481) as one lazy plan over the source
@@ -6284,6 +6363,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "dedup_image_phash",  # never (r15)
     "ccnet_ppl_buckets",  # never
     "contrastive_triplets",  # never
     "crawl_frontier_cycle",  # never

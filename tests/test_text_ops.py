@@ -122,3 +122,73 @@ def test_bmp_semantic_traits_are_engine_shared_not_divergence(spark, tmp_path):
     assert got[3][1] == len(BMP_DOCS[3][1])
     # NBSP never splits: "nbsp joined words" is one whitespace token
     assert got[5][0] == 5
+
+
+def test_bpe_merges_hand_checkable_first_merges(spark):
+    """First merges on a controlled corpus, every count hand-derived
+    (r14 verdict next #5): word freqs low*3 lower*2 newest*4 widest the*3
+    cat hat mat aaa aaaa. Round 1: (t, </w>) = newest 4 + widest 1 +
+    cat/hat/mat 3 = 8. Round 2: (w, e) = lower 2 + newest 4 = 6. Round 3:
+    (a, a) counts OVERLAPS — aaa has 2, aaaa has 3 = 5 — and its merge
+    applies greedily left-to-right (aaaa -> [aa, aa], aaa -> [aa, a]).
+    Round 6 pins the tie-break: (e,we), (n,e), (we,st</w>) all count 4 ->
+    lexicographic (l, r) ascending picks (e, we)."""
+    from yfinance_etl_spark.operators.bpe import bpe_merges, bpe_word_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low low low lower lower newest newest newest newest widest"),
+            (1, "the cat the hat the mat aaa aaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.word: (r.freq, r.syms) for r in bpe_word_vocab(docs).collect()}
+    assert vocab["aaaa"] == (1, ["a", "a", "a", "a", "</w>"])
+    assert vocab["the"] == (3, ["t", "h", "e", "</w>"])
+
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.new_symbol, r.pair_count)
+        for r in sorted(bpe_merges(docs, n_merges=6).collect())
+    ]
+    assert got == [
+        (1, "t", "</w>", "t</w>", 8),
+        (2, "w", "e", "we", 6),
+        (3, "a", "a", "aa", 5),
+        (4, "l", "o", "lo", 5),
+        (5, "s", "t</w>", "st</w>", 5),
+        (6, "e", "we", "ewe", 4),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_merges(docs, n_merges=0)
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """The fold's pending-buffer state machine must implement the
+    reference merge_vocab scan exactly: non-overlapping, left-anchored.
+    Directly exercised via _apply_merge on crafted symbol arrays."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.bpe import _apply_merge
+
+    rows = [
+        (1, ["a", "a", "a", "a"]),
+        (2, ["a", "a", "a"]),
+        (3, ["x", "a", "a", "y", "a"]),
+        (4, ["b"]),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", _apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "aa"]
+    assert got[2] == ["aa", "a"]
+    assert got[3] == ["x", "aa", "y", "a"]
+    assert got[4] == ["b"]
+    assert got[5] == []

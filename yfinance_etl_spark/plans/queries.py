@@ -5146,6 +5146,97 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational BPE vocabulary learning (operators/bpe.py::bpe_merges, r15):
+# the corpus collapses to a word-frequency vocab ONCE, then each merge
+# round is a pair-count aggregate + one driver top-1 + a Catalyst fold —
+# the kmeans/pagerank k-rounds discipline applied to tokenizer training.
+# The oracle replays every round as unrolled CTEs: overlap-counting pair
+# sums, the (cnt DESC, l, r) tie-break, and the greedy left-to-right
+# non-overlapping merge via gaps-and-islands odd-rank selection (the
+# cut_dup_spans interval pattern) — so scoring, tie order, and merge
+# application are all hash-gated.
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs at every
+    # reference, and round i references round i-1 three times — an
+    # unmaterialized chain re-expands s1 3^n times (observed as "Too
+    # many open files" from the exponential parquet re-scan)
+    head = r"""
+WITH words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT lower(t.w) AS word
+    FROM documents,
+         UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t(w)
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+),
+s1 AS MATERIALIZED (
+  SELECT word, i AS pos, substr(word, i, 1) AS sym
+  FROM words, UNNEST(range(1, length(word) + 1)) AS t(i)
+  UNION ALL
+  SELECT word, length(word) + 1, '</w>' FROM words
+)"""
+    blocks = []
+    for i in range(1, n_merges + 1):
+        s, s_next = f"s{i}", f"s{i + 1}"
+        blocks.append(f""",
+pairs{i} AS (
+  SELECT a.sym AS l, b.sym AS r, SUM(w.freq) AS cnt
+  FROM {s} a
+  JOIN {s} b ON b.word = a.word AND b.pos = a.pos + 1
+  JOIN words w ON w.word = a.word
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pairs{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+m{i} AS (
+  SELECT a.word, a.pos,
+         ROW_NUMBER() OVER (PARTITION BY a.word ORDER BY a.pos) AS rn
+  FROM {s} a
+  JOIN {s} b ON b.word = a.word AND b.pos = a.pos + 1
+  CROSS JOIN best{i}
+  WHERE a.sym = best{i}.l AND b.sym = best{i}.r
+),
+sel{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           ROW_NUMBER() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+    FROM m{i}
+  ) WHERE k % 2 = 1
+),
+{s_next} AS MATERIALIZED (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT s.word, s.pos,
+           CASE WHEN sel.pos IS NOT NULL THEN (SELECT l || r FROM best{i})
+                ELSE s.sym END AS sym
+    FROM {s} s
+    LEFT JOIN sel{i} sel ON sel.word = s.word AND sel.pos = s.pos
+    LEFT JOIN sel{i} cons ON cons.word = s.word AND cons.pos = s.pos - 1
+    WHERE cons.pos IS NULL
+  )
+)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, l || r AS new_symbol, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return head + "".join(blocks) + "\n" + tail
+
+
+@_register("bpe_merges", _bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+
+
+# ---------------------------------------------------------------------------
 # Sequence assembly (sampling.py::pack_documents — the step AFTER shard
 # packing): one row per shard with the ACTUAL packed training sequence
 # (docs joined by a blank-line separator in doc_id order) and the
@@ -6363,6 +6454,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "bpe_merges",  # never (r15)
     "dedup_image_phash",  # never (r15)
     "ccnet_ppl_buckets",  # never
     "contrastive_triplets",  # never

@@ -262,6 +262,27 @@ def test_ppl_buckets_approx_tier_is_the_default_and_tracks_exact(spark):
         ppl_buckets(docs, pred, cut="banana")
 
 
+def test_curation_verdict_carry_projects_columns_without_changing_verdicts(spark):
+    """r15: carry=() extra columns ride the single projection chain (the
+    recipe composes on it — keep-filter inline, no corpus self-join);
+    verdicts must be identical with and without the carry."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from yfinance_etl_spark.operators.quality import curation_verdict
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    plain = {r.doc_id: (r.keep, r.reasons) for r in curation_verdict(docs).collect()}
+    carried = curation_verdict(docs, carry=("source", "text")).collect()
+    assert {r.doc_id: (r.keep, r.reasons) for r in carried} == plain
+    src = dict(docs.select("doc_id", "source").collect())
+    assert all(r.source == src[r.doc_id] for r in carried)
+    assert carried and set(carried[0].asDict()) == {
+        "doc_id", "keep", "reasons", "source", "text",
+    }
+
+
 def test_lm_perplexity_partition_invariant(spark):
     from pyspark.sql import functions as F
 

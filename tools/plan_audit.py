@@ -294,9 +294,42 @@ AUDITS: dict[str, str] = {
     "quota_sample_mix": (
         "Quota arithmetic (floor/frac/largest-remainder rank) runs on the "
         "STRATUM-sized frame — its no-partition window ranks |strata| "
-        "rows, never the fact; the alloc table re-enters as a "
-        "BroadcastHashJoin and the fact pays exactly one Exchange for the "
-        "per-stratum pick window."
+        "rows, never the fact. The pick is the r15 two-phase form: the "
+        "RETURNED plan has ZERO parquet scans — the fact crossed the wire "
+        "once at the hash-prefix-prefilter checkpoint, so the per-stratum "
+        "pick window ranks only the O(sample-size) survivor ExistingRDD, "
+        "with the ok-strata gate re-entering as a BroadcastHashJoin. A "
+        "full-stratum single-task sort can no longer appear here."
+    ),
+    "dedup_image_phash": (
+        "The multimodal dedup tier: PNG synth + stdlib pixel decode + "
+        "dHash are ONE ArrowEvalPython/mapInPandas chain over the scan "
+        "(map-only, no shuffle until signatures exist); the checkpointed "
+        "64-bit signature frame self-joins on the (band_id, band_val) "
+        "equi-key — an EQUI join, never CartesianProduct — and the exact "
+        "popcount verify runs BEFORE the distinct so the dedup exchange "
+        "carries surviving pairs only (the simhash_neardup shape widened "
+        "to eight 8-bit bands)."
+    ),
+    "bpe_merges": (
+        "Tokenizer training as k rounds over a VOCAB-sized frame: the "
+        "corpus pays one scan into the word-frequency aggregate "
+        "(map-side combined); each round is a pair-count HashAggregate "
+        "+ a TakeOrderedAndProject top-1 to the driver + a pure-Catalyst "
+        "aggregate() fold applying the merge per word (no Python node, "
+        "no shuffle), with the round frame checkpointed so plans stay "
+        "flat (the kmeans/pagerank k-rounds discipline)."
+    ),
+    "training_mix_recipe": (
+        "The four-stage composition stays corpus-driver-free: curation "
+        "carries source/text through its single projection chain (keep "
+        "filter is INLINE — no corpus self-join); the MinHash pair plan "
+        "is the full-table subplan the shared cache pins, restricted to "
+        "both-ends-kept by two semi-joins on the TINY pair frame; the "
+        "quota pick ranks its prefiltered survivor ExistingRDD; shard "
+        "packing is the distributed prefix-sum (range exchange + pid "
+        "window + k-scalar offset broadcast). No CartesianProduct, no "
+        "global single-partition window, no unbounded collect anywhere."
     ),
 }
 

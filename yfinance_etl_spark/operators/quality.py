@@ -512,6 +512,7 @@ def curation_verdict(
     id_col: str = "doc_id",
     max_bad_ratio: float = 0.01,
     min_quality: float = 0.7,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One-pass curation pipeline: the keep/drop decision a pretraining
     data pipeline actually publishes, composing the engine's map-only
@@ -555,8 +556,15 @@ def curation_verdict(
         F.when(~o, F.lit(name)) for (name, _), o in zip(checks, ok)
     ]
     keep_all = ok[0] & ok[1] & ok[2]
+    # ``carry``: extra input columns projected through (r15, for the
+    # recipe composition) — the verdict is a single projection chain
+    # over the scan, so carrying columns lets a downstream stage filter
+    # on ``keep`` INLINE instead of joining the corpus back to itself
+    # on id (one full co-shuffle saved; the operator-fusion argument in
+    # the docstring, now composable)
     return f.select(
         id_col,
         keep_all.alias("keep"),
         F.concat_ws(",", *failed).alias("reasons"),
+        *carry,
     )

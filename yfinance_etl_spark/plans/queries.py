@@ -6283,6 +6283,185 @@ FROM legs
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end training-mix recipe (r15, the composability proof — r14
+# verdict next #6): curation_verdict → MinHash near-dup dedup → quota
+# mixture → shard packing, composed as ONE plan over documents. Each
+# stage is oracle-gated alone elsewhere; this gates the COMPOSITION
+# (stage boundaries, survivor semantics, carry columns). Plumbing
+# choices that matter at 100 TB: curation carries source/text through
+# its projection so the keep-filter is inline (no corpus self-join);
+# the dedup pair set is computed over the FULL corpus — per-doc
+# signatures commute with filters, so this plan-matches the shared
+# cached stages (split-form cache algebra) — then restricted to pairs
+# with BOTH ends kept (curate-then-dedup semantics); quota's two-phase
+# pick and pack_shards' distributed prefix-sum arrive already
+# scale-tiered. Nothing materializes the corpus driver-side.
+# ---------------------------------------------------------------------------
+
+_RECIPE_TOTAL = 120
+_RECIPE_BUDGET = 1500
+
+_RECIPE_SQL = rf"""
+WITH ctoks AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL
+),
+cfeats AS (
+  SELECT doc_id, source, text, len(t) AS n_tokens,
+         ROUND(1 - len(list_distinct(t)) / len(t), 6) AS dupf,
+         ROUND(list_max(list_transform(list_distinct(t),
+                 x -> len(list_filter(t, y -> y = x)))) / len(t), 6) AS topw,
+         ROUND(list_max(list_transform(
+                 list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                              i -> t[i] || ' ' || t[i + 1])),
+                 x -> len(list_filter(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                                     i -> t[i] || ' ' || t[i + 1]),
+                                      y -> y = x))))
+               / greatest(len(t) - 1, 1), 6) AS topbg,
+         ROUND(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS mwl,
+         len(list_filter(t, x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
+  FROM ctoks
+),
+clegs AS (
+  SELECT doc_id, source, text,
+         COALESCE((len(regexp_extract_all(text, chr(65533)))
+                   + len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')))
+                  / CAST(length(text) AS DOUBLE) <= 0.01, FALSE) AS enc_ok,
+         COALESCE(ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                        + (1 - n_stop / n_tokens) * 0.5, 6) >= 0.7, FALSE) AS q_ok,
+         COALESCE(dupf <= 0.80 AND topw <= 0.10 AND topbg <= 0.05
+                  AND mwl BETWEEN 3.0 AND 10.0, FALSE) AS rep_ok
+  FROM cfeats
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM clegs WHERE enc_ok AND q_ok AND rep_ok
+),
+{_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+),
+minh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed
+  GROUP BY doc_id
+),
+mbands AS (
+  SELECT doc_id, b AS band_id,
+         CASE b {_MINHASH_BAND_CASE} END AS band_val
+  FROM minh, unnest([0, 1, 2, 3]) AS t(b)
+),
+mcand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbands a
+  JOIN mbands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+msizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+minter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+  FROM mcand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+drops AS MATERIALIZED (
+  SELECT DISTINCT mi.doc_b AS doc_id
+  FROM minter mi
+  JOIN msizes sa ON sa.doc_id = mi.doc_a
+  JOIN msizes sb ON sb.doc_id = mi.doc_b
+  JOIN kept ka ON ka.doc_id = mi.doc_a
+  JOIN kept kb ON kb.doc_id = mi.doc_b
+  WHERE ROUND(mi.c / (sa.sz + sb.sz - mi.c), 6) >= 0.7
+),
+surv AS MATERIALIZED (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept k LEFT JOIN drops d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+qcounts AS (
+  SELECT COALESCE(CAST(source AS VARCHAR), chr(0)) AS st, COUNT(*) AS n_docs
+  FROM surv GROUP BY 1
+),
+qwtd AS (SELECT st, n_docs, SQRT(n_docs) AS w FROM qcounts),
+qz AS (SELECT {S.dsum('w', S.STAT_SCALE)} AS z FROM qwtd),
+qq AS (
+  SELECT st, n_docs,
+         CAST(FLOOR({_RECIPE_TOTAL}.0 * w / z) AS BIGINT) AS base,
+         {_RECIPE_TOTAL}.0 * w / z - FLOOR({_RECIPE_TOTAL}.0 * w / z) AS frac
+  FROM qwtd CROSS JOIN qz
+),
+qr AS (SELECT {_RECIPE_TOTAL} - SUM(base) AS rr FROM qq),
+qalloc AS (
+  SELECT st,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, st) <= qr.rr
+                     THEN 1 ELSE 0 END AS alloc
+  FROM qq CROSS JOIN qr
+),
+pickr AS (
+  SELECT s.doc_id, s.source, s.text, a.alloc,
+         ROW_NUMBER() OVER (PARTITION BY a.st
+                            ORDER BY md5('recipe:' || CAST(s.doc_id AS VARCHAR)),
+                                     s.doc_id) AS pick
+  FROM surv s JOIN qalloc a ON a.st = COALESCE(CAST(s.source AS VARCHAR), chr(0))
+),
+picked AS MATERIALIZED (SELECT doc_id, source, text FROM pickr WHERE pick <= alloc),
+ptoks AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM picked
+),
+pcum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM ptoks
+)
+SELECT doc_id, source, n_tokens,
+       CAST((c - n_tokens) // {_RECIPE_BUDGET} AS BIGINT) AS shard_id
+FROM pcum
+"""
+
+
+@_register("training_mix_recipe", _RECIPE_SQL)
+def q_training_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.operators.dedup import minhash_lsh_neardup
+    from yfinance_etl_spark.operators.quality import curation_verdict
+    from yfinance_etl_spark.operators.sampling import pack_shards, quota_sample
+    from yfinance_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation_verdict(
+        docs.select("doc_id", "source", "text"), carry=("source", "text")
+    ).filter("keep")
+    # pair detection over the FULL corpus (signatures are per-doc, so
+    # pairs restrict cleanly afterwards — and the full-table subplan is
+    # the one the shared cache pins), then curate-then-dedup semantics:
+    # a pair only drops its higher id when BOTH ends survived curation
+    pairs = minhash_lsh_neardup(docs, threshold=0.7)
+    kept_ids = kept.select("doc_id")
+    drops = (
+        pairs.join(
+            kept_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .join(kept_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = kept.join(drops, "doc_id", "left_anti")
+    picked = quota_sample(
+        surv, "source", key="doc_id", total=_RECIPE_TOTAL, salt="recipe"
+    )
+    toks = picked.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    packed = pack_shards(toks, "n_tokens", "doc_id", _RECIPE_BUDGET)
+    return packed.select("doc_id", "source", "n_tokens", "shard_id")
+
+
 @_register("curation_verdict", _CURATION_SQL)
 def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.quality import curation_verdict
@@ -6454,6 +6633,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "training_mix_recipe",  # never (r15)
     "bpe_merges",  # never (r15)
     "dedup_image_phash",  # never (r15)
     "ccnet_ppl_buckets",  # never

@@ -125,3 +125,60 @@ def test_audio_features_end_to_end(spark):
         assert r.duration_ms == n * 1000 // A.SAMPLE_RATE
         assert r.rms == math.sqrt(sum(s * s for s in samples) / n)
         assert r.peak == max(abs(s) for s in samples)
+
+
+def test_audio_fingerprint_rides_a_real_wav_decode_and_finds_planted_pairs(spark):
+    """The fingerprint must come from the DECODED RIFF bytes: recompute
+    it straight from the _fp_samples formula and require equality (an
+    encode/parse bug anywhere desyncs the two); planted replicas
+    (doc_id % 9 == 5) sit within one energy-comparison bit of their
+    base, distinct scenes decorrelate to ~32; the n < 65 guard raises."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.multimodal.audio import (
+        FP_FRAMES,
+        _fp_samples,
+        audio_fingerprint,
+        synthesize_audio_fp_assets,
+        wav_bytes,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    sig = {
+        r.doc_id: (r.dhash_hi, r.dhash_lo)
+        for r in audio_fingerprint(synthesize_audio_fp_assets(docs)).collect()
+    }
+
+    def ref(doc_id):
+        samples = _fp_samples(doc_id)
+        n = len(samples)
+        e = [0] * FP_FRAMES
+        for i, s in enumerate(samples):
+            e[i * FP_FRAMES // n] += s * s
+        hi = lo = 0
+        for j in range(FP_FRAMES - 1):
+            if e[j + 1] > e[j]:
+                if j < 32:
+                    hi |= 1 << j
+                else:
+                    lo |= 1 << (j - 32)
+        return hi, lo
+
+    assert sig == {d: ref(d) for d in range(20)}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(sig[4], sig[5]) <= 1  # planted replica (5 % 9 == 5)
+    assert ham(sig[13], sig[14]) <= 1  # 14 % 9 == 5
+    assert ham(sig[0], sig[1]) > 7  # distinct scenes decorrelate
+    assert ham(sig[6], sig[7]) > 7
+
+    # guard: a clip too short to fill the frame grid raises, not garbage
+    short = spark.createDataFrame(
+        [(99, bytearray(wav_bytes([100] * 10)), None)],
+        "doc_id bigint, content binary, "
+        "meta struct<kind: string, sample_rate: int, mime: string>",
+    )
+    with _pytest.raises(Exception, match="65 samples"):
+        audio_fingerprint(short).collect()

@@ -123,6 +123,103 @@ def synthesize_audio_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
 
 
+#: fingerprint geometry: 65 equal-ish time frames -> 64 adjacent energy
+#: comparisons, packed as two 32-bit words (bit j: hi for j<32, else lo)
+FP_FRAMES = 65
+
+AUDIO_FP_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+
+
+def _fp_samples(doc_id: int) -> list[int]:
+    """Deterministic md5-noise samples for the fingerprint-dedup corpus:
+    sample i of scene ``base`` is the first 4 md5 hex chars of
+    '<base>:<i>' recentred to int16; docs with doc_id % 9 == 5 REPLAY
+    doc_id-1's scene with frame 0 DC-shifted (+8000 mod-wrapped) — the
+    planted near-dup, at most ONE energy comparison away. md5 noise, not
+    the sawtooth ``_samples`` formula: structured waveforms give every
+    frame the same energy and collapse all fingerprints together (the
+    image-dHash gradient lesson, multimodal/columns.py)."""
+    import hashlib
+
+    base = doc_id - 1 if doc_id % 9 == 5 else doc_id
+    n = N_BASE + base % N_MOD
+    out = []
+    for i in range(n):
+        v = (
+            int(hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:4], 16)
+            % 65536
+            - 32768
+        )
+        if doc_id % 9 == 5 and i * FP_FRAMES // n == 0:
+            v = ((v + 8000 + 32768) % 65536) - 32768
+        out.append(v)
+    return out
+
+
+def synthesize_audio_fp_assets(docs: DataFrame) -> DataFrame:
+    """Real-WAV clips carrying the fingerprint-dedup corpus (same RIFF
+    encoder as ``synthesize_audio_assets``; only the sample content
+    differs — see ``_fp_samples``)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    wav_bytes(_fp_samples(int(d))),
+                    ("audio", SAMPLE_RATE, "audio/wav"),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint — the signature stage of audio
+    near-dup dedup, completing the modality symmetry the image dHash
+    opened (r15): decode the REAL WAV bytes, bucket samples into
+    ``FP_FRAMES`` floor-edge time frames, and emit one bit per adjacent
+    frame-energy comparison (bit j = E(j+1) > E(j)) — the FFT-free core
+    of the Haitsma-Kalker fingerprint family (energy-delta signs survive
+    gain changes and re-encoding, which is the near-dup class an audio
+    corpus needs collapsed; sub-band filtering would need an FFT the
+    oracle could not replay). Energies are int64-exact sums of squares
+    (|s| < 2^15, frames are short), so no float enters the signature.
+
+    Output (doc_id, dhash_hi, dhash_lo) — deliberately the
+    ``image_dhash`` contract, so ``dedup.dhash_neardup`` (8-band
+    Hamming LSH + exact popcount verify, recall 1.0 at Hamming <= 7 by
+    pigeonhole) composes UNCHANGED over audio signatures."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _rate, _ch, samples = parse_wav(bytes(content))
+                n = len(samples)
+                if n < FP_FRAMES:
+                    raise ValueError(
+                        f"audio_fingerprint needs >= {FP_FRAMES} samples, "
+                        f"doc {doc_id} has {n}"
+                    )
+                energy = [0] * FP_FRAMES
+                for i, s in enumerate(samples):
+                    energy[i * FP_FRAMES // n] += s * s
+                hi = lo = 0
+                for j in range(FP_FRAMES - 1):
+                    if energy[j + 1] > energy[j]:
+                        if j < 32:
+                            hi |= 1 << j
+                        else:
+                            lo |= 1 << (j - 32)
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
+
+    return assets.select("doc_id", "content").mapInPandas(fp, AUDIO_FP_SCHEMA)
+
+
 def audio_features(assets: DataFrame) -> DataFrame:
     """Decode + feature-extract: rate, channel count, per-channel frame
     count, duration, RMS (int64-exact sum of squares, taken over ALL

@@ -5599,6 +5599,84 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio near-dup dedup (r15, the modality symmetry of dedup_image_phash):
+# md5-noise 16-bit PCM WAVs with replicas planted at doc_id % 9 == 5
+# (frame 0 DC-shifted — at most one energy comparison flips), the Spark
+# side DECODES the real RIFF bytes and fingerprints 64 adjacent
+# frame-energy comparisons into the image_dhash word contract, so
+# dedup.dhash_neardup composes UNCHANGED. The oracle replays samples →
+# frame energies → bits → bands → popcount in SQL.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 5 THEN doc_id - 1 ELSE doc_id END AS base,
+         doc_id % 9 = 5 AS is_rep
+  FROM documents
+),
+g2 AS (SELECT doc_id, base, is_rep, 160 + base % 320 AS n FROM g),
+smp AS (
+  SELECT doc_id, i, n, is_rep,
+         CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                 CAST(i AS VARCHAR)), 1, 4) AS INT)
+           % 65536 - 32768 AS v0
+  FROM g2, UNNEST(range(0, n)) AS t(i)
+),
+smp2 AS (
+  SELECT doc_id, i * 65 // n AS f,
+         CASE WHEN is_rep AND i * 65 // n = 0
+              THEN ((v0 + 8000 + 32768) % 65536) - 32768 ELSE v0 END AS v
+  FROM smp
+),
+en AS (
+  SELECT doc_id, f, SUM(CAST(v AS BIGINT) * v) AS e FROM smp2 GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.f AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < 32 THEN CAST(bit AS BIGINT) << j
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN j >= 32 THEN CAST(bit AS BIGINT) << (j - 32)
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h_hi, h_lo, b AS band_id,
+         CASE WHEN b < 4 THEN (h_hi >> (8*b)) & 255
+              ELSE (h_lo >> (8*(b-4))) & 255 END AS band_val
+  FROM sig, UNNEST(range(0, 8)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h_hi AS ahi, a.h_lo AS alo, b.h_hi AS bhi, b.h_lo AS blo
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+"""
+
+
+@_register("dedup_audio_fingerprint", _AUDIO_FP_SQL)
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.audio import (
+        audio_fingerprint,
+        synthesize_audio_fp_assets,
+    )
+    from yfinance_etl_spark.operators.dedup import dhash_neardup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return dhash_neardup(audio_fingerprint(synthesize_audio_fp_assets(docs)))
+
+
+# ---------------------------------------------------------------------------
 # Ranking functions: rank / dense_rank / ntile in one oracle-gated query
 # (closes the SURVEY §2.5 promise — the reference never ranks, but the
 # engine exposes Spark's built-ins; row_number already backs
@@ -6633,6 +6711,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "dedup_audio_fingerprint",  # never (r15)
     "training_mix_recipe",  # never (r15)
     "bpe_merges",  # never (r15)
     "dedup_image_phash",  # never (r15)

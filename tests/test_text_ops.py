@@ -192,3 +192,59 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     assert got[3] == ["x", "aa", "y", "a"]
     assert got[4] == ["b"]
     assert got[5] == []
+
+
+def test_bpe_token_counts_train_plus_apply(spark):
+    """The apply step on the hand corpus: after the 6 hand-checked
+    merges, each word's token count is its final symbolization size —
+    recomputed here with reference Python BPE (count overlapping pairs,
+    merge greedily left-to-right) from scratch, independent of the
+    operator's fold."""
+    from yfinance_etl_spark.operators.bpe import bpe_token_counts
+
+    texts = [
+        (0, "low low low lower lower newest newest newest newest widest"),
+        (1, "the cat the hat the mat aaa aaaa"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # reference BPE, straight from the paper's pseudocode
+    freqs: dict[tuple, int] = {}
+    for _, t in texts:
+        for w in t.split():
+            k = tuple(list(w) + ["</w>"])
+            freqs[k] = freqs.get(k, 0) + 1
+    for _ in range(6):
+        pairs: dict[tuple, int] = {}
+        for syms, f in freqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        # tie-break exactly as the operator: count DESC, then (lhs, rhs) ASC
+        mx = max(pairs.values())
+        l, r = min(p for p, c in pairs.items() if c == mx)
+        new_freqs = {}
+        for syms, f in freqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_freqs[tuple(out)] = new_freqs.get(tuple(out), 0) + f
+        freqs = new_freqs
+    # per-word token count keyed by the original word string (the final
+    # symbolization concatenates back to word + marker)
+    wt = {}
+    for syms, _f in freqs.items():
+        word = "".join(syms)[: -len("</w>")]
+        wt[word] = len(syms)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_counts(docs, n_merges=6).collect()
+    }
+    for doc_id, t in texts:
+        ws = t.split()
+        assert got[doc_id] == (len(ws), sum(wt[w] for w in ws)), doc_id

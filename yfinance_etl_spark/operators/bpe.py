@@ -113,19 +113,14 @@ def _apply_merge(syms, left: str, right: str):
     return F.aggregate(syms, init, step, finish)
 
 
-def bpe_merges(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges over the corpus. Returns
-    one row per merge: (merge_rank, lhs, rhs, new_symbol, pair_count),
-    rank ascending in learn order — the merge table a tokenizer ships.
-
-    Driver traffic: one (l, r, count) row per round. Cluster work per
-    round: a pair-count aggregate + a Catalyst fold over the vocab
-    frame (see module docstring for the 100 TB argument)."""
+def _bpe_learn(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """The learn loop: returns (merge rows, final vocab frame with the
+    post-merge symbolization) — shared by ``bpe_merges`` (ships the
+    merge table) and ``bpe_token_counts`` (applies it to the corpus)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    spark = docs.sparkSession
     vocab = bpe_word_vocab(docs, text_col).localCheckpoint(eager=True)
     out_rows = []
     for rank in range(1, n_merges + 1):
@@ -153,8 +148,64 @@ def bpe_merges(
         vocab = vocab.select(
             "word", "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return out_rows, vocab
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus. Returns
+    one row per merge: (merge_rank, lhs, rhs, new_symbol, pair_count),
+    rank ascending in learn order — the merge table a tokenizer ships.
+
+    Driver traffic: one (l, r, count) row per round. Cluster work per
+    round: a pair-count aggregate + a Catalyst fold over the vocab
+    frame (see module docstring for the 100 TB argument)."""
+    out_rows, _vocab = _bpe_learn(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
         out_rows,
         "merge_rank int, lhs string, rhs string, new_symbol string, "
         "pair_count bigint",
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the tokenizer AND apply it — the composed step a training
+    pipeline actually runs (learn merges on the corpus, then budget the
+    same corpus in the learned subword unit). Returns (id_col, n_words,
+    n_bpe_tokens) per document over its alphabetic words: n_words =
+    word occurrences, n_bpe_tokens = their post-merge symbol count
+    (each unmerged word costs len(word)+1 symbols for the </w> marker;
+    every learned merge that applies saves one).
+
+    Scale shape: applying BPE to the corpus does NOT re-scan text per
+    merge — the folds already produced the final symbolization on the
+    VOCAB frame, so application is one (word → token-count) equi-join
+    against the doc-word frame, pre-aggregated by (doc, word) so the
+    join input carries type counts, not raw occurrences. The token
+    budget per doc is what ``pack_shards`` consumes when shards are
+    budgeted in model tokens instead of whitespace tokens."""
+    from yfinance_etl_spark.operators.text import tokens
+
+    _rows, vocab = _bpe_learn(docs, n_merges, text_col)
+    wtoks = vocab.select("word", F.size("syms").alias("__wt"))
+    docw = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(id_col, F.lower("w").alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        docw.join(wtoks, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_words"),
+            F.sum(F.col("__n") * F.col("__wt")).alias("n_bpe_tokens"),
+        )
     )

@@ -5160,7 +5160,7 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES, output: str = "merges") -> str:
     # MATERIALIZED throughout: DuckDB inlines plain CTEs at every
     # reference, and round i references round i-1 three times — an
     # unmaterialized chain re-expands s1 3^n times (observed as "Too
@@ -5221,11 +5221,24 @@ sel{i} AS MATERIALIZED (
     WHERE cons.pos IS NULL
   )
 )""")
-    tail = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, l || r AS new_symbol, "
-        f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
-        for i in range(1, n_merges + 1)
-    )
+    if output == "merges":
+        tail = "\nUNION ALL\n".join(
+            f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, l || r AS new_symbol, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+            for i in range(1, n_merges + 1)
+        )
+    else:  # the APPLY step: per-doc token budget in the learned unit
+        tail = rf""",
+wtoks AS (SELECT word, COUNT(*) AS wt FROM s{n_merges + 1} GROUP BY word),
+docw AS (
+  SELECT doc_id, lower(t.w) AS word
+  FROM documents,
+       UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE regexp_matches(lower(t.w), '^[a-z]+$')
+)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wt) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN wtoks USING (word)
+GROUP BY doc_id"""
     return head + "".join(blocks) + "\n" + tail
 
 
@@ -5234,6 +5247,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.operators.bpe import bpe_merges
 
     return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+
+
+@_register("bpe_token_counts", _bpe_oracle(output="token_counts"))
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + APPLY: the corpus budgeted in its own learned subword
+    unit. Application is vocab-side — the folds already hold the final
+    symbolization, so the corpus pays one (doc, word)-grouped equi-join,
+    never a per-merge rescan."""
+    from yfinance_etl_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6711,6 +6737,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "bpe_token_counts",  # never (r15)
     "dedup_audio_fingerprint",  # never (r15)
     "training_mix_recipe",  # never (r15)
     "bpe_merges",  # never (r15)

@@ -193,6 +193,8 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     Hamming LSH + exact popcount verify, recall 1.0 at Hamming <= 7 by
     pigeonhole) composes UNCHANGED over audio signatures."""
 
+    import numpy as np
+
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -204,16 +206,16 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
                         f"audio_fingerprint needs >= {FP_FRAMES} samples, "
                         f"doc {doc_id} has {n}"
                     )
-                energy = [0] * FP_FRAMES
-                for i, s in enumerate(samples):
-                    energy[i * FP_FRAMES // n] += s * s
-                hi = lo = 0
-                for j in range(FP_FRAMES - 1):
-                    if energy[j + 1] > energy[j]:
-                        if j < 32:
-                            hi |= 1 << j
-                        else:
-                            lo |= 1 << (j - 32)
+                # vectorized frame energies, int64 exact (|s| < 2^15, so
+                # s*s < 2^30 and frame sums stay far below 2^63)
+                s = np.asarray(samples, dtype=np.int64)
+                f = np.arange(n, dtype=np.int64) * FP_FRAMES // n
+                energy = np.zeros(FP_FRAMES, dtype=np.int64)
+                np.add.at(energy, f, s * s)
+                bits = energy[1:] > energy[:-1]
+                j = np.arange(FP_FRAMES - 1, dtype=np.int64)
+                hi = int((bits[j < 32] * (1 << j[j < 32])).sum())
+                lo = int((bits[j >= 32] * (1 << (j[j >= 32] - 32))).sum())
                 rows.append((int(doc_id), hi, lo))
             yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
 

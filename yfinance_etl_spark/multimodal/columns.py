@@ -718,6 +718,8 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     not divisible by the grid use floor block edges (len*k//n), the
     ``resize_images`` nearest-neighbor convention."""
 
+    import numpy as np
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -729,33 +731,37 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                         f"image_dhash needs a raw pixel body (got {len(body)} "
                         f"bytes for {w}x{h}); decode the payload first"
                     )
-                # per-cell block means over floor-edge grid; integer sums
-                # compared via cross-multiplication so no float ever enters
-                sums = [[0] * DHASH_COLS for _ in range(DHASH_ROWS)]
-                cnts = [[0] * DHASH_COLS for _ in range(DHASH_ROWS)]
-                xs = [x * DHASH_COLS // w for x in range(w)]
-                ys = [y * DHASH_ROWS // h for y in range(h)]
-                for y in range(h):
-                    row_off = y * w * ch
-                    by = ys[y]
-                    for x in range(w):
-                        off = row_off + x * ch
-                        v = sum(body[off : off + ch])
-                        sums[by][xs[x]] += v
-                        cnts[by][xs[x]] += 1
-                hi = lo = 0
-                for j in range(DHASH_ROWS):
-                    for i in range(DHASH_COLS - 1):
-                        # mean(i+1) > mean(i)  <=>  s1*c0 > s0*c1
-                        bit = (
-                            sums[j][i + 1] * cnts[j][i]
-                            > sums[j][i] * cnts[j][i + 1]
-                        )
-                        if bit:
-                            if j < 4:
-                                hi |= 1 << (8 * j + i)
-                            else:
-                                lo |= 1 << (8 * (j - 4) + i)
+                # vectorized block sums over the floor-edge grid (numpy
+                # int64 throughout — exact; no float enters the hash):
+                # per-pixel luma stand-in = channel sum, then bincount
+                # over the flattened (block-row, block-col) index grid
+                px = (
+                    np.frombuffer(body, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                    .sum(axis=2)
+                )
+                xs = np.arange(w, dtype=np.int64) * DHASH_COLS // w
+                ys = np.arange(h, dtype=np.int64) * DHASH_ROWS // h
+                idx = (ys[:, None] * DHASH_COLS + xs[None, :]).ravel()
+                ncells = DHASH_ROWS * DHASH_COLS
+                sums = np.zeros(ncells, dtype=np.int64)
+                np.add.at(sums, idx, px.ravel())
+                cnts = np.bincount(idx, minlength=ncells).astype(np.int64)
+                sums = sums.reshape(DHASH_ROWS, DHASH_COLS)
+                cnts = cnts.reshape(DHASH_ROWS, DHASH_COLS)
+                # mean(i+1) > mean(i)  <=>  s1*c0 > s0*c1 (cross-mult in
+                # int64: sums < 255*4*w*h, counts < w*h — no overflow)
+                bits = (
+                    sums[:, 1:] * cnts[:, :-1] > sums[:, :-1] * cnts[:, 1:]
+                )
+                weights = 1 << (
+                    8 * (np.arange(DHASH_ROWS)[:, None] % 4)
+                    + np.arange(DHASH_COLS - 1)[None, :]
+                ).astype(np.int64)
+                packed = (bits * weights).sum(axis=1)
+                hi = int(packed[:4].sum())
+                lo = int(packed[4:].sum())
                 rows.append((doc_id, hi, lo))
             yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
 

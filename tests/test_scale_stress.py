@@ -704,6 +704,38 @@ def test_recorded_quotapick_sweep_supports_the_scale_claims():
     assert growth >= 4 and surv_growth <= 1.25, (growth, surv_growth)
 
 
+def test_recorded_recipe_sweep_supports_the_composition_claims():
+    # tools/scale_stress.py recipe — the r15 end-to-end composition at
+    # scale: the sample budget is met EXACTLY at every factor, the
+    # post-pick frames stay sample-sized while kept/dropped grow with
+    # the corpus, and the composed wall stays far under a pair square
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    rs = [r for r in lines if r.get("kind") == "recipe"]
+    assert len(rs) >= 3, "recipe sweep not recorded"
+    assert max(r["n_docs"] for r in rs) >= 16 * min(r["n_docs"] for r in rs)
+    for r in rs:
+        assert r["budget_met_exactly"] is True, r
+        assert r["n_out"] == r["n_picked"] == r["total"], r
+        # curation keeps a corpus-fraction (grows), the pick never does
+        assert r["n_kept"] > r["total"], r
+    summ = [r for r in lines if r.get("kind") == "recipe_summary"][-1]
+    # the composed wall tracks its near-linear stages (banded pair plan +
+    # map-only curation), never the doc-pair square
+    assert summ["wall_growth_exponent"] <= 1.2, summ
+    assert 0.8 <= summ["kept_growth_exponent"] <= 1.2, summ
+
+
 def test_recorded_cutsub_sweep_supports_the_claims():
     # tools/scale_stress.py cutsub — the ExactSubstr ACT step at scale
     import json

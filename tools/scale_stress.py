@@ -2181,6 +2181,89 @@ def main_cutsub(factors: list[int]) -> None:
     )
 
 
+def main_recipe(factors: list[int]) -> None:
+    """training_mix recipe sweep (r15, the composability proof at
+    scale): blow the corpus up ×factor with a FIXED sample budget and
+    run the whole curation → near-dup dedup → quota → shard-pack
+    composition. Claims under test: (a) the budget is met EXACTLY at
+    every scale (the quota contract survives composition), (b) the
+    post-pick frames stay O(total) — sample-size, not corpus-size —
+    while kept/dropped grow with the corpus, and (c) the composed wall
+    tracks the near-linear stage walls (curation is map-only; the
+    MinHash pair plan is banded), never a pair square. One JSON line
+    per factor, kind="recipe", then the exponent summary."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.recipe import training_mix
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total, budget = 2000, 1500
+    spark = get_spark("scale-stress-recipe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    training_mix(docs0.limit(60), total=10, budget=200).count()  # warm-up
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0, f).select("doc_id", "source", "text")
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        diag: dict = {}
+        t0 = time.perf_counter()
+        out = training_mix(docs, total=total, budget=budget, diag=diag)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.sum("n_tokens").alias("tok"),
+        ).collect()[0]
+        wall = round(time.perf_counter() - t0, 2)
+        row = {
+            "kind": "recipe",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": n_docs,
+            "total": total,
+            "n_kept": diag["n_kept"],
+            "n_dropped": diag["n_dropped"],
+            "n_picked": diag["n_picked"],
+            "n_out": int(agg["n_out"]),
+            "n_shards": int(agg["n_shards"]),
+            "sum_tokens": int(agg["tok"]),
+            "budget_met_exactly": int(agg["n_out"]) == total,
+            "sec_recipe": wall,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    lo, hi = rows[0], rows[-1]
+    print(
+        json.dumps(
+            {
+                "kind": "recipe_summary",
+                "corpus_growth": round(hi["n_docs"] / lo["n_docs"], 2),
+                "wall_growth_exponent": round(
+                    math.log(hi["sec_recipe"] / lo["sec_recipe"])
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+                "kept_growth_exponent": round(
+                    math.log(hi["n_kept"] / lo["n_kept"])
+                    / math.log(hi["n_docs"] / lo["n_docs"]),
+                    2,
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_quotapick(factors: list[int]) -> None:
     """quota_sample pick sweep (r15, the scale tier for the r14 weak):
     blow the corpus up ×factor (every stratum grows ×factor; the largest
@@ -2484,6 +2567,8 @@ if __name__ == "__main__":
         main_cutsub([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "quotapick":
         main_quotapick([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "recipe":
+        main_recipe([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup_scaledk":
         main_semdedup_scaledk([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "semdedup":

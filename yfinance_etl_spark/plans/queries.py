@@ -6532,38 +6532,13 @@ FROM pcum
 
 @_register("training_mix_recipe", _RECIPE_SQL)
 def q_training_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yfinance_etl_spark.operators.dedup import minhash_lsh_neardup
-    from yfinance_etl_spark.operators.quality import curation_verdict
-    from yfinance_etl_spark.operators.sampling import pack_shards, quota_sample
-    from yfinance_etl_spark.operators.text import tokens
+    from yfinance_etl_spark.operators.recipe import training_mix
 
-    docs = _t(spark, sf_dir, "documents")
-    kept = curation_verdict(
-        docs.select("doc_id", "source", "text"), carry=("source", "text")
-    ).filter("keep")
-    # pair detection over the FULL corpus (signatures are per-doc, so
-    # pairs restrict cleanly afterwards — and the full-table subplan is
-    # the one the shared cache pins), then curate-then-dedup semantics:
-    # a pair only drops its higher id when BOTH ends survived curation
-    pairs = minhash_lsh_neardup(docs, threshold=0.7)
-    kept_ids = kept.select("doc_id")
-    drops = (
-        pairs.join(
-            kept_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
-        )
-        .join(kept_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    return training_mix(
+        _t(spark, sf_dir, "documents"),
+        total=_RECIPE_TOTAL,
+        budget=_RECIPE_BUDGET,
     )
-    surv = kept.join(drops, "doc_id", "left_anti")
-    picked = quota_sample(
-        surv, "source", key="doc_id", total=_RECIPE_TOTAL, salt="recipe"
-    )
-    toks = picked.select(
-        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
-    )
-    packed = pack_shards(toks, "n_tokens", "doc_id", _RECIPE_BUDGET)
-    return packed.select("doc_id", "source", "n_tokens", "shard_id")
 
 
 @_register("curation_verdict", _CURATION_SQL)

@@ -541,3 +541,72 @@ def test_dhash_neardup_banding_pigeonhole_boundary(spark):
     # (2,3): hi words equal, lo words differ only in byte 3 (one bit) —
     # hamming 1 with 7 clean bands, found through any of them
     assert got[(2, 3)] == 1
+
+
+def test_video_container_roundtrip_and_planted_temporal_neardups(spark):
+    """pack/unpack must be exact and strict (truncation/garbage raise);
+    the synthesized videos carry REAL PNG frames the stdlib decoder
+    accepts; planted replicas (doc_id % 11 == 7) differ from their base
+    in at most one bit of ONE frame's dHash and surface as near-dups
+    matching on every aligned frame, while distinct scenes do not pair."""
+    import pytest as _pytest
+
+    from yfinance_etl_spark.multimodal.columns import PNG_SIG, _decode_png_mini
+    from yfinance_etl_spark.multimodal.video import (
+        pack_video,
+        synthesize_video_assets,
+        unpack_video,
+        video_frame_dhash,
+        video_neardup,
+    )
+
+    frames = [b"abc", b"", b"0123456789"]
+    assert unpack_video(pack_video(frames)) == frames
+    with _pytest.raises(NotImplementedError, match="VID1"):
+        unpack_video(b"NOPE" + b"\x00" * 8)
+    with _pytest.raises(NotImplementedError, match="truncated"):
+        unpack_video(pack_video(frames)[:-3])
+    with _pytest.raises(NotImplementedError, match="trailing"):
+        unpack_video(pack_video(frames) + b"x")
+
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id bigint")
+    assets = synthesize_video_assets(docs)
+    sample = assets.filter("doc_id = 6").collect()[0]
+    fr = unpack_video(bytes(sample.content))
+    assert len(fr) == sample.meta.n_frames == 3 + 6 % 3
+    for fb in fr:
+        assert fb.startswith(PNG_SIG)
+        _decode_png_mini(fb)  # real decode, raises on malformation
+
+    out = {
+        (r.doc_a, r.doc_b): (r.n_close_frames, r.n_frames_min)
+        for r in video_neardup(video_frame_dhash(assets)).collect()
+    }
+    assert set(out) == {(6, 7), (17, 18)}  # 7 % 11 == 7, 18 % 11 == 7
+    for close, mn in out.values():
+        assert close == mn  # replicas match on every aligned frame
+
+
+def test_video_neardup_fraction_rule_boundary(spark):
+    """The min_frac rule on crafted per-frame signatures: 2 of 4 aligned
+    close frames clears ceil(0.5*4); 1 of 4 does not — sharing a single
+    still frame must never pair two videos."""
+    from yfinance_etl_spark.multimodal.video import video_neardup
+
+    far = 0x55555555  # 16 bits per word away from 0
+    rows = []
+    for k in range(4):
+        rows.append((1, k, 100 + k, 200 + k))
+    # B: frames 0,1 identical to A; 2,3 far
+    rows += [(2, 0, 100, 200), (2, 1, 101, 201), (2, 2, far, far), (2, 3, far ^ 3, far ^ 7)]
+    # C: only frame 0 identical to A
+    rows += [(3, 0, 100, 200), (3, 1, far, 0), (3, 2, 0, far), (3, 3, far, far ^ 1)]
+    fsig = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx int, dhash_hi bigint, dhash_lo bigint"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_close_frames
+        for r in video_neardup(fsig).collect()
+    }
+    assert got.get((1, 2)) == 2  # 2 >= ceil(0.5 * 4)
+    assert (1, 3) not in got  # 1 < 2: one shared still frame is not a dup

@@ -612,6 +612,38 @@ DHASH_ROWS, DHASH_COLS = 8, 9
 IMAGE_DHASH_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
 
 
+def encode_png_gray(pixels: bytes, w: int, h: int) -> bytes:
+    """Encode a raw grayscale pixel buffer (row-major, len == w*h) as a
+    spec-valid 8-bit non-interlaced PNG (filter 0 scanlines, zlib IDAT,
+    CRC-correct chunks) — the exact class ``_decode_png_mini`` decodes.
+    Shared by the image and per-video-frame fixture synthesizers."""
+    import struct
+    import zlib
+
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 per scanline
+        raw += pixels[y * w : (y + 1) * w]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthesize_png_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL PNG assets from the documents table — grayscale
     8-bit non-interlaced streams (zlib-deflated, CRC-correct), the class
@@ -640,18 +672,8 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
     comparison it left-anchors (Hamming <= 1), while distinct scenes
     differ in gradient slope and wrap phase across the whole grid."""
     import hashlib
-    import struct
-    import zlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def chunk(tag: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data))
-                + tag
-                + data
-                + struct.pack(">I", zlib.crc32(tag + data))
-            )
-
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -662,7 +684,6 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
                 is_rep = doc_id % 7 == 3
                 raw = bytearray()
                 for y in range(h):
-                    raw.append(0)  # filter type 0 per scanline
                     for x in range(w):
                         v = int(
                             hashlib.md5(
@@ -673,13 +694,7 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
                         if is_rep and x < bw and y < bh:
                             v = (v + 100) % 256
                         raw.append(v)
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-                payload = (
-                    PNG_SIG
-                    + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
-                    + chunk(b"IEND", b"")
-                )
+                payload = encode_png_gray(bytes(raw), w, h)
                 rows.append(
                     (
                         doc_id,
@@ -718,54 +733,55 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     not divisible by the grid use floor block edges (len*k//n), the
     ``resize_images`` nearest-neighbor convention."""
 
-    import numpy as np
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 w, h, body = _decode_payload(bytes(content))
-                ch = len(body) // (w * h) if w * h and len(body) % (w * h) == 0 else 0
-                if ch not in (1, 2, 3, 4):
-                    raise NotImplementedError(
-                        f"image_dhash needs a raw pixel body (got {len(body)} "
-                        f"bytes for {w}x{h}); decode the payload first"
-                    )
-                # vectorized block sums over the floor-edge grid (numpy
-                # int64 throughout — exact; no float enters the hash):
-                # per-pixel luma stand-in = channel sum, then bincount
-                # over the flattened (block-row, block-col) index grid
-                px = (
-                    np.frombuffer(body, dtype=np.uint8)
-                    .astype(np.int64)
-                    .reshape(h, w, ch)
-                    .sum(axis=2)
-                )
-                xs = np.arange(w, dtype=np.int64) * DHASH_COLS // w
-                ys = np.arange(h, dtype=np.int64) * DHASH_ROWS // h
-                idx = (ys[:, None] * DHASH_COLS + xs[None, :]).ravel()
-                ncells = DHASH_ROWS * DHASH_COLS
-                sums = np.zeros(ncells, dtype=np.int64)
-                np.add.at(sums, idx, px.ravel())
-                cnts = np.bincount(idx, minlength=ncells).astype(np.int64)
-                sums = sums.reshape(DHASH_ROWS, DHASH_COLS)
-                cnts = cnts.reshape(DHASH_ROWS, DHASH_COLS)
-                # mean(i+1) > mean(i)  <=>  s1*c0 > s0*c1 (cross-mult in
-                # int64: sums < 255*4*w*h, counts < w*h — no overflow)
-                bits = (
-                    sums[:, 1:] * cnts[:, :-1] > sums[:, :-1] * cnts[:, 1:]
-                )
-                weights = 1 << (
-                    8 * (np.arange(DHASH_ROWS)[:, None] % 4)
-                    + np.arange(DHASH_COLS - 1)[None, :]
-                ).astype(np.int64)
-                packed = (bits * weights).sum(axis=1)
-                hi = int(packed[:4].sum())
-                lo = int(packed[4:].sum())
-                rows.append((doc_id, hi, lo))
+                rows.append((doc_id, *_dhash_words(body, w, h)))
             yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
 
     return assets.mapInPandas(extract, IMAGE_DHASH_SCHEMA)
+
+
+def _dhash_words(body: bytes, w: int, h: int) -> tuple[int, int]:
+    """The dHash core over one raw pixel buffer — shared by the image
+    and per-video-frame signature extractors. Vectorized block sums over
+    the floor-edge grid (numpy int64 throughout — exact; no float enters
+    the hash): per-pixel luma stand-in = channel sum, then bincount over
+    the flattened (block-row, block-col) index grid."""
+    import numpy as np
+
+    ch = len(body) // (w * h) if w * h and len(body) % (w * h) == 0 else 0
+    if ch not in (1, 2, 3, 4):
+        raise NotImplementedError(
+            f"dHash needs a raw pixel body (got {len(body)} bytes for "
+            f"{w}x{h}); decode the payload first"
+        )
+    px = (
+        np.frombuffer(body, dtype=np.uint8)
+        .astype(np.int64)
+        .reshape(h, w, ch)
+        .sum(axis=2)
+    )
+    xs = np.arange(w, dtype=np.int64) * DHASH_COLS // w
+    ys = np.arange(h, dtype=np.int64) * DHASH_ROWS // h
+    idx = (ys[:, None] * DHASH_COLS + xs[None, :]).ravel()
+    ncells = DHASH_ROWS * DHASH_COLS
+    sums = np.zeros(ncells, dtype=np.int64)
+    np.add.at(sums, idx, px.ravel())
+    cnts = np.bincount(idx, minlength=ncells).astype(np.int64)
+    sums = sums.reshape(DHASH_ROWS, DHASH_COLS)
+    cnts = cnts.reshape(DHASH_ROWS, DHASH_COLS)
+    # mean(i+1) > mean(i)  <=>  s1*c0 > s0*c1 (cross-mult in int64:
+    # sums < 255*4*w*h, counts < w*h — no overflow)
+    bits = sums[:, 1:] * cnts[:, :-1] > sums[:, :-1] * cnts[:, 1:]
+    weights = 1 << (
+        8 * (np.arange(DHASH_ROWS)[:, None] % 4)
+        + np.arange(DHASH_COLS - 1)[None, :]
+    ).astype(np.int64)
+    packed = (bits * weights).sum(axis=1)
+    return int(packed[:4].sum()), int(packed[4:].sum())
 
 
 def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:

@@ -5690,6 +5690,97 @@ WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
 """
 
 
+# ---------------------------------------------------------------------------
+# Video near-dup dedup (r15, completing the modality trio): length-
+# prefixed sequences of REAL PNG frames (md5-noise pixels; replicas of
+# doc_id-1 planted at doc_id % 11 == 7 with ONE frame's corner block
+# brightened), per-frame stdlib pixel decode → the shared dHash core,
+# then a TEMPORAL band join keyed on (frame_idx, band) + per-frame
+# popcount verify + a fraction-of-aligned-frames rule. The oracle
+# replays pixels → blocks → bits → per-frame bands → popcount → the
+# fraction arithmetic.
+# ---------------------------------------------------------------------------
+
+_VIDEO_NEARDUP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 7 THEN doc_id - 1 ELSE doc_id END AS base,
+         doc_id % 11 = 7 AS is_rep
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, base, is_rep,
+         3 + base % 3 AS nf, 1 + base % 3 AS bw, 1 + base % 2 AS bh
+  FROM g
+),
+px AS (
+  SELECT doc_id, k, x // bw AS bi, y // bh AS bj,
+         (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                  CAST(k AS VARCHAR) || ':' ||
+                                  CAST(x AS VARCHAR) || ':' ||
+                                  CAST(y AS VARCHAR)), 1, 2) AS INT)
+          + CASE WHEN is_rep AND k = 0 AND x < bw AND y < bh
+                 THEN 100 ELSE 0 END) % 256 AS v
+  FROM g2,
+       UNNEST(range(0, nf)) AS tk(k),
+       UNNEST(range(0, 9*bw)) AS tx(x),
+       UNNEST(range(0, 8*bh)) AS ty(y)
+),
+blocks AS (SELECT doc_id, k, bj, bi, SUM(v) AS s FROM px GROUP BY 1, 2, 3, 4),
+bits AS (
+  SELECT a.doc_id, a.k, a.bj AS j, a.bi AS i,
+         CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a
+  JOIN blocks b ON b.doc_id = a.doc_id AND b.k = a.k
+               AND b.bj = a.bj AND b.bi = a.bi + 1
+),
+sig AS (
+  SELECT doc_id, k,
+         CAST(SUM(CASE WHEN j < 4 THEN CAST(bit AS BIGINT) << (8*j + i)
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN j >= 4 THEN CAST(bit AS BIGINT) << (8*(j-4) + i)
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, k, h_hi, h_lo, b AS band_id,
+         CASE WHEN b < 4 THEN (h_hi >> (8*b)) & 255
+              ELSE (h_lo >> (8*(b-4))) & 255 END AS band_val
+  FROM sig, UNNEST(range(0, 8)) AS t(b)
+),
+close AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k,
+         bit_count(xor(a.h_hi, b.h_hi))
+         + bit_count(xor(a.h_lo, b.h_lo)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.k = b.k AND a.band_id = b.band_id
+              AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 7
+),
+vpairs AS (SELECT doc_a, doc_b, COUNT(*) AS n_close FROM close GROUP BY 1, 2),
+nfr AS (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM g2)
+SELECT p.doc_a, p.doc_b, p.n_close AS n_close_frames,
+       LEAST(fa.nf, fb.nf) AS n_frames_min
+FROM vpairs p
+JOIN nfr fa ON fa.doc_id = p.doc_a
+JOIN nfr fb ON fb.doc_id = p.doc_b
+WHERE p.n_close >= CEIL(0.5 * LEAST(fa.nf, fb.nf))
+"""
+
+
+@_register("dedup_video_frames", _VIDEO_NEARDUP_SQL)
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_frame_dhash,
+        video_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_neardup(video_frame_dhash(synthesize_video_assets(docs)))
+
+
 @_register("dedup_audio_fingerprint", _AUDIO_FP_SQL)
 def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yfinance_etl_spark.multimodal.audio import (
@@ -6712,6 +6803,7 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
+    "dedup_video_frames",  # never (r15)
     "bpe_token_counts",  # never (r15)
     "dedup_audio_fingerprint",  # never (r15)
     "training_mix_recipe",  # never (r15)

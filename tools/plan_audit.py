@@ -311,6 +311,30 @@ AUDITS: dict[str, str] = {
         "carries surviving pairs only (the simhash_neardup shape widened "
         "to eight 8-bit bands)."
     ),
+    "dedup_audio_fingerprint": (
+        "The audio member of the Hamming-LSH family: WAV synth + RIFF "
+        "decode + frame-energy fingerprint are one mapInPandas chain "
+        "(map-only; numpy int64 energies), and the signature frame "
+        "reuses dhash_neardup unchanged — checkpointed ExistingRDD "
+        "self-joined on the (band_id, band_val) equi-key, popcount "
+        "verify before the distinct, never CartesianProduct."
+    ),
+    "dedup_video_frames": (
+        "Temporal near-dup: the container walk + per-frame PNG decode + "
+        "shared dHash core are one mapInPandas chain; candidates join on "
+        "the (frame_idx, band_id, band_val) EQUI key — alignment is in "
+        "the key, so volume follows per-position dup density; per-frame "
+        "popcount verify precedes the distinct; the corpus-sized frame-"
+        "count side carries NO broadcast hint (pairs are the small side, "
+        "AQE picks the build side)."
+    ),
+    "bpe_token_counts": (
+        "Train + apply without a per-merge corpus rescan: the learn "
+        "rounds run on the vocab frame (ExistingRDD chain), and "
+        "application is one equi-join of the (doc, word)-pre-aggregated "
+        "word frame (map-side combined) against the vocab-sized "
+        "token-count frame, then a per-doc hash aggregate."
+    ),
     "bpe_merges": (
         "Tokenizer training as k rounds over a VOCAB-sized frame: the "
         "corpus pays one scan into the word-frequency aggregate "

@@ -6803,62 +6803,56 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "dedup_video_frames",  # never (r15)
-    "bpe_token_counts",  # never (r15)
-    "dedup_audio_fingerprint",  # never (r15)
-    "training_mix_recipe",  # never (r15)
-    "bpe_merges",  # never (r15)
-    "dedup_image_phash",  # never (r15)
-    "ccnet_ppl_buckets",  # never
-    "contrastive_triplets",  # never
-    "crawl_frontier_cycle",  # never
-    "knn_join_scaled",  # never
-    "quota_sample_mix",  # never
-    "stream_ema_ttl",  # never
-    "substring_dup_cut",  # never
-    "price_pivot_wide",  # r6,9,11
-    "salted_revenue_by_segment",  # r6,9,11
-    "shard_packing",  # r6,9,11
-    "stratified_sample",  # r6,9,11
-    "stream_interval_join",  # r6,9,11
-    "stream_static_enriched",  # r6,9,11
-    "symbol_search",  # r6,9,11
-    "tfidf_top_terms",  # r6,9,11
-    "ticker_correlation_matrix",  # r6,9,11
-    "train_split_counts",  # r6,9,11
-    "tz_normalize",  # r6,9,11
-    "url_domain_stats",  # r6,9,11
-    "watchlist_parse",  # r6,9,11
-    "audio_features",  # r7,8,9,11
-    "lang_profile",  # r1,6,9,11
-    "stream_dedup_distinct",  # r3,5,6,9,11
-    "stream_session_rollup",  # r3,5,6,9,11
-    "stream_sliding_avg",  # r3,5,6,9,11
-    "stream_tumbling_counts",  # r3,5,6,9,11
-    "asof_click_attribution",  # r3,4,5,6,9,11
-    "stream_ema_stateful",  # r3,4,5,6,9,11
-    "sma_min_periods",  # r1,2,3,4,5,7,8,11
-    "sortino",  # r1,2,3,4,5,7,8,11
-    "text_quality",  # r1,2,3,4,5,7,8,11
-    "top_orders",  # r1,2,3,4,5,7,8,11
-    "uptrend_flags",  # r1,2,3,4,5,7,8,11
-    "ann_int8_persisted",  # r12
-    "ann_ivfpq_topk",  # r12
-    "ann_pq_topk",  # r12
-    "crawl_incremental_dedup",  # r12
-    "curation_verdict",  # r12
-    "knn_join_topk",  # r12
-    "stream_curation_verdict",  # r12
-    "stream_delta_verified",  # r12
-    "url_frontier_dedup",  # r12
-    "contamination_bloom",  # r10,12
-    "dedup_delta_snapshot",  # r10,12
-    "jsonl_ingest_profile",  # r10,12
-    "lm_perplexity",  # r10,12
-    "multimodal_jpeg_meta",  # r10,12
-    "split_leakage_check",  # r10,12
-    "funnel_conversions",  # r7,8,10,12
-    "cohort_retention",  # r6,7,8,10,12
+    "bpe_merges",  # never
+    "bpe_token_counts",  # never
+    "dedup_audio_fingerprint",  # never
+    "dedup_image_phash",  # never
+    "dedup_video_frames",  # never
+    "training_mix_recipe",  # never
+    "compacted_sink_roundtrip",  # r6,7,8,10,12
+    "contamination_check",  # r6,7,8,10,12
+    "datasource_monthly_bars",  # r6,7,8,10,12
+    "dedup_clusters",  # r6,7,8,10,12
+    "dedup_embedding_banded",  # r6,7,8,10,12
+    "doc_quality_gopher",  # r6,7,8,10,12
+    "frame_sample",  # r6,7,8,10,12
+    "fund_expense_ratio",  # r6,7,8,10,12
+    "incremental_rollup",  # r6,7,8,10,12
+    "kmeans_clusters",  # r6,7,8,10,12
+    "kmv_distinct",  # r6,7,8,10,12
+    "multimodal_resize",  # r6,7,8,10,12
+    "order_value_deciles",  # r6,7,8,10,12
+    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9,12
+    "ann_bucketed_topk",  # r2,3,4,5,6,9,12
+    "ann_ivf_topk",  # r2,3,4,5,6,9,12
+    "ann_multiprobe_topk",  # r2,3,4,5,6,9,12
+    "dedup_embedding_cosine",  # r2,3,4,5,6,9,12
+    "dedup_simhash",  # r2,3,4,5,6,9,12
+    "events_json_profile",  # r3,4,5,7,8,10,12
+    "scalar_profile",  # r3,4,5,7,8,10,12
+    "sql_top_orders_per_priority",  # r3,4,5,7,8,10,12
+    "bucketed_join_revenue",  # r2,3,4,5,7,8,10,12
+    "chunk_stats",  # r2,3,4,5,7,8,10,12
+    "datasource_history",  # r2,3,4,5,7,8,10,12
+    "dedup_exact_fingerprint",  # r1,2,3,4,5,6,9,12
+    "dedup_minhash_lsh",  # r1,2,3,4,5,6,9,12
+    "dedup_ngram_jaccard",  # r1,2,3,4,5,6,9,12
+    "doc_sentiment",  # r2,3,4,5,7,8,10,12
+    "knn_cosine_topk",  # r1,2,3,4,5,6,9,12
+    "metrics_unpivot",  # r2,3,4,5,7,8,10,12
+    "multimodal_features",  # r2,3,4,5,7,8,10,12
+    "newsfeed_sentiment",  # r2,3,4,5,7,8,10,12
+    "ann_ivfpq_appended",  # r13
+    "ann_ivfpq_persisted",  # r13
+    "ann_ivfpq_quant_error",  # r13
+    "crawl_two_day_dedup",  # r13
+    "dedup_canonical_centrality",  # r13
+    "dedup_graph_pagerank",  # r13
+    "knn_join_banded",  # r13
+    "ann_int8_topk",  # r11,13
+    "encoding_quality",  # r11,13
+    "multimodal_exif_meta",  # r11,13
+    "sequence_packing",  # r11,13
 ]
 
 

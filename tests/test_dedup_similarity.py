@@ -2229,3 +2229,38 @@ def test_cut_dup_spans_rebuilds_text_without_duplicated_runs(spark):
     assert (out[4].n_cut_spans, out[4].n_cut_chars) == (2, 20)
     assert out[5].text_clean == ""  # fully cut, not dropped
     assert (out[5].n_cut_spans, out[5].n_cut_chars) == (1, 26)
+
+
+def test_dhash_neardup_pigeonhole_on_randomized_pairs(spark):
+    """Randomized confirmation of the 8-band pigeonhole guarantee: 150
+    seeded-random base signatures, each paired with a copy whose Hamming
+    distance is a random 0..7 (random bit positions across both words).
+    EVERY pair must surface with its exact distance — recall 1.0 at the
+    threshold is structural, not statistical. One Spark action."""
+    import random
+
+    from yfinance_etl_spark.operators.dedup import dhash_neardup
+
+    rng = random.Random(1519)
+    rows, expected = [], {}
+    for k in range(150):
+        hi, lo = rng.getrandbits(32), rng.getrandbits(32)
+        d = rng.randrange(0, 8)
+        flips = rng.sample(range(64), d)
+        fhi, flo = hi, lo
+        for b in flips:
+            if b < 32:
+                fhi ^= 1 << b
+            else:
+                flo ^= 1 << (b - 32)
+        a_id, b_id = 1000 * k + 1, 1000 * k + 2
+        rows += [(a_id, hi, lo), (b_id, fhi, flo)]
+        expected[(a_id, b_id)] = d
+    sig = spark.createDataFrame(
+        rows, "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming for r in dhash_neardup(sig).collect()
+    }
+    for pair, d in expected.items():
+        assert got.get(pair) == d, (pair, d, got.get(pair))

@@ -248,3 +248,45 @@ def test_bpe_token_counts_train_plus_apply(spark):
     for doc_id, t in texts:
         ws = t.split()
         assert got[doc_id] == (len(ws), sum(wt[w] for w in ws)), doc_id
+
+
+def test_bpe_fold_matches_reference_scan_on_randomized_inputs(spark):
+    """_apply_merge's fold vs the reference left-to-right scan over 300
+    seeded-random symbol arrays (alphabet {a,b,ab} to force overlap and
+    multi-char-symbol cases), all compared in ONE Spark action."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.bpe import _apply_merge
+
+    rng = random.Random(1517)
+    alphabet = ["a", "b", "ab"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randrange(0, 12))]
+        for _ in range(300)
+    ]
+    merges = [("a", "a"), ("a", "b"), ("ab", "a"), ("b", "b")]
+
+    def reference(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, syms array<string>"
+    )
+    cols = [
+        _apply_merge(F.col("syms"), l, r).alias(f"m{k}")
+        for k, (l, r) in enumerate(merges)
+    ]
+    got = {r.id: r for r in df.select("id", *cols).collect()}
+    for i, c in enumerate(cases):
+        for k, (l, r) in enumerate(merges):
+            assert got[i][f"m{k}"] == reference(c, l, r), (c, l, r)

@@ -738,3 +738,28 @@ def test_quota_sample_pick_window_ranks_only_the_survivor_frame(spark):
     for frag in plan.split("Window [")[1:]:
         head = frag.split("\n")[0]
         assert "__stratum" in head, head
+
+
+def test_modality_dedup_band_joins_are_equi_never_cartesian(spark):
+    """The three r15 modality dedup tiers (image dHash, audio energy
+    fingerprint, video temporal frames): the signature self-join must be
+    an EQUI join on the band key over the CHECKPOINTED signature frame
+    (ExistingRDD — the decode/hash Python stage runs once, not per join
+    side), with the popcount verify filtered before the distinct; no
+    CartesianProduct anywhere. The video plan additionally carries the
+    frame-count joins WITHOUT a broadcast hint on the corpus-sized side
+    (AQE picks the build side; the pair frame is the small one)."""
+    for name in (
+        "dedup_image_phash",
+        "dedup_audio_fingerprint",
+        "dedup_video_frames",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Scan ExistingRDD" in plan, name  # checkpointed signatures
+        # the verify predicate sits in the plan as a filter on the
+        # popcount sum — survivors-only rows reach the dedup exchange
+        assert "bit_count" in plan, name
+        # band equi-key join: a SortMergeJoin/ShuffledHashJoin/Broadcast
+        # HashJoin with join keys, never a pure-condition BroadcastNLJ
+        assert "NestedLoop" not in plan, name

@@ -610,3 +610,70 @@ def test_video_neardup_fraction_rule_boundary(spark):
     }
     assert got.get((1, 2)) == 2  # 2 >= ceil(0.5 * 4)
     assert (1, 3) not in got  # 1 < 2: one shared still frame is not a dup
+
+
+def test_training_mix_multimodal_drops_asset_neardups(spark):
+    """The r16 recipe composition: two docs whose TEXTS are unrelated
+    (no MinHash pair) but whose IMAGE assets are near-dups (the planted
+    doc_id%7==3 replica) — the multimodal recipe drops the higher id
+    from the mix while the text-only recipe keeps all four docs."""
+    from yfinance_etl_spark.multimodal.columns import synthesize_png_assets
+    from yfinance_etl_spark.operators.recipe import (
+        training_mix,
+        training_mix_multimodal,
+    )
+
+    def text(doc_id):  # curation-passing, pairwise-unrelated text
+        return " ".join(f"w{j}x{doc_id}" for j in range(120))
+
+    docs = spark.createDataFrame(
+        [(i, "web", text(i)) for i in (1, 2, 3, 4)],
+        "doc_id long, source string, text string",
+    )
+    ids = docs.select("doc_id")
+
+    text_only = {r.doc_id for r in
+                 training_mix(docs, total=4, budget=500).collect()}
+    assert text_only == {1, 2, 3, 4}  # no text near-dups anywhere
+
+    mm = {r.doc_id for r in training_mix_multimodal(
+        docs, image_assets=synthesize_png_assets(ids),
+        total=3, budget=500).collect()}
+    assert mm == {1, 2, 4}  # image replica 3 (of 2) dropped, both kept
+
+
+def test_video_neardup_offset_finds_trimmed_rejects_shared_still(spark):
+    """The r16 offset tier on the planted fixture classes (doc ids
+    0..35): the TRIMMED replica (22 = frames 1..n-1 of 20) is invisible
+    to the aligned tier but found at voted offset −1 with every frame
+    close; the shared-single-still pairs (8,11) and (25,28) vote an
+    offset but fail the fraction rule in BOTH tiers; aligned replicas
+    are found by both (offset 0)."""
+    from yfinance_etl_spark.multimodal.video import (
+        _video_cls,
+        synthesize_video_assets,
+        video_frame_dhash,
+        video_neardup,
+        video_neardup_offset,
+    )
+
+    assert _video_cls(22) == "trim" and _video_cls(11) == "share"
+    docs = spark.createDataFrame([(i,) for i in range(36)], "doc_id long")
+    fsig = video_frame_dhash(synthesize_video_assets(docs)).localCheckpoint()
+
+    aligned = {(r.doc_a, r.doc_b) for r in video_neardup(fsig).collect()}
+    offs = {
+        (r.doc_a, r.doc_b): (r.offset, r.n_close_frames, r.n_frames_min)
+        for r in video_neardup_offset(fsig).collect()
+    }
+    # trimmed replica: offset tier only, voted offset -1, every frame close
+    assert (20, 22) not in aligned
+    assert offs[(20, 22)][0] == -1
+    assert offs[(20, 22)][1] == offs[(20, 22)][2]
+    # shared single still: rejected by both tiers
+    assert (8, 11) not in aligned and (8, 11) not in offs
+    assert (25, 28) not in aligned and (25, 28) not in offs
+    # aligned replicas: found by both, offset 0
+    for pair in ((6, 7), (17, 18), (28, 29)):
+        assert pair in aligned
+        assert offs[pair][0] == 0

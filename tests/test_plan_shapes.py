@@ -753,6 +753,7 @@ def test_modality_dedup_band_joins_are_equi_never_cartesian(spark):
         "dedup_image_phash",
         "dedup_audio_fingerprint",
         "dedup_video_frames",
+        "dedup_video_offset",  # r16: seed + vote + verify, all equi
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

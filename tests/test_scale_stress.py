@@ -770,3 +770,33 @@ def test_recorded_cutsub_sweep_supports_the_claims():
         hi["n_docs"] / lo["n_docs"]
     )
     assert abs(wall_exp - summ["wall_growth_exponent"]) < 0.05
+
+
+def test_recorded_bpe_sweep_supports_the_merge_axis_claims():
+    # tools/scale_stress.py bpe — the r16 two-tier proof on the MERGE
+    # axis (the r15 `weak`): driver-tier wall grows far sub-linearly in
+    # merge count while the relational tier is exactly one Spark round
+    # per merge, and the largest swept count beats the relational
+    # extrapolation by a wide margin
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    rs = [r for r in lines if r.get("kind") == "bpe"]
+    assert len(rs) >= 3, "bpe sweep not recorded"
+    hi, lo = max(r["n_merges"] for r in rs), min(r["n_merges"] for r in rs)
+    assert hi >= 512 * lo  # the sweep must actually stress the axis
+    for r in rs:
+        assert r["n_learned"] == r["n_merges"], r  # vocab never exhausted
+        assert r["n_word_types"] >= 100_000, r  # production-shaped types
+    summ = [r for r in lines if r.get("kind") == "bpe_summary"][-1]
+    assert summ["wall_growth_exponent"] <= 0.6, summ
+    assert summ["relational_extrapolated_speedup_at_max"] >= 20, summ

@@ -290,3 +290,149 @@ def test_bpe_fold_matches_reference_scan_on_randomized_inputs(spark):
     for i, c in enumerate(cases):
         for k, (l, r) in enumerate(merges):
             assert got[i][f"m{k}"] == reference(c, l, r), (c, l, r)
+
+
+def test_bpe_driver_tier_matches_relational_tier(spark):
+    """The r16 two-tier contract: the driver tier (collected type frame
+    + incremental heap/delta loop + Arrow re-upload) must reproduce the
+    relational per-round loop merge-for-merge AND symbol-for-symbol —
+    same merge table (ranks, pairs, counts) and same final vocab
+    symbolization — on a corpus engineered with ties, overlaps, and a
+    fully-merging word."""
+    from yfinance_etl_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low low low lower lower newest newest newest newest widest"),
+            (1, "the cat the hat the mat aaa aaaa"),
+            (2, "zz zz zz zz zz"),  # fully merges in 2 rounds
+        ],
+        "doc_id long, text string",
+    )
+    d = bpe_learn(docs, n_merges=12, tier="driver")
+    r = bpe_learn(docs, n_merges=12, tier="relational")
+    assert list(d.merges) == list(r.merges)
+    assert d.alphabet == r.alphabet
+    vd = {x.word: x.syms for x in d.vocab.collect()}
+    vr = {x.word: x.syms for x in r.vocab.collect()}
+    assert vd == vr
+
+
+def test_bpe_driver_delta_loop_matches_naive_rescore_randomized():
+    """_learn_driver's site-local delta updates + lazy-invalidation heap
+    vs a from-scratch per-round recount, over 300 seeded-random corpora
+    on a 2-letter alphabet (maximal pair interaction): identical merge
+    tables and identical final symbolizations."""
+    import random
+
+    from yfinance_etl_spark.operators.bpe import EOW, _learn_driver, _merge_word
+
+    def naive(word_freq, n_merges):
+        syms = {w: list(w) + [EOW] for w, _ in word_freq}
+        out = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for w, f in word_freq:
+                s = syms[w]
+                for p in zip(s, s[1:]):
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, l, r, l + r, int(cnt)))
+            for w, _ in word_freq:
+                syms[w] = _merge_word(syms[w], l, r, l + r)
+        return out, syms
+
+    rng = random.Random(7)
+    for trial in range(300):
+        wf = {}
+        for _ in range(rng.randint(1, 30)):
+            w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+            wf[w] = rng.randint(1, 5)
+        wf = sorted(wf.items())
+        nm = rng.randint(1, 15)
+        got = _learn_driver(list(wf), nm)
+        want = naive(list(wf), nm)
+        assert got[0] == want[0], (trial, wf, nm)
+        assert got[1] == want[1], (trial, wf, nm)
+
+
+def test_bpe_token_counts_zero_word_doc_budgets_at_zero(spark):
+    """A document with no alphabetic words gets an explicit (0, 0) row
+    (r15 ADVICE): a downstream pack_shards consumer shards it rather
+    than silently dropping it."""
+    from yfinance_etl_spark.operators.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "plain words here"), (1, "12345 !!! 99"), (2, "more plain words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_token_counts(docs, n_merges=2).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1] == (0, 0)
+    assert got[0][0] == 3 and got[0][1] > 0
+
+
+def test_bpe_token_ids_first_rank_wins_on_colliding_new_symbols():
+    """Two merges can concatenate to the same string — (a,bc) and
+    (ab,c) both yield 'abc'. The id law keeps the FIRST rank's id, and
+    the model surfaces every alphabet symbol before any merge id."""
+    from yfinance_etl_spark.operators.bpe import BpeModel
+
+    m = BpeModel(
+        merges=((1, "a", "bc", "abc", 9), (2, "ab", "c", "abc", 5),
+                (3, "x", "y", "xy", 4)),
+        vocab=None,
+        alphabet=("a", "b", "c", "x", "y"),
+    )
+    ids = m.token_ids()
+    assert ids["a"] == 0 and ids["y"] == 4
+    assert ids["abc"] == 5  # rank 1 wins, rank 2's id 6 is never reused
+    assert ids["xy"] == 7
+
+
+def test_bpe_tokenize_sequences_and_shared_model(spark):
+    """bpe_tokenize emits (doc, word_pos, sym_pos, token, token_id)
+    with original whitespace-token positions (gaps where non-alphabetic
+    tokens sat), subword order within each word, and ids under the
+    alphabet+rank law; sharing one BpeModel across bpe_merges /
+    bpe_token_counts / bpe_tokenize re-learns nothing and agrees with
+    per-call learning."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.bpe import (
+        bpe_learn,
+        bpe_merges,
+        bpe_token_counts,
+        bpe_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa 42 bb aa"), (1, "bb aa bb")], "doc_id long, text string"
+    )
+    model = bpe_learn(docs, n_merges=1)  # learns exactly one merge
+    rows = bpe_tokenize(docs, model=model).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: word positions 0, 2, 3 — position 1 ('42') is a visible gap
+    assert sorted({r.word_pos for r in by_doc[0]}) == [0, 2, 3]
+    # every (word_pos, sym_pos) pair unique; tokens reassemble the word
+    w0 = sorted((r.sym_pos, r.token) for r in by_doc[0] if r.word_pos == 0)
+    assert "".join(t for _, t in w0).replace("</w>", "") == "aa"
+    # ids: alphabet is (</w>, a, b) sorted ascending -> merge id = 3
+    ids = model.token_ids()
+    assert len(model.alphabet) == 3
+    assert all(ids[r.token] == r.token_id for r in rows)
+    # the shared model agrees with per-call learning
+    assert bpe_merges(docs, n_merges=1).collect() == \
+        bpe_merges(docs, model=model).collect()
+    a = sorted(map(tuple, bpe_token_counts(docs, n_merges=1).collect()))
+    b = sorted(map(tuple, bpe_token_counts(docs, model=model).collect()))
+    assert a == b
+    # n_bpe_tokens consistency: tokenize row count per doc == n_bpe_tokens
+    per_doc = {d: len(v) for d, v in by_doc.items()}
+    assert per_doc == {r.doc_id: r.n_bpe_tokens for r in
+                       bpe_token_counts(docs, model=model).collect()}

@@ -36,7 +36,10 @@ def _parsed_bench_rounds() -> dict[int, dict]:
     """round -> per-query seconds from every parseable BENCH_r*.json."""
     out: dict[int, dict] = {}
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        rnd = int(re.search(r"_r(\d+)", p).group(1))
+        m = re.search(r"_r(\d+)", p)
+        if not m:  # digitless stray like BENCH_r.json — skip, don't crash
+            continue
+        rnd = int(m.group(1))
         try:
             data = json.load(open(p))
         except (json.JSONDecodeError, OSError):
@@ -104,6 +107,9 @@ def main() -> int:
     if "--current-detail" in sys.argv:
         detail = json.load(open(os.path.join(REPO, "bench_detail.json")))
         cur, cur_label = detail["queries"], "bench_detail.json (HEAD)"
+        if not rounds:
+            print("need one parseable BENCH_r*.json round", file=sys.stderr)
+            return 1
         prev_rnd = max(rounds)
         prev, prev_label = rounds[prev_rnd], f"BENCH_r{prev_rnd:02d}"
     else:

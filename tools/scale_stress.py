@@ -2529,10 +2529,100 @@ def main_emattl(n_batches_list: list[int]) -> None:
         )
 
 
+def main_bpe(merge_counts: list[int]) -> None:
+    """BPE merge-count sweep (r16, clears the r15 `weak`): the axis
+    under test is N_MERGES, not corpus size — a production tokenizer
+    wants ~32k merges, and the r15 relational loop paid one Spark round
+    each. Claims under test for the driver tier: (a) wall grows far
+    sub-linearly in merge count (the corpus collapse + type-frame
+    collect amortize; the local loop's incremental re-scoring touches
+    only words containing the merged pair), and (b) the measured
+    relational per-round cost × N would dwarf it (printed as the
+    counterfactual each row). One JSON line per merge count,
+    kind="bpe", then the exponent summary."""
+    import math
+
+    from yfinance_etl_spark.operators.bpe import bpe_learn
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_types = int(os.environ.get("SPARK_GRAFT_BPE_TYPES", "100000"))
+    spark = get_spark("scale-stress-bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # The test corpus's synthetic text carries only ~31 word types —
+    # nothing for a 512-merge loop to chew on. Union in hash-derived
+    # alphabetic types (md5 hex, digits transliterated) so the vocab
+    # frame has production-shaped type diversity; the REAL documents
+    # stay in the mix so the corpus pass is the real one.
+    from pyspark.sql import functions as F
+
+    synth = spark.range(n_types).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.translate(
+            F.md5(F.col("id").cast("string")), "0123456789", "qwertyuiop"
+        ).alias("text"),
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(synth)
+        .localCheckpoint(eager=True)
+    )
+    bpe_learn(docs.limit(50), 2).vocab.count()  # warm-up
+
+    # the relational counterfactual: measured once at the smallest N,
+    # then extrapolated linearly (it is exactly one Spark round/merge)
+    n0 = merge_counts[0]
+    t0 = time.perf_counter()
+    rel = bpe_learn(docs, n0, tier="relational")
+    rel.vocab.count()
+    sec_rel_n0 = round(time.perf_counter() - t0, 2)
+    rel_per_round = sec_rel_n0 / n0
+
+    rows = []
+    for n in merge_counts:
+        t0 = time.perf_counter()
+        model = bpe_learn(docs, n, tier="driver")
+        n_vocab = model.vocab.count()  # forces the resymbolize pass
+        wall = round(time.perf_counter() - t0, 2)
+        row = {
+            "kind": "bpe",
+            "sf_dir": sf_dir,
+            "n_merges": n,
+            "n_learned": len(model.merges),
+            "n_word_types": n_vocab,
+            "alphabet": len(model.alphabet),
+            "sec_driver": wall,
+            "sec_relational_extrapolated": round(rel_per_round * n, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    lo, hi = rows[0], rows[-1]
+    print(
+        json.dumps(
+            {
+                "kind": "bpe_summary",
+                "merge_growth": round(hi["n_merges"] / lo["n_merges"], 2),
+                "wall_growth_exponent": round(
+                    math.log(hi["sec_driver"] / lo["sec_driver"])
+                    / math.log(hi["n_merges"] / lo["n_merges"]),
+                    2,
+                ),
+                "sec_relational_measured_n0": sec_rel_n0,
+                "relational_extrapolated_speedup_at_max": round(
+                    rel_per_round * hi["n_merges"] / hi["sec_driver"], 1
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "emattl":
         main_emattl([int(x) for x in argv[1:]] or [4, 8, 16])
+    elif argv and argv[0] == "bpe":
+        main_bpe([int(x) for x in argv[1:]] or [8, 64, 512])
     elif argv and argv[0] == "pagerank":
         main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "annappend":

@@ -12,14 +12,19 @@ signature/dedup machinery below are unchanged), while the per-frame
 pixel work is the same stdlib zlib inflate + scanline unfilter the image
 path exercises.
 
-Dedup model (temporal alignment is the point): a video's signature is
-its SEQUENCE of per-frame dHashes. Candidates come from a band join
-keyed on (frame_idx, band_id, band_val) — two videos collide only when
-the SAME temporal position shares a band — and verify counts aligned
-frames within Hamming ≤ t. A pair is a near-dup when at least
-``min_frac`` of the shorter video's frames are close: re-encoded or
-lightly-retouched copies match on almost every frame, while two videos
-that merely share one still frame do not clear the fraction.
+Dedup model: a video's signature is its SEQUENCE of per-frame dHashes,
+and TWO tiers consume it. ``video_neardup`` (aligned): candidates from
+a band join keyed on (frame_idx, band_id, band_val) — two videos
+collide only when the SAME temporal position shares a band — then
+aligned frames within Hamming ≤ t are counted against ``min_frac`` of
+the shorter video. ``video_neardup_offset`` (r16): drops frame_idx
+from the candidate key (wider 16-bit seed bands keep the volume
+density-bound), votes an alignment offset per candidate pair (mode of
+frame_idx_b − frame_idx_a), and re-verifies the SAME fraction rule at
+the voted offset — catching the trimmed/offset re-upload the aligned
+tier is blind to, while a pair sharing one still frame still fails the
+fraction. Re-encoded or lightly-retouched copies match on almost every
+frame; one shared still never clears either tier.
 """
 
 from __future__ import annotations
@@ -81,46 +86,89 @@ def unpack_video(b: bytes) -> list[bytes]:
     return frames
 
 
+def _video_cls(doc_id: int) -> str:
+    """Planted-duplicate class of a doc's video (first match wins):
+
+    * ``rep``   (doc_id % 11 == 7): full aligned replica of doc_id-1
+      with frame 0's corner block brightened — the aligned-tier plant.
+    * ``trim``  (doc_id % 13 == 9, %11 ∉ {7, 9}): frames 1..n-1 of
+      doc_id-2, bit-identical — the TRIMMED re-upload the offset tier
+      exists for (never collides aligned; offset −1). The %11 guard
+      keeps the source video class-free by modular arithmetic.
+    * ``share`` (doc_id % 17 == 11, %11 ∉ {7, 10}, %13 ∉ {9, 12},
+      ≥ 3): frame 0 only carries doc_id-3's frame-0 pixel formula —
+      the shared-single-still pair BOTH tiers must reject. Guards keep
+      doc_id-3 plain (its content == its formula) by arithmetic.
+    * ``plain`` otherwise.
+    """
+    if doc_id % 11 == 7:
+        return "rep"
+    if doc_id % 13 == 9 and doc_id % 11 not in (7, 9):
+        return "trim"
+    if (
+        doc_id % 17 == 11
+        and doc_id % 11 not in (7, 10)
+        and doc_id % 13 not in (9, 12)
+        and doc_id >= 3
+    ):
+        return "share"
+    return "plain"
+
+
 def synthesize_video_assets(docs: DataFrame) -> DataFrame:
-    """Deterministic real-frame videos from the documents table:
+    """Deterministic real-frame videos from the documents table. Base
+    geometry for a source id ``s``: n_frames = 3 + s % 3, block dims
+    bw, bh = 1 + s % 3, 1 + s % 2 (frame dims 9*bw x 8*bh), and
 
-        base     = doc_id - 1 if doc_id % 11 == 7 else doc_id
-        n_frames = 3 + base % 3
-        bw, bh   = 1 + base % 3, 1 + base % 2   (frame dims 9*bw x 8*bh)
-        frame k pixel(x, y) = first byte of md5('<base>:<k>:<x>:<y>')
-        replicas (doc_id % 11 == 7) brighten frame 0's block (0,0) by
-        +100 mod 256 — ONE frame's dHash moves by at most one bit, the
-        other frames stay bit-identical: the planted temporal near-dup.
+        frame k pixel(x, y) = byte (x mod 16) of md5('<s>:<k>:<y>:<x//16>')
 
-    md5-noise pixels for the same reason as the image fixture (gradient
-    frames collapse every dHash together)."""
+    (one digest covers 16 horizontal pixels — batched-digest noise, 13×
+    fewer md5 calls than the r15 per-pixel form; still hash-noise, so
+    dHashes stay well-spread). Planted duplicate classes per
+    :func:`_video_cls`: ``rep`` replays doc_id-1's frames with frame 0's
+    corner block brightened +100 mod 256 (dHash moves ≤ 1 bit); ``trim``
+    carries doc_id-2's frames 1..n-1 bit-identically (one fewer frame,
+    offset −1); ``share`` swaps ONLY frame 0 for doc_id-3's frame-0
+    formula (own dims for the rest — frames may differ in size inside
+    one container; dHash is dimension-independent)."""
     import hashlib
+
+    def fbytes(s: int, k: int, bw: int, bh: int, bright: bool) -> bytes:
+        w, h = DHASH_COLS * bw, DHASH_ROWS * bh
+        raw = bytearray()
+        for y in range(h):
+            row = b"".join(
+                hashlib.md5(f"{s}:{k}:{y}:{xb}".encode()).digest()
+                for xb in range((w + 15) // 16)
+            )
+            raw.extend(row[:w])
+        if bright:
+            for y in range(bh):
+                for x in range(bw):
+                    raw[y * w + x] = (raw[y * w + x] + 100) % 256
+        return encode_png_gray(bytes(raw), w, h)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                base = doc_id - 1 if doc_id % 11 == 7 else doc_id
-                n_frames = 3 + base % 3
+                cls = _video_cls(doc_id)
+                base = doc_id - 1 if cls == "rep" else doc_id - 2 if cls == "trim" else doc_id
+                n_frames = (3 + base % 3) - (1 if cls == "trim" else 0)
                 bw, bh = 1 + base % 3, 1 + base % 2
-                w, h = DHASH_COLS * bw, DHASH_ROWS * bh
-                is_rep = doc_id % 11 == 7
                 frames = []
                 for k in range(n_frames):
-                    raw = bytearray()
-                    for y in range(h):
-                        for x in range(w):
-                            v = int(
-                                hashlib.md5(
-                                    f"{base}:{k}:{x}:{y}".encode()
-                                ).hexdigest()[:2],
-                                16,
-                            )
-                            if is_rep and k == 0 and x < bw and y < bh:
-                                v = (v + 100) % 256
-                            raw.append(v)
-                    frames.append(encode_png_gray(bytes(raw), w, h))
+                    if cls == "share" and k == 0:
+                        s3 = doc_id - 3
+                        frames.append(
+                            fbytes(s3, 0, 1 + s3 % 3, 1 + s3 % 2, False)
+                        )
+                        continue
+                    ks = k + 1 if cls == "trim" else k
+                    frames.append(
+                        fbytes(base, ks, bw, bh, cls == "rep" and k == 0)
+                    )
                 rows.append(
                     (
                         doc_id,
@@ -235,4 +283,138 @@ def video_neardup(
             >= F.ceil(F.lit(min_frac) * F.col("n_frames_min"))
         )
         .select("doc_a", "doc_b", "n_close_frames", "n_frames_min")
+    )
+
+
+def video_neardup_offset(
+    fsig: DataFrame, hamming_max: int = 7, min_frac: float = 0.5
+) -> DataFrame:
+    """OFFSET-TOLERANT temporal near-dup (r16, closes r15 missing #4):
+    the aligned tier requires ``a.frame_idx == b.frame_idx``, so a
+    trimmed or offset re-upload — the most common video-dup class in a
+    web corpus — never collides there. This tier drops frame alignment
+    from the CANDIDATE key and recovers it by VOTE:
+
+    1. SEED: band-join per-frame signatures on (band_id, band_val)
+       only, using 4 × 16-bit bands (not the aligned tier's 8 × 8-bit:
+       with no temporal key, an 8-bit band value collides at 1/256 per
+       frame pair — a constant-factor frame-pair square; 16-bit bands
+       push random collisions to 1/65536 so seed volume follows true
+       near-dup frame density). Pigeonhole recall contract: an aligned
+       frame pair within Hamming ≤ 3 is GUARANTEED to seed (4 bands);
+       pairs at 4..7 seed probabilistically per frame — a real replica
+       has many aligned close frames, so the pair-level miss shrinks
+       geometrically (the fixture's planted replicas are bit-identical
+       or 1 bit off: always seeded).
+    2. VOTE: per (doc_a, doc_b), the alignment offset is the mode of
+       (frame_idx_b − frame_idx_a) over seed frame pairs within
+       ``hamming_max`` (tie → smallest offset, deterministic).
+    3. VERIFY at the voted offset only: equi-join the signature frames
+       on (doc, frame_idx + offset), exact popcount, then the aligned
+       tier's fraction rule — ≥ ``min_frac`` of the SHORTER video's
+       frames close. A pair sharing one still frame votes an offset
+       with a single close frame and fails the fraction.
+
+    Every stage is an equi join keyed by (band) or (doc, frame) — no
+    Cartesian anywhere; the verify join volume is |voted pairs| ×
+    overlap frames, not a square. Returns (doc_a, doc_b, offset,
+    n_close_frames, n_frames_min)."""
+    fsig = fsig.localCheckpoint(eager=True)
+    nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    bands = fsig.select(
+        "doc_id",
+        "frame_idx",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(
+                            F.col("dhash_hi" if b < 2 else "dhash_lo"),
+                            16 * (b % 2),
+                        )
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "doc_id", "frame_idx", "dhash_hi", "dhash_lo",
+        "bd.band_id", "bd.band_val",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    seeds = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+            + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+            <= hamming_max
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.frame_idx").alias("ka"),
+            F.col("b.frame_idx").alias("kb"),
+        )
+        # a frame pair collides in up to 4 bands; one vote each
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("n_seed"), F.asc("offset")
+    )
+    votes = (
+        seeds.groupBy(
+            "doc_a", "doc_b", (F.col("kb") - F.col("ka")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_seed"))
+        .withColumn("__rn", F.row_number().over(wv))
+        .filter("__rn = 1")
+        .select("doc_a", "doc_b", "offset")
+    )
+    sa = fsig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("ka"),
+        F.col("dhash_hi").alias("ahi"),
+        F.col("dhash_lo").alias("alo"),
+    )
+    sb = fsig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("kb"),
+        F.col("dhash_hi").alias("bhi"),
+        F.col("dhash_lo").alias("blo"),
+    )
+    verified = (
+        votes.join(sa, "doc_a")
+        .withColumn("kb", F.col("ka") + F.col("offset"))
+        .join(sb, ["doc_b", "kb"])
+        .filter(
+            F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+            + F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            <= hamming_max
+        )
+        .groupBy("doc_a", "doc_b", "offset")
+        .agg(F.count(F.lit(1)).alias("n_close_frames"))
+    )
+    na = nframes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nfa"))
+    nb = nframes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nfb"))
+    return (
+        verified.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("n_frames_min", F.least("nfa", "nfb"))
+        .filter(
+            F.col("n_close_frames")
+            >= F.ceil(F.lit(min_frac) * F.col("n_frames_min"))
+        )
+        .select("doc_a", "doc_b", "offset", "n_close_frames", "n_frames_min")
     )

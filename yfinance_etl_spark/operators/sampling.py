@@ -429,7 +429,18 @@ def quota_sample(
     ordering are bit-identical (a flip needs quota within an ULP of an
     integer — the oracle gate's boundary alarm quantifies exposure).
     The prefilter changes NOTHING the oracle sees — the DuckDB side
-    keeps the one-window rank form and hash-matches."""
+    keeps the one-window rank form and hash-matches.
+
+    EAGER-EXECUTION CONTRACT (kmeans/pack_shards precedent): this
+    function runs Spark jobs at CALL time — the stratum-count
+    checkpoint, the survivor checkpoint, and the gate probe — and the
+    returned plan reads those checkpoint-frozen frames. In the ~e⁻³²
+    fallback case the rejected strata's facts are ALSO checkpointed at
+    call time, so every branch of the returned union is a
+    construction-time snapshot; the snapshots are taken milliseconds
+    apart within this call (not at one instant), so a source mutating
+    MID-CALL can still leak a skew — pass a checkpointed ``df`` when
+    strict single-snapshot semantics matter."""
     from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
 
     if total < 0:
@@ -508,9 +519,14 @@ def quota_sample(
         return picked
     # fallback (probability ~e⁻³² per stratum): full-stratum rank, the
     # original single-task-per-stratum sort, but only over the strata
-    # the gate rejected — correctness at any hash pathology
+    # the gate rejected — correctness at any hash pathology. Freeze the
+    # fallback input NOW (checkpoint, bad-strata-sized) so both union
+    # branches are construction-time snapshots — without it the slow
+    # branch would re-read the source at every downstream action,
+    # diverging from the checkpointed survivors under a mutating source
     slow = (
         facts.join(F.broadcast(bad), sk)
+        .localCheckpoint(eager=True)
         .withColumn("pick", F.row_number().over(wpick))
         .filter(F.col("pick") <= F.col("alloc"))
         .drop(sk, pk)

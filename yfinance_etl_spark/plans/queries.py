@@ -2503,58 +2503,69 @@ def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode bug, a bit-packing bug, or a banding bug all hash-fail.
 # ---------------------------------------------------------------------------
 
-_IMAGE_PHASH_SQL = """
-WITH geom AS (
+def _image_pair_ctes(p: str = "img_") -> str:
+    """The image dHash near-dup chain as prefixed CTEs ending in
+    ``{p}pairs(doc_a, doc_b, hamming)`` — shared verbatim by the
+    standalone ``dedup_image_phash`` oracle and the multimodal recipe
+    oracle (one source of truth for the pixel replay)."""
+    return f"""{p}geom AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
          doc_id % 7 = 3 AS is_rep
   FROM documents
 ),
-g2 AS (
+{p}g2 AS (
   SELECT doc_id, base, is_rep, 1 + base % 3 AS bw, 1 + base % 2 AS bh
-  FROM geom
+  FROM {p}geom
 ),
-px AS (
+{p}px AS (
   SELECT doc_id, x // bw AS bi, y // bh AS bj,
          (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
                                   CAST(x AS VARCHAR) || ':' ||
                                   CAST(y AS VARCHAR)), 1, 2) AS INT)
           + CASE WHEN is_rep AND x < bw AND y < bh THEN 100 ELSE 0 END) % 256 AS v
-  FROM g2, UNNEST(range(0, 9*bw)) AS tx(x), UNNEST(range(0, 8*bh)) AS ty(y)
+  FROM {p}g2, UNNEST(range(0, 9*bw)) AS tx(x), UNNEST(range(0, 8*bh)) AS ty(y)
 ),
-blocks AS (SELECT doc_id, bj, bi, SUM(v) AS s FROM px GROUP BY 1, 2, 3),
-bits AS (
+{p}blocks AS (SELECT doc_id, bj, bi, SUM(v) AS s FROM {p}px GROUP BY 1, 2, 3),
+{p}bits AS (
   SELECT a.doc_id, a.bj AS j, a.bi AS i,
          CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
-  FROM blocks a
-  JOIN blocks b ON b.doc_id = a.doc_id AND b.bj = a.bj AND b.bi = a.bi + 1
+  FROM {p}blocks a
+  JOIN {p}blocks b ON b.doc_id = a.doc_id AND b.bj = a.bj AND b.bi = a.bi + 1
 ),
-sig AS (
+{p}sig AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN j < 4 THEN CAST(bit AS BIGINT) << (8*j + i)
                        ELSE 0 END) AS BIGINT) AS dhash_hi,
          CAST(SUM(CASE WHEN j >= 4 THEN CAST(bit AS BIGINT) << (8*(j-4) + i)
                        ELSE 0 END) AS BIGINT) AS dhash_lo
-  FROM bits GROUP BY doc_id
+  FROM {p}bits GROUP BY doc_id
 ),
-bands AS (
+{p}bands AS (
   SELECT doc_id, dhash_hi, dhash_lo, b AS band_id,
          CASE WHEN b < 4 THEN (dhash_hi >> (8*b)) & 255
               ELSE (dhash_lo >> (8*(b-4))) & 255 END AS band_val
-  FROM sig, UNNEST(range(0, 8)) AS t(b)
+  FROM {p}sig, UNNEST(range(0, 8)) AS t(b)
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.dhash_hi AS ahi, a.dhash_lo AS alo,
          b.dhash_hi AS bhi, b.dhash_lo AS blo
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  FROM {p}bands a
+  JOIN {p}bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
               AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
-FROM cand
-WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+),
+{p}pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
+  FROM {p}cand
+  WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+)"""
+
+
+_IMAGE_PHASH_SQL = f"""
+WITH {_image_pair_ctes()}
+SELECT doc_a, doc_b, hamming FROM img_pairs
 """
 
 
@@ -5160,16 +5171,20 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle(n_merges: int = _BPE_N_MERGES, output: str = "merges") -> str:
-    # MATERIALIZED throughout: DuckDB inlines plain CTEs at every
-    # reference, and round i references round i-1 three times — an
-    # unmaterialized chain re-expands s1 3^n times (observed as "Too
-    # many open files" from the exponential parquet re-scan)
-    head = r"""
-WITH words AS MATERIALIZED (
+def _bpe_learn_ctes(n_merges: int, src: str = "documents") -> str:
+    """The unrolled BPE learn chain over corpus table/CTE ``src``:
+    ``words``, ``s1`` .. ``s{n+1}`` and ``best1`` .. ``best{n}`` —
+    shared by the standalone BPE oracles and the BPE-budgeted recipe
+    (``training_mix_bpe_budget``).
+
+    MATERIALIZED throughout: DuckDB inlines plain CTEs at every
+    reference, and round i references round i-1 three times — an
+    unmaterialized chain re-expands s1 3^n times (observed as "Too
+    many open files" from the exponential parquet re-scan)."""
+    head = rf"""words AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
     SELECT lower(t.w) AS word
-    FROM documents,
+    FROM {src},
          UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t(w)
   ) WHERE regexp_matches(word, '^[a-z]+$')
   GROUP BY word
@@ -5221,13 +5236,22 @@ sel{i} AS MATERIALIZED (
     WHERE cons.pos IS NULL
   )
 )""")
+    return head + "".join(blocks)
+
+
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES, output: str = "merges") -> str:
+    chain = _bpe_learn_ctes(n_merges)
     if output == "merges":
         tail = "\nUNION ALL\n".join(
             f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, l || r AS new_symbol, "
             f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
             for i in range(1, n_merges + 1)
         )
-    else:  # the APPLY step: per-doc token budget in the learned unit
+    elif output == "token_counts":
+        # the APPLY step: per-doc token budget in the learned unit;
+        # LEFT JOIN from the doc universe so a document with zero
+        # alphabetic words budgets at (0, 0) instead of vanishing
+        # (r15 ADVICE — pack_shards consumers must see every doc)
         tail = rf""",
 wtoks AS (SELECT word, COUNT(*) AS wt FROM s{n_merges + 1} GROUP BY word),
 docw AS (
@@ -5235,11 +5259,52 @@ docw AS (
   FROM documents,
        UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t(w)
   WHERE regexp_matches(lower(t.w), '^[a-z]+$')
+),
+counted AS (
+  SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wt) AS BIGINT) AS n_bpe_tokens
+  FROM docw JOIN wtoks USING (word)
+  GROUP BY doc_id
 )
-SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wt) AS BIGINT) AS n_bpe_tokens
-FROM docw JOIN wtoks USING (word)
-GROUP BY doc_id"""
-    return head + "".join(blocks) + "\n" + tail
+SELECT d.doc_id,
+       COALESCE(c.n_words, 0) AS n_words,
+       COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN counted c USING (doc_id)"""
+    else:  # output == "tokenize": the token-ID sequences a trainer eats
+        # token-id law: initial alphabet sorted ascending → 0..|A|-1,
+        # merge rank k → |A|+k-1; two merges concatenating to the same
+        # string keep the FIRST rank's id (MIN over candidates) — the
+        # exact BpeModel.token_ids() contract
+        tail = rf""",
+alpha AS MATERIALIZED (
+  SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS token_id
+  FROM (SELECT DISTINCT sym FROM s1)
+),
+ids AS MATERIALIZED (
+  SELECT sym AS token, CAST(MIN(token_id) AS INT) AS token_id FROM (
+    SELECT sym, token_id FROM alpha
+    UNION ALL
+{chr(10).join(f"    SELECT (SELECT l || r FROM best{i}) AS sym, (SELECT COUNT(*) FROM alpha) + {i} - 1 AS token_id" + (" UNION ALL" if i < n_merges else "") for i in range(1, n_merges + 1))}
+  ) GROUP BY sym
+),
+wsyms AS (
+  SELECT word, pos - 1 AS sym_pos, sym FROM s{n_merges + 1}
+),
+doc_words AS (
+  SELECT doc_id, i - 1 AS word_pos, lower(ws[i]) AS word
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE doc_id % 17 = 3
+  ), UNNEST(range(1, len(ws) + 1)) AS t(i)
+  WHERE regexp_matches(lower(ws[i]), '^[a-z]+$')
+)
+SELECT d.doc_id, CAST(d.word_pos AS INT) AS word_pos,
+       CAST(w.sym_pos AS INT) AS sym_pos, w.sym AS token, ids.token_id
+FROM doc_words d
+JOIN wsyms w USING (word)
+JOIN ids ON ids.token = w.sym"""
+    return "WITH " + chain + "\n" + tail
 
 
 @_register("bpe_merges", _bpe_oracle())
@@ -5260,6 +5325,19 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(
         _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
     )
+
+
+@_register("bpe_tokenize", _bpe_oracle(output="tokenize"))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the FULL corpus, emit token-ID SEQUENCES for a doc
+    subset (r16) — the output a packing/training step consumes, via the
+    shared BpeModel (learn once, apply anywhere: the split-form cache
+    rule made explicit in the API)."""
+    from yfinance_etl_spark.operators.bpe import bpe_learn, bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bpe_learn(docs, n_merges=_BPE_N_MERGES)
+    return bpe_tokenize(docs.filter("doc_id % 17 = 3"), model=model)
 
 
 # ---------------------------------------------------------------------------
@@ -5634,59 +5712,70 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame energies → bits → bands → popcount in SQL.
 # ---------------------------------------------------------------------------
 
-_AUDIO_FP_SQL = """
-WITH g AS (
+def _audio_pair_ctes(p: str = "aud_") -> str:
+    """The audio frame-energy fingerprint near-dup chain as prefixed
+    CTEs ending in ``{p}pairs(doc_a, doc_b, hamming)`` — shared by the
+    standalone ``dedup_audio_fingerprint`` oracle and the multimodal
+    recipe oracle."""
+    return f"""{p}g AS (
   SELECT doc_id,
          CASE WHEN doc_id % 9 = 5 THEN doc_id - 1 ELSE doc_id END AS base,
          doc_id % 9 = 5 AS is_rep
   FROM documents
 ),
-g2 AS (SELECT doc_id, base, is_rep, 160 + base % 320 AS n FROM g),
-smp AS (
+{p}g2 AS (SELECT doc_id, base, is_rep, 160 + base % 320 AS n FROM {p}g),
+{p}smp AS (
   SELECT doc_id, i, n, is_rep,
          CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
                                  CAST(i AS VARCHAR)), 1, 4) AS INT)
            % 65536 - 32768 AS v0
-  FROM g2, UNNEST(range(0, n)) AS t(i)
+  FROM {p}g2, UNNEST(range(0, n)) AS t(i)
 ),
-smp2 AS (
+{p}smp2 AS (
   SELECT doc_id, i * 65 // n AS f,
          CASE WHEN is_rep AND i * 65 // n = 0
               THEN ((v0 + 8000 + 32768) % 65536) - 32768 ELSE v0 END AS v
-  FROM smp
+  FROM {p}smp
 ),
-en AS (
-  SELECT doc_id, f, SUM(CAST(v AS BIGINT) * v) AS e FROM smp2 GROUP BY 1, 2
+{p}en AS (
+  SELECT doc_id, f, SUM(CAST(v AS BIGINT) * v) AS e FROM {p}smp2 GROUP BY 1, 2
 ),
-bits AS (
+{p}bits AS (
   SELECT a.doc_id, a.f AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
-  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+  FROM {p}en a JOIN {p}en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
 ),
-sig AS (
+{p}sig AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN j < 32 THEN CAST(bit AS BIGINT) << j
                        ELSE 0 END) AS BIGINT) AS h_hi,
          CAST(SUM(CASE WHEN j >= 32 THEN CAST(bit AS BIGINT) << (j - 32)
                        ELSE 0 END) AS BIGINT) AS h_lo
-  FROM bits GROUP BY doc_id
+  FROM {p}bits GROUP BY doc_id
 ),
-bands AS (
+{p}bands AS (
   SELECT doc_id, h_hi, h_lo, b AS band_id,
          CASE WHEN b < 4 THEN (h_hi >> (8*b)) & 255
               ELSE (h_lo >> (8*(b-4))) & 255 END AS band_val
-  FROM sig, UNNEST(range(0, 8)) AS t(b)
+  FROM {p}sig, UNNEST(range(0, 8)) AS t(b)
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.h_hi AS ahi, a.h_lo AS alo, b.h_hi AS bhi, b.h_lo AS blo
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  FROM {p}bands a
+  JOIN {p}bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
               AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
-FROM cand
-WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+),
+{p}pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT) AS hamming
+  FROM {p}cand
+  WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
+)"""
+
+
+_AUDIO_FP_SQL = f"""
+WITH {_audio_pair_ctes()}
+SELECT doc_a, doc_b, hamming FROM aud_pairs
 """
 
 
@@ -5701,72 +5790,179 @@ WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 7
 # fraction arithmetic.
 # ---------------------------------------------------------------------------
 
-_VIDEO_NEARDUP_SQL = """
-WITH g AS (
+def _video_sig_ctes(p: str = "vid_") -> str:
+    """The video fixture replay up to per-frame signatures: CTEs ending
+    in ``{p}sig(doc_id, k, h_hi, h_lo)`` and ``{p}nfr(doc_id, nf)`` —
+    shared by the aligned tier, the offset-voting tier, and the
+    multimodal recipe oracle."""
+    return f"""{p}g AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 11 = 7 THEN doc_id - 1 ELSE doc_id END AS base,
-         doc_id % 11 = 7 AS is_rep
+         CASE WHEN doc_id % 11 = 7 THEN 'rep'
+              WHEN doc_id % 13 = 9 AND doc_id % 11 NOT IN (7, 9) THEN 'trim'
+              WHEN doc_id % 17 = 11 AND doc_id % 11 NOT IN (7, 10)
+                   AND doc_id % 13 NOT IN (9, 12) AND doc_id >= 3 THEN 'share'
+              ELSE 'plain' END AS cls
   FROM documents
 ),
-g2 AS (
-  SELECT doc_id, base, is_rep,
-         3 + base % 3 AS nf, 1 + base % 3 AS bw, 1 + base % 2 AS bh
-  FROM g
+{p}g2 AS (
+  SELECT doc_id, cls,
+         CASE cls WHEN 'rep' THEN doc_id - 1
+                  WHEN 'trim' THEN doc_id - 2 ELSE doc_id END AS base,
+         CASE cls WHEN 'rep' THEN 3 + (doc_id - 1) % 3
+                  WHEN 'trim' THEN 2 + (doc_id - 2) % 3
+                  ELSE 3 + doc_id % 3 END AS nf
+  FROM {p}g
 ),
-px AS (
+{p}fr AS (
+  SELECT doc_id, k,
+         CASE WHEN cls = 'share' AND k = 0 THEN doc_id - 3 ELSE base END AS sb,
+         CASE WHEN cls = 'trim' THEN k + 1 ELSE k END AS ks,
+         (cls = 'rep' AND k = 0) AS bright
+  FROM {p}g2, UNNEST(range(0, nf)) AS tk(k)
+),
+{p}fr2 AS (
+  SELECT doc_id, k, sb, ks, bright, 1 + sb % 3 AS bw, 1 + sb % 2 AS bh
+  FROM {p}fr
+),
+{p}px AS (
   SELECT doc_id, k, x // bw AS bi, y // bh AS bj,
-         (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
-                                  CAST(k AS VARCHAR) || ':' ||
-                                  CAST(x AS VARCHAR) || ':' ||
-                                  CAST(y AS VARCHAR)), 1, 2) AS INT)
-          + CASE WHEN is_rep AND k = 0 AND x < bw AND y < bh
+         (CAST('0x' || substr(md5(CAST(sb AS VARCHAR) || ':' ||
+                                  CAST(ks AS VARCHAR) || ':' ||
+                                  CAST(y AS VARCHAR) || ':' ||
+                                  CAST(x // 16 AS VARCHAR)),
+                              2 * (x % 16) + 1, 2) AS INT)
+          + CASE WHEN bright AND x < bw AND y < bh
                  THEN 100 ELSE 0 END) % 256 AS v
-  FROM g2,
-       UNNEST(range(0, nf)) AS tk(k),
+  FROM {p}fr2,
        UNNEST(range(0, 9*bw)) AS tx(x),
        UNNEST(range(0, 8*bh)) AS ty(y)
 ),
-blocks AS (SELECT doc_id, k, bj, bi, SUM(v) AS s FROM px GROUP BY 1, 2, 3, 4),
-bits AS (
+{p}blocks AS (SELECT doc_id, k, bj, bi, SUM(v) AS s FROM {p}px GROUP BY 1, 2, 3, 4),
+{p}bits AS (
   SELECT a.doc_id, a.k, a.bj AS j, a.bi AS i,
          CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
-  FROM blocks a
-  JOIN blocks b ON b.doc_id = a.doc_id AND b.k = a.k
+  FROM {p}blocks a
+  JOIN {p}blocks b ON b.doc_id = a.doc_id AND b.k = a.k
                AND b.bj = a.bj AND b.bi = a.bi + 1
 ),
-sig AS (
+{p}sig AS MATERIALIZED (
   SELECT doc_id, k,
          CAST(SUM(CASE WHEN j < 4 THEN CAST(bit AS BIGINT) << (8*j + i)
                        ELSE 0 END) AS BIGINT) AS h_hi,
          CAST(SUM(CASE WHEN j >= 4 THEN CAST(bit AS BIGINT) << (8*(j-4) + i)
                        ELSE 0 END) AS BIGINT) AS h_lo
-  FROM bits GROUP BY 1, 2
+  FROM {p}bits GROUP BY 1, 2
 ),
-bands AS (
+{p}nfr AS (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM {p}g2)"""
+
+
+def _video_pair_ctes(p: str = "vid_") -> str:
+    """The aligned temporal near-dup tier on top of ``_video_sig_ctes``:
+    CTEs ending in ``{p}pairs(doc_a, doc_b, n_close_frames,
+    n_frames_min)``."""
+    return f"""{_video_sig_ctes(p)},
+{p}bands AS (
   SELECT doc_id, k, h_hi, h_lo, b AS band_id,
          CASE WHEN b < 4 THEN (h_hi >> (8*b)) & 255
               ELSE (h_lo >> (8*(b-4))) & 255 END AS band_val
-  FROM sig, UNNEST(range(0, 8)) AS t(b)
+  FROM {p}sig, UNNEST(range(0, 8)) AS t(b)
 ),
-close AS (
+{p}close AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k,
          bit_count(xor(a.h_hi, b.h_hi))
          + bit_count(xor(a.h_lo, b.h_lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.k = b.k AND a.band_id = b.band_id
+  FROM {p}bands a
+  JOIN {p}bands b ON a.k = b.k AND a.band_id = b.band_id
               AND a.band_val = b.band_val AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.h_hi, b.h_hi))
         + bit_count(xor(a.h_lo, b.h_lo)) <= 7
 ),
-vpairs AS (SELECT doc_a, doc_b, COUNT(*) AS n_close FROM close GROUP BY 1, 2),
-nfr AS (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM g2)
-SELECT p.doc_a, p.doc_b, p.n_close AS n_close_frames,
-       LEAST(fa.nf, fb.nf) AS n_frames_min
-FROM vpairs p
-JOIN nfr fa ON fa.doc_id = p.doc_a
-JOIN nfr fb ON fb.doc_id = p.doc_b
-WHERE p.n_close >= CEIL(0.5 * LEAST(fa.nf, fb.nf))
+{p}vp AS (SELECT doc_a, doc_b, COUNT(*) AS n_close FROM {p}close GROUP BY 1, 2),
+{p}pairs AS (
+  SELECT p.doc_a, p.doc_b, p.n_close AS n_close_frames,
+         LEAST(fa.nf, fb.nf) AS n_frames_min
+  FROM {p}vp p
+  JOIN {p}nfr fa ON fa.doc_id = p.doc_a
+  JOIN {p}nfr fb ON fb.doc_id = p.doc_b
+  WHERE p.n_close >= CEIL(0.5 * LEAST(fa.nf, fb.nf))
+)"""
+
+
+_VIDEO_NEARDUP_SQL = f"""
+WITH {_video_pair_ctes()}
+SELECT doc_a, doc_b, n_close_frames, n_frames_min FROM vid_pairs
 """
+
+
+def _video_offset_ctes(p: str = "vid_") -> str:
+    """The OFFSET-VOTING tier on top of ``_video_sig_ctes`` (r16,
+    closes r15 missing #4): seed on 4 × 16-bit bands with NO temporal
+    key, vote the alignment offset per pair (mode of kb − ka, tie →
+    smallest), re-verify the fraction rule at the voted offset. Ends in
+    ``{p}opairs(doc_a, doc_b, offset, n_close_frames, n_frames_min)``."""
+    return f"""{_video_sig_ctes(p)},
+{p}obands AS (
+  SELECT doc_id, k, h_hi, h_lo, b AS band_id,
+         CASE WHEN b < 2 THEN (h_hi >> (16*b)) & 65535
+              ELSE (h_lo >> (16*(b-2))) & 65535 END AS band_val
+  FROM {p}sig, UNNEST(range(0, 4)) AS t(b)
+),
+{p}oseed AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS ka, b.k AS kb
+  FROM {p}obands a
+  JOIN {p}obands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 7
+),
+{p}ovote AS (
+  SELECT doc_a, doc_b, off FROM (
+    SELECT doc_a, doc_b, kb - ka AS off,
+           ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY COUNT(*) DESC, kb - ka) AS rn
+    FROM {p}oseed GROUP BY doc_a, doc_b, kb - ka
+  ) WHERE rn = 1
+),
+{p}over AS (
+  SELECT v.doc_a, v.doc_b, v.off, COUNT(*) AS n_close
+  FROM {p}ovote v
+  JOIN {p}sig sa ON sa.doc_id = v.doc_a
+  JOIN {p}sig sb ON sb.doc_id = v.doc_b AND sb.k = sa.k + v.off
+  WHERE bit_count(xor(sa.h_hi, sb.h_hi))
+        + bit_count(xor(sa.h_lo, sb.h_lo)) <= 7
+  GROUP BY 1, 2, 3
+),
+{p}opairs AS (
+  SELECT o.doc_a, o.doc_b, CAST(o.off AS INT) AS "offset",
+         o.n_close AS n_close_frames, LEAST(fa.nf, fb.nf) AS n_frames_min
+  FROM {p}over o
+  JOIN {p}nfr fa ON fa.doc_id = o.doc_a
+  JOIN {p}nfr fb ON fb.doc_id = o.doc_b
+  WHERE o.n_close >= CEIL(0.5 * LEAST(fa.nf, fb.nf))
+)"""
+
+
+_VIDEO_OFFSET_SQL = f"""
+WITH {_video_offset_ctes()}
+SELECT doc_a, doc_b, "offset", n_close_frames, n_frames_min FROM vid_opairs
+"""
+
+
+@_register("dedup_video_offset", _VIDEO_OFFSET_SQL)
+def q_dedup_video_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tolerant video near-dup (r16): the fixture plants TRIMMED
+    replicas (frames 1..n-1 of doc_id-2, invisible to the aligned tier)
+    and shared-single-still pairs (frame 0 of doc_id-3's formula, which
+    must be REJECTED by the fraction rule); the oracle replays pixels →
+    per-frame signatures → 16-bit seed bands → offset vote → verify."""
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_frame_dhash,
+        video_neardup_offset,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_neardup_offset(video_frame_dhash(synthesize_video_assets(docs)))
 
 
 @_register("dedup_video_frames", _VIDEO_NEARDUP_SQL)
@@ -6497,7 +6693,89 @@ FROM legs
 _RECIPE_TOTAL = 120
 _RECIPE_BUDGET = 1500
 
-_RECIPE_SQL = rf"""
+def _recipe_sql(
+    multimodal: bool = False,
+    budget_unit: str = "whitespace",
+    n_merges: int = 8,
+    budget: int | None = None,
+) -> str:
+    """The training-mix composition oracle. ``multimodal=True`` extends
+    the drop set with the three modality near-dup chains (image dHash,
+    audio fingerprint, video temporal) — same CTE text the standalone
+    modality oracles run, same both-ends-kept drop rule the text pairs
+    flow through. ``budget_unit="bpe"`` swaps the whitespace packing
+    tail for the full BPE learn chain TRAINED ON THE PICKED MIX
+    (``_bpe_learn_ctes(src="picked")``) with shards budgeted in the
+    learned unit."""
+    if budget is None:
+        budget = _RECIPE_BUDGET
+    if budget_unit == "whitespace":
+        pack_tail = rf"""ptoks AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM picked
+),
+pcum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM ptoks
+)
+SELECT doc_id, source, n_tokens,
+       CAST((c - n_tokens) // {budget} AS BIGINT) AS shard_id
+FROM pcum"""
+    else:  # budget_unit == "bpe": learn on the picked mix, pack in it
+        pack_tail = rf"""{_bpe_learn_ctes(n_merges, src="picked")},
+wtoks AS (SELECT word, COUNT(*) AS wt FROM s{n_merges + 1} GROUP BY word),
+bdocw AS (
+  SELECT doc_id, lower(t.w) AS word
+  FROM picked,
+       UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE regexp_matches(lower(t.w), '^[a-z]+$')
+),
+bcounted AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS n_bpe_tokens
+  FROM bdocw JOIN wtoks USING (word) GROUP BY doc_id
+),
+ptoks AS (
+  SELECT p.doc_id, p.source, COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
+  FROM picked p LEFT JOIN bcounted c USING (doc_id)
+),
+pcum AS (
+  SELECT doc_id, source, n_bpe_tokens,
+         SUM(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM ptoks
+)
+SELECT doc_id, source, n_bpe_tokens,
+       CAST((c - n_bpe_tokens) // {budget} AS BIGINT) AS shard_id
+FROM pcum"""
+    mm_ctes = (
+        f""",
+{_image_pair_ctes()},
+{_audio_pair_ctes()},
+{_video_pair_ctes()}"""
+        if multimodal
+        else ""
+    )
+    text_drop = """SELECT mi.doc_b AS doc_id
+    FROM minter mi
+    JOIN msizes sa ON sa.doc_id = mi.doc_a
+    JOIN msizes sb ON sb.doc_id = mi.doc_b
+    JOIN kept ka ON ka.doc_id = mi.doc_a
+    JOIN kept kb ON kb.doc_id = mi.doc_b
+    WHERE ROUND(mi.c / (sa.sz + sb.sz - mi.c), 6) >= 0.7"""
+    mm_drops = (
+        "".join(
+            f"""
+    UNION ALL
+    SELECT c.doc_b AS doc_id FROM {p}pairs c
+    JOIN kept ka ON ka.doc_id = c.doc_a
+    JOIN kept kb ON kb.doc_id = c.doc_b"""
+            for p in ("img_", "aud_", "vid_")
+        )
+        if multimodal
+        else ""
+    )
+    return rf"""
 WITH ctoks AS (
   SELECT doc_id, source, text,
          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
@@ -6563,15 +6841,11 @@ minter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
-),
+){mm_ctes},
 drops AS MATERIALIZED (
-  SELECT DISTINCT mi.doc_b AS doc_id
-  FROM minter mi
-  JOIN msizes sa ON sa.doc_id = mi.doc_a
-  JOIN msizes sb ON sb.doc_id = mi.doc_b
-  JOIN kept ka ON ka.doc_id = mi.doc_a
-  JOIN kept kb ON kb.doc_id = mi.doc_b
-  WHERE ROUND(mi.c / (sa.sz + sb.sz - mi.c), 6) >= 0.7
+  SELECT DISTINCT doc_id FROM (
+    {text_drop}{mm_drops}
+  )
 ),
 surv AS MATERIALIZED (
   SELECT k.doc_id, k.source, k.text
@@ -6605,20 +6879,13 @@ pickr AS (
   FROM surv s JOIN qalloc a ON a.st = COALESCE(CAST(s.source AS VARCHAR), chr(0))
 ),
 picked AS MATERIALIZED (SELECT doc_id, source, text FROM pickr WHERE pick <= alloc),
-ptoks AS (
-  SELECT doc_id, source,
-         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
-  FROM picked
-),
-pcum AS (
-  SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
-  FROM ptoks
-)
-SELECT doc_id, source, n_tokens,
-       CAST((c - n_tokens) // {_RECIPE_BUDGET} AS BIGINT) AS shard_id
-FROM pcum
+{pack_tail}
 """
+
+
+_RECIPE_SQL = _recipe_sql()
+_RECIPE_MM_SQL = _recipe_sql(multimodal=True)
+_RECIPE_BPE_SQL = _recipe_sql(budget_unit="bpe", budget=_RECIPE_BUDGET * 4)
 
 
 @_register("training_mix_recipe", _RECIPE_SQL)
@@ -6629,6 +6896,50 @@ def q_training_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         total=_RECIPE_TOTAL,
         budget=_RECIPE_BUDGET,
+    )
+
+
+@_register("training_mix_multimodal", _RECIPE_MM_SQL)
+def q_training_mix_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe over a MULTIMODAL corpus (r16, closes r15 missing
+    #3): the same curation → dedup → quota → packing composition, with
+    the drop set extended by all three modality near-dup tiers over
+    synthesized asset frames (the same fixtures the standalone
+    ``dedup_image_phash`` / ``dedup_audio_fingerprint`` /
+    ``dedup_video_frames`` queries pin). The oracle replays the full
+    pixel/sample/frame arithmetic INSIDE the recipe CTE chain."""
+    from yfinance_etl_spark.multimodal.audio import synthesize_audio_fp_assets
+    from yfinance_etl_spark.multimodal.columns import synthesize_png_assets
+    from yfinance_etl_spark.multimodal.video import synthesize_video_assets
+    from yfinance_etl_spark.operators.recipe import training_mix_multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    return training_mix_multimodal(
+        docs,
+        image_assets=synthesize_png_assets(ids),
+        audio_assets=synthesize_audio_fp_assets(ids),
+        video_assets=synthesize_video_assets(ids),
+        total=_RECIPE_TOTAL,
+        budget=_RECIPE_BUDGET,
+    )
+
+
+@_register("training_mix_bpe_budget", _RECIPE_BPE_SQL)
+def q_training_mix_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe with shards budgeted in the mix's OWN learned subword
+    unit (r16, closes r15 missing #5's budget half): the picked docs
+    train an 8-merge BPE model (driver tier) and ``pack_shards``
+    consumes ``n_bpe_tokens``; the oracle replays the entire learn
+    chain over the ``picked`` CTE plus the apply join and prefix-sum
+    packing."""
+    from yfinance_etl_spark.operators.recipe import training_mix
+
+    return training_mix(
+        _t(spark, sf_dir, "documents"),
+        total=_RECIPE_TOTAL,
+        budget=_RECIPE_BUDGET * 4,
+        budget_unit="bpe",
     )
 
 
@@ -6803,56 +7114,61 @@ def q_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile is oracle-less by design (rows-only) and does not occupy
 # a hash-attestable window slot.
 _WINDOW_PRIORITY = [
-    "bpe_merges",  # never
-    "bpe_token_counts",  # never
-    "dedup_audio_fingerprint",  # never
-    "dedup_image_phash",  # never
-    "dedup_video_frames",  # never
-    "training_mix_recipe",  # never
-    "compacted_sink_roundtrip",  # r6,7,8,10,12
-    "contamination_check",  # r6,7,8,10,12
-    "datasource_monthly_bars",  # r6,7,8,10,12
-    "dedup_clusters",  # r6,7,8,10,12
-    "dedup_embedding_banded",  # r6,7,8,10,12
-    "doc_quality_gopher",  # r6,7,8,10,12
-    "frame_sample",  # r6,7,8,10,12
-    "fund_expense_ratio",  # r6,7,8,10,12
-    "incremental_rollup",  # r6,7,8,10,12
-    "kmeans_clusters",  # r6,7,8,10,12
-    "kmv_distinct",  # r6,7,8,10,12
-    "multimodal_resize",  # r6,7,8,10,12
-    "order_value_deciles",  # r6,7,8,10,12
-    "stream_parquet_sink_roundtrip",  # r3,4,5,6,9,12
-    "ann_bucketed_topk",  # r2,3,4,5,6,9,12
-    "ann_ivf_topk",  # r2,3,4,5,6,9,12
-    "ann_multiprobe_topk",  # r2,3,4,5,6,9,12
-    "dedup_embedding_cosine",  # r2,3,4,5,6,9,12
-    "dedup_simhash",  # r2,3,4,5,6,9,12
-    "events_json_profile",  # r3,4,5,7,8,10,12
-    "scalar_profile",  # r3,4,5,7,8,10,12
-    "sql_top_orders_per_priority",  # r3,4,5,7,8,10,12
-    "bucketed_join_revenue",  # r2,3,4,5,7,8,10,12
-    "chunk_stats",  # r2,3,4,5,7,8,10,12
-    "datasource_history",  # r2,3,4,5,7,8,10,12
-    "dedup_exact_fingerprint",  # r1,2,3,4,5,6,9,12
-    "dedup_minhash_lsh",  # r1,2,3,4,5,6,9,12
-    "dedup_ngram_jaccard",  # r1,2,3,4,5,6,9,12
-    "doc_sentiment",  # r2,3,4,5,7,8,10,12
-    "knn_cosine_topk",  # r1,2,3,4,5,6,9,12
-    "metrics_unpivot",  # r2,3,4,5,7,8,10,12
-    "multimodal_features",  # r2,3,4,5,7,8,10,12
-    "newsfeed_sentiment",  # r2,3,4,5,7,8,10,12
-    "ann_ivfpq_appended",  # r13
-    "ann_ivfpq_persisted",  # r13
-    "ann_ivfpq_quant_error",  # r13
-    "crawl_two_day_dedup",  # r13
-    "dedup_canonical_centrality",  # r13
-    "dedup_graph_pagerank",  # r13
-    "knn_join_banded",  # r13
-    "ann_int8_topk",  # r11,13
-    "encoding_quality",  # r11,13
-    "multimodal_exif_meta",  # r11,13
-    "sequence_packing",  # r11,13
+    # r16 rotation (tools/rotate_window.py, staleness-first), with the
+    # four r16 newcomers leading and the four r16-CHANGED queries queued
+    # for re-attestation right behind them (dedup_video_frames: new
+    # fixture classes + batched-digest pixels; bpe_merges /
+    # bpe_token_counts: driver tier default + zero-word-doc rows;
+    # training_mix_recipe: drops-CTE restructure)
+    "bpe_tokenize",  # never
+    "dedup_video_offset",  # never
+    "training_mix_bpe_budget",  # never
+    "training_mix_multimodal",  # never
+    "dedup_video_frames",  # r15, content changed r16
+    "bpe_merges",  # r15, tier changed r16
+    "bpe_token_counts",  # r15, contract changed r16
+    "training_mix_recipe",  # r15, oracle restructured r16
+    "stream_delta_candidates",  # r11,13
+    "char_entropy",  # r9,11,13
+    "contamination_substring",  # r9,11,13
+    "dedup_editdistance",  # r9,11,13
+    "display_formatting",  # r9,11,13
+    "dsir_importance_topk",  # r9,11,13
+    "ema_20_segmented",  # r9,11,13
+    "pdf_report_roundtrip",  # r9,11,13
+    "semantic_dedup",  # r9,11,13
+    "substring_dup_spans",  # r9,11,13
+    "substring_dup_winnowed",  # r9,11,13
+    "temperature_mix_lang",  # r9,11,13
+    "vocab_heavy_hitters",  # r9,11,13
+    "weighted_sample_topk",  # r9,11,13
+    "winsorized_order_value",  # r9,11,13
+    "zorder_curve",  # r9,11,13
+    "order_value_quantiles",  # r6,9,11,13
+    "orders_cube",  # r6,9,11,13
+    "pii_redaction",  # r6,9,11,13
+    "price_band_join",  # r6,9,11,13
+    "pdf_page_text",  # r2,3,4,5,7,8,10,13
+    "peer_group_lookup",  # r2,3,4,5,7,8,10,13
+    "rag_answers",  # r2,3,4,5,7,8,10,13
+    "rag_retrieval",  # r2,3,4,5,7,8,10,13
+    "revenue_rollup",  # r2,3,4,5,7,8,10,13
+    "rolling_fingerprint",  # r2,3,4,5,7,8,10,13
+    "sector_weights",  # r2,3,4,5,7,8,10,13
+    "sink_roundtrip",  # r2,3,4,5,7,8,10,13
+    "token_stats",  # r2,3,4,5,7,8,10,13
+    "benchmark_ols",  # r1,2,3,4,5,7,8,10,13
+    "cumulative_return",  # r1,2,3,4,5,7,8,10,13
+    "customers_without_urgent_orders_anti",  # r1,2,3,4,5,7,8,10,13
+    "dividend_yield",  # r1,2,3,4,5,7,8,10,13
+    "ema_20",  # r1,2,3,4,5,7,8,10,13
+    "flagship_risk",  # r1,2,3,4,5,7,8,10,13
+    "orders_with_lineitems_semi",  # r1,2,3,4,5,7,8,10,13
+    "positional_lookback",  # r1,2,3,4,5,7,8,10,13
+    "pricing_summary",  # r1,2,3,4,5,7,8,10,13
+    "revenue_by_region",  # r1,2,3,4,5,7,8,10,13
+    "ccnet_ppl_buckets",  # r14
+    "contrastive_triplets",  # r14
 ]
 
 

@@ -101,3 +101,12 @@ def test_committed_bench_compare_artifact_is_consistent():
     pw = round(sum(r["prev"] for r in rows.values()), 1)
     assert abs(art["common_ratio"] - round(cw / pw, 3)) < 1e-9
     assert art["noise_deltas"] == sum(1 for r in rows.values() if not r["citeable"])
+
+
+def test_variance_floor_is_five_runs():
+    # r15 verdict what's-wrong #2: the committed artifact silently
+    # dropped to a 3-run floor; the CITEABLE/NOISE annotation layer
+    # (tools/bench_compare.py) adjudicates round-over-round deltas
+    # against these floors, so the committed artifact must carry at
+    # least the r14-precedent 5 runs
+    assert _artifact()["n_runs"] >= 5

@@ -800,3 +800,37 @@ def test_recorded_bpe_sweep_supports_the_merge_axis_claims():
     summ = [r for r in lines if r.get("kind") == "bpe_summary"][-1]
     assert summ["wall_growth_exponent"] <= 0.6, summ
     assert summ["relational_extrapolated_speedup_at_max"] >= 20, summ
+
+
+def test_recorded_recipe_mm_sweep_supports_the_multimodal_claims():
+    # tools/scale_stress.py recipe_mm — the r16 multimodal composition
+    # at scale: each modality pair frame grows ~linearly (density-bound
+    # banded/temporal candidates, never a frame- or doc-pair square),
+    # the pick never exceeds its budget, and wherever the survivor pool
+    # actually covers the budget the count is met EXACTLY (the factor-1
+    # leg is the documented honest cap: multimodal drops shrink some
+    # strata below their allocation, Σpicked < total)
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    rs = [r for r in lines if r.get("kind") == "recipe_mm"]
+    assert len(rs) >= 3, "recipe_mm sweep not recorded"
+    assert max(r["n_docs"] for r in rs) >= 16 * min(r["n_docs"] for r in rs)
+    for r in rs:
+        assert r["n_out"] == r["n_picked"] <= r["total"], r
+        for m in ("image", "audio", "video"):
+            assert r[f"n_pairs_{m}"] > 0, r  # plants detected at every scale
+    assert any(r["budget_met_exactly"] for r in rs)
+    summ = [r for r in lines if r.get("kind") == "recipe_mm_summary"][-1]
+    assert summ["wall_growth_exponent"] <= 1.2, summ
+    for m in ("image", "audio", "video"):
+        assert summ[f"pairs_{m}_growth_exponent"] <= 1.2, summ

@@ -80,7 +80,11 @@ def prior_round_deltas() -> dict[str, float]:
 
 
 def main() -> int:
-    runs = 3
+    # 5-run floor (r15 verdict what's-wrong #2: the r15 artifact's 3-run
+    # floor was a weaker floor than the r14 precedent it replaced — the
+    # CITEABLE/NOISE annotation layer adjudicates round deltas, so give
+    # it the sample size the adjudication leans on)
+    runs = 5
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     env = dict(os.environ)

@@ -329,20 +329,26 @@ AUDITS: dict[str, str] = {
         "AQE picks the build side)."
     ),
     "bpe_token_counts": (
-        "Train + apply without a per-merge corpus rescan: the learn "
-        "rounds run on the vocab frame (ExistingRDD chain), and "
-        "application is one equi-join of the (doc, word)-pre-aggregated "
-        "word frame (map-side combined) against the vocab-sized "
-        "token-count frame, then a per-doc hash aggregate."
+        "Train + apply without a per-merge corpus rescan: the driver "
+        "tier (r16 default) collects the type-bounded vocab frame ONCE, "
+        "runs the incremental heap/delta merge loop locally, and "
+        "re-uploads the final symbolization as one Arrow batch — the "
+        "plan shows application only: one equi-join of the (doc, word)-"
+        "pre-aggregated word frame (map-side combined) against the "
+        "vocab-sized token-count ExistingRDD, a per-doc hash aggregate, "
+        "then the doc-universe LEFT join that budgets zero-word docs at "
+        "(0, 0)."
     ),
     "bpe_merges": (
-        "Tokenizer training as k rounds over a VOCAB-sized frame: the "
-        "corpus pays one scan into the word-frequency aggregate "
-        "(map-side combined); each round is a pair-count HashAggregate "
-        "+ a TakeOrderedAndProject top-1 to the driver + a pure-Catalyst "
-        "aggregate() fold applying the merge per word (no Python node, "
-        "no shuffle), with the round frame checkpointed so plans stay "
-        "flat (the kmeans/pagerank k-rounds discipline)."
+        "Tokenizer training, two tiers (r16): the DEFAULT driver tier "
+        "is one corpus scan into the word-frequency aggregate (map-side "
+        "combined), one type-frame collect, a local incremental merge "
+        "loop (site-local pair deltas + lazy-invalidation heap; 32k "
+        "merges = minutes, not 32k Spark rounds), one Arrow re-upload — "
+        "the result plan is the uploaded ExistingRDD. The relational "
+        "tier (oracle twin, kind=bpe sweep counterfactual) keeps the "
+        "r15 per-round pair-count HashAggregate + top-1 collect + "
+        "Catalyst fold, checkpoint-flat (kmeans/pagerank discipline)."
     ),
     "training_mix_recipe": (
         "The four-stage composition stays corpus-driver-free: curation "
@@ -354,6 +360,46 @@ AUDITS: dict[str, str] = {
         "packing is the distributed prefix-sum (range exchange + pid "
         "window + k-scalar offset broadcast). No CartesianProduct, no "
         "global single-partition window, no unbounded collect anywhere."
+    ),
+    "training_mix_multimodal": (
+        "The recipe over a multimodal corpus (r16): the three modality "
+        "pair frames (image dHash, audio fingerprint, video temporal) "
+        "union into the SAME both-ends-kept drop set as the text "
+        "MinHash pairs — each tier is its own checkpointed-signature "
+        "banded equi-join subplan (no Cartesian anywhere), the union is "
+        "pair-frame-sized, and everything downstream is the text recipe "
+        "unchanged (semi-joins on the tiny drop frame, prefiltered "
+        "quota pick, prefix-sum packing)."
+    ),
+    "dedup_video_offset": (
+        "Offset-voting tier (r16): seed candidates join per-frame "
+        "signatures on the (band_id, band_val) EQUI key with NO "
+        "temporal key — 4 x 16-bit bands keep random collisions at "
+        "1/65536 so seed volume follows near-dup frame density; the "
+        "offset vote is a pair-keyed hash aggregate + one row_number "
+        "window PARTITIONED by (doc_a, doc_b); the verify re-joins the "
+        "signature frame on (doc, frame_idx + voted offset) — an equi "
+        "join whose volume is |voted pairs| x overlap frames, never a "
+        "square. No CartesianProduct, popcount verify before every "
+        "aggregate."
+    ),
+    "training_mix_bpe_budget": (
+        "The recipe packing in the mix's own learned unit (r16): "
+        "curation -> dedup -> quota unchanged; the picked frame (quota "
+        "output, eager) trains an 8-merge driver-tier BPE model, and "
+        "pack_shards consumes the n_bpe_tokens equi-join of the picked "
+        "doc-word frame against the uploaded vocab ExistingRDD — the "
+        "corpus-side plan gains exactly one join + one aggregate over "
+        "the whitespace form; the learn loop itself never appears in "
+        "the plan (it ran at construction on the type-bounded frame)."
+    ),
+    "bpe_tokenize": (
+        "Token-ID sequences without per-merge corpus work: one "
+        "posexplode scan of the target docs, an equi-join against the "
+        "vocab-sized final symbolization (posexplode of syms), and a "
+        "BROADCAST join of the |alphabet|+n_merges-entry token-id "
+        "table; no window over anything corpus-sized, no Python node "
+        "beyond the already-counted corpus scan."
     ),
 }
 

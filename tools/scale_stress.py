@@ -2529,6 +2529,122 @@ def main_emattl(n_batches_list: list[int]) -> None:
         )
 
 
+def main_recipe_mm(factors: list[int]) -> None:
+    """Multimodal recipe sweep (r16): blow the corpus up ×factor,
+    synthesize all three modality asset frames over the blown-up ids
+    (the planted-replica classes are id-modular, so near-dup DENSITY is
+    scale-invariant), and run the full multimodal composition. Claims
+    under test: (a) the budget is met EXACTLY at every scale, (b) each
+    modality pair frame grows ~linearly with the corpus (banded/voted
+    candidates follow true near-dup density — never a frame- or
+    doc-pair square), and (c) composed wall tracks the near-linear
+    stages. One JSON line per factor, kind="recipe_mm"."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.multimodal.audio import (
+        audio_fingerprint,
+        synthesize_audio_fp_assets,
+    )
+    from yfinance_etl_spark.multimodal.columns import (
+        image_dhash,
+        synthesize_png_assets,
+    )
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_frame_dhash,
+        video_neardup,
+    )
+    from yfinance_etl_spark.operators.dedup import dhash_neardup
+    from yfinance_etl_spark.operators.recipe import training_mix
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total, budget = 2000, 1500
+    spark = get_spark("scale-stress-recipe-mm")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    training_mix(docs0.limit(60), total=10, budget=200).count()  # warm-up
+
+    rows = []
+    for f in factors:
+        docs = (
+            blow_up_documents(docs0, f).select("doc_id", "source", "text")
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        ids = docs.select("doc_id")
+        n_docs = docs.count()
+        diag: dict = {}
+        t0 = time.perf_counter()
+        pair_frames = {
+            "image": dhash_neardup(image_dhash(synthesize_png_assets(ids)))
+            .select("doc_a", "doc_b").localCheckpoint(eager=True),
+            "audio": dhash_neardup(
+                audio_fingerprint(synthesize_audio_fp_assets(ids))
+            ).select("doc_a", "doc_b").localCheckpoint(eager=True),
+            "video": video_neardup(
+                video_frame_dhash(synthesize_video_assets(ids))
+            ).select("doc_a", "doc_b").localCheckpoint(eager=True),
+        }
+        out = training_mix(
+            docs, total=total, budget=budget, diag=diag,
+            asset_pairs=list(pair_frames.values()),
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        ).collect()[0]
+        wall = round(time.perf_counter() - t0, 2)
+        row = {
+            "kind": "recipe_mm",
+            "sf_dir": sf_dir,
+            "factor": f,
+            "n_docs": n_docs,
+            "total": total,
+            **{f"n_pairs_{m}": pf.count() for m, pf in pair_frames.items()},
+            "n_kept": diag["n_kept"],
+            "n_dropped": diag["n_dropped"],
+            "n_picked": diag["n_picked"],
+            "n_out": int(agg["n_out"]),
+            "n_shards": int(agg["n_shards"]),
+            "budget_met_exactly": int(agg["n_out"]) == total,
+            "sec_recipe_mm": wall,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    lo, hi = rows[0], rows[-1]
+    growth = hi["n_docs"] / lo["n_docs"]
+    print(
+        json.dumps(
+            {
+                "kind": "recipe_mm_summary",
+                "corpus_growth": round(growth, 2),
+                "wall_growth_exponent": round(
+                    math.log(hi["sec_recipe_mm"] / lo["sec_recipe_mm"])
+                    / math.log(growth),
+                    2,
+                ),
+                **{
+                    f"pairs_{m}_growth_exponent": round(
+                        math.log(
+                            max(hi[f"n_pairs_{m}"], 1)
+                            / max(lo[f"n_pairs_{m}"], 1)
+                        )
+                        / math.log(growth),
+                        2,
+                    )
+                    for m in ("image", "audio", "video")
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_bpe(merge_counts: list[int]) -> None:
     """BPE merge-count sweep (r16, clears the r15 `weak`): the axis
     under test is N_MERGES, not corpus size — a production tokenizer
@@ -2623,6 +2739,8 @@ if __name__ == "__main__":
         main_emattl([int(x) for x in argv[1:]] or [4, 8, 16])
     elif argv and argv[0] == "bpe":
         main_bpe([int(x) for x in argv[1:]] or [8, 64, 512])
+    elif argv and argv[0] == "recipe_mm":
+        main_recipe_mm([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "pagerank":
         main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "annappend":

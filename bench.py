@@ -103,7 +103,7 @@ def main() -> int:
         "ann_ivfpq_quant_error,crawl_two_day_dedup,crawl_frontier_cycle,"
         "knn_join_banded,stream_ema_ttl,substring_dup_winnowed,"
         # r16 heavies: three-modality fixture synthesis inside one query
-        "training_mix_multimodal,dedup_video_offset"
+        "training_mix_multimodal,dedup_video_offset,training_mix_full"
     )
     # Experiment knobs (tools/bench_drift.py suite-composition legs):
     # EXCLUDE skips named queries; LAST overrides the deferred set.

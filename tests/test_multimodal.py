@@ -677,3 +677,33 @@ def test_video_neardup_offset_finds_trimmed_rejects_shared_still(spark):
     for pair in ((6, 7), (17, 18), (28, 29)):
         assert pair in aligned
         assert offs[pair][0] == 0
+
+
+def test_training_mix_full_offset_tier_drops_trimmed_video_replica(spark):
+    """The capstone composition's offset leg (r16): a TRIMMED video
+    re-upload (doc 22 = frames 1..n-1 of doc 20) survives the
+    aligned-tier multimodal mix but is dropped once
+    include_video_offset=True — and the shards come back budgeted in
+    n_bpe_tokens."""
+    from yfinance_etl_spark.multimodal.video import synthesize_video_assets
+    from yfinance_etl_spark.operators.recipe import training_mix_multimodal
+
+    def text(doc_id):
+        return " ".join(f"w{j}x{doc_id}" for j in range(120))
+
+    docs = spark.createDataFrame(
+        [(i, "web", text(i)) for i in (7, 20, 22, 30)],  # 7%11==7: rep of 6 (absent)
+        "doc_id long, source string, text string",
+    )
+    assets = synthesize_video_assets(docs.select("doc_id"))
+
+    aligned_only = {r.doc_id for r in training_mix_multimodal(
+        docs, video_assets=assets, total=4, budget=500).collect()}
+    assert aligned_only == {7, 20, 22, 30}  # trimmed replica invisible
+
+    full = training_mix_multimodal(
+        docs, video_assets=assets, include_video_offset=True,
+        total=3, budget=2000, budget_unit="bpe",
+    )
+    assert "n_bpe_tokens" in full.columns
+    assert {r.doc_id for r in full.collect()} == {7, 20, 30}  # 22 dropped

@@ -393,6 +393,17 @@ AUDITS: dict[str, str] = {
         "the whitespace form; the learn loop itself never appears in "
         "the plan (it ran at construction on the type-bounded frame)."
     ),
+    "training_mix_full": (
+        "The capstone composition (r16): text MinHash + image dHash + "
+        "audio fingerprint + video aligned + video OFFSET-VOTED pair "
+        "frames union into one both-ends-kept drop set (the video "
+        "tiers SHARE one checkpointed per-frame signature frame — the "
+        "decode runs once); the pick is the prefiltered quota form; "
+        "shards are budgeted in the mix's own learned BPE unit (the "
+        "learn ran at construction on the type-bounded picked frame). "
+        "Every join equi-keyed, no Cartesian, nothing corpus-sized "
+        "driver-bound."
+    ),
     "bpe_tokenize": (
         "Token-ID sequences without per-merge corpus work: one "
         "posexplode scan of the target docs, an equi-join against the "

@@ -127,6 +127,7 @@ def training_mix_multimodal(
     image_assets: DataFrame | None = None,
     audio_assets: DataFrame | None = None,
     video_assets: DataFrame | None = None,
+    include_video_offset: bool = False,
     **kwargs,
 ) -> DataFrame:
     """The recipe over a MULTIMODAL corpus (r16, closes r15 missing #3):
@@ -139,6 +140,12 @@ def training_mix_multimodal(
     carries. Docs without assets simply never appear in a modality's
     pair frame.
 
+    ``include_video_offset=True`` (r16 capstone) additionally unions
+    the OFFSET-VOTING video tier's pairs — the trimmed/offset
+    re-uploads the aligned tier is structurally blind to — over the
+    SAME per-frame signature frame (computed once, checkpointed,
+    shared by both tiers).
+
     Scale shape: each tier is the already-plan-pinned banded equi-join
     (no Cartesian anywhere); the union is pair-frame-sized; everything
     downstream is the text recipe unchanged."""
@@ -147,6 +154,7 @@ def training_mix_multimodal(
     from yfinance_etl_spark.multimodal.video import (
         video_frame_dhash,
         video_neardup,
+        video_neardup_offset,
     )
     from yfinance_etl_spark.operators.dedup import dhash_neardup
 
@@ -156,5 +164,9 @@ def training_mix_multimodal(
     if audio_assets is not None:
         asset_pairs.append(dhash_neardup(audio_fingerprint(audio_assets)))
     if video_assets is not None:
-        asset_pairs.append(video_neardup(video_frame_dhash(video_assets)))
+        fsig = video_frame_dhash(video_assets)
+        if include_video_offset:
+            fsig = fsig.localCheckpoint(eager=True)  # shared by both tiers
+            asset_pairs.append(video_neardup_offset(fsig))
+        asset_pairs.append(video_neardup(fsig))
     return training_mix(docs, asset_pairs=asset_pairs, **kwargs)

@@ -5901,7 +5901,14 @@ def _video_offset_ctes(p: str = "vid_") -> str:
     smallest), re-verify the fraction rule at the voted offset. Ends in
     ``{p}opairs(doc_a, doc_b, offset, n_close_frames, n_frames_min)``."""
     return f"""{_video_sig_ctes(p)},
-{p}obands AS (
+{_video_offset_tail(p)}"""
+
+
+def _video_offset_tail(p: str = "vid_") -> str:
+    """The offset-tier CTEs WITHOUT the signature chain — composable
+    after ``_video_pair_ctes`` (which already carries ``{p}sig`` /
+    ``{p}nfr``) in the full-recipe oracle."""
+    return f"""{p}obands AS (
   SELECT doc_id, k, h_hi, h_lo, b AS band_id,
          CASE WHEN b < 2 THEN (h_hi >> (16*b)) & 65535
               ELSE (h_lo >> (16*(b-2))) & 65535 END AS band_val
@@ -6698,13 +6705,16 @@ def _recipe_sql(
     budget_unit: str = "whitespace",
     n_merges: int = 8,
     budget: int | None = None,
+    video_offset: bool = False,
 ) -> str:
     """The training-mix composition oracle. ``multimodal=True`` extends
     the drop set with the three modality near-dup chains (image dHash,
     audio fingerprint, video temporal) — same CTE text the standalone
     modality oracles run, same both-ends-kept drop rule the text pairs
-    flow through. ``budget_unit="bpe"`` swaps the whitespace packing
-    tail for the full BPE learn chain TRAINED ON THE PICKED MIX
+    flow through; ``video_offset=True`` additionally unions the
+    offset-voting video tier's pairs (the trimmed re-uploads the
+    aligned tier misses). ``budget_unit="bpe"`` swaps the whitespace
+    packing tail for the full BPE learn chain TRAINED ON THE PICKED MIX
     (``_bpe_learn_ctes(src="picked")``) with shards budgeted in the
     learned unit."""
     if budget is None:
@@ -6756,6 +6766,11 @@ FROM pcum"""
         if multimodal
         else ""
     )
+    if multimodal and video_offset:
+        # the offset tier rides the vid_sig/vid_nfr frames the aligned
+        # chain above already carries
+        mm_ctes += f""",
+{_video_offset_tail()}"""
     text_drop = """SELECT mi.doc_b AS doc_id
     FROM minter mi
     JOIN msizes sa ON sa.doc_id = mi.doc_a
@@ -6770,7 +6785,11 @@ FROM pcum"""
     SELECT c.doc_b AS doc_id FROM {p}pairs c
     JOIN kept ka ON ka.doc_id = c.doc_a
     JOIN kept kb ON kb.doc_id = c.doc_b"""
-            for p in ("img_", "aud_", "vid_")
+            for p in (
+                ("img_", "aud_", "vid_", "vid_o")
+                if video_offset
+                else ("img_", "aud_", "vid_")
+            )
         )
         if multimodal
         else ""
@@ -6886,6 +6905,12 @@ picked AS MATERIALIZED (SELECT doc_id, source, text FROM pickr WHERE pick <= all
 _RECIPE_SQL = _recipe_sql()
 _RECIPE_MM_SQL = _recipe_sql(multimodal=True)
 _RECIPE_BPE_SQL = _recipe_sql(budget_unit="bpe", budget=_RECIPE_BUDGET * 4)
+_RECIPE_FULL_SQL = _recipe_sql(
+    multimodal=True,
+    video_offset=True,
+    budget_unit="bpe",
+    budget=_RECIPE_BUDGET * 4,
+)
 
 
 @_register("training_mix_recipe", _RECIPE_SQL)
@@ -6922,6 +6947,34 @@ def q_training_mix_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_assets=synthesize_video_assets(ids),
         total=_RECIPE_TOTAL,
         budget=_RECIPE_BUDGET,
+    )
+
+
+@_register("training_mix_full", _RECIPE_FULL_SQL)
+def q_training_mix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition (r16): curation → near-dup dedup with
+    text MinHash ∪ image dHash ∪ audio fingerprint ∪ video aligned ∪
+    video OFFSET-VOTED pairs → exact quota mixture → shard packing
+    budgeted in the mix's OWN learned BPE unit. Every stage the engine
+    grew r12–r16, in one lazy-until-eager-contract plan, hash-matched
+    against one DuckDB CTE chain that replays pixels, samples, frames,
+    offsets, shingles, quotas, merges, and prefix sums end to end."""
+    from yfinance_etl_spark.multimodal.audio import synthesize_audio_fp_assets
+    from yfinance_etl_spark.multimodal.columns import synthesize_png_assets
+    from yfinance_etl_spark.multimodal.video import synthesize_video_assets
+    from yfinance_etl_spark.operators.recipe import training_mix_multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    return training_mix_multimodal(
+        docs,
+        image_assets=synthesize_png_assets(ids),
+        audio_assets=synthesize_audio_fp_assets(ids),
+        video_assets=synthesize_video_assets(ids),
+        include_video_offset=True,
+        total=_RECIPE_TOTAL,
+        budget=_RECIPE_BUDGET * 4,
+        budget_unit="bpe",
     )
 
 
@@ -7123,6 +7176,7 @@ _WINDOW_PRIORITY = [
     "bpe_tokenize",  # never
     "dedup_video_offset",  # never
     "training_mix_bpe_budget",  # never
+    "training_mix_full",  # never
     "training_mix_multimodal",  # never
     "dedup_video_frames",  # r15, content changed r16
     "bpe_merges",  # r15, tier changed r16

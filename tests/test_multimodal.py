@@ -707,3 +707,71 @@ def test_training_mix_full_offset_tier_drops_trimmed_video_replica(spark):
     )
     assert "n_bpe_tokens" in full.columns
     assert {r.doc_id for r in full.collect()} == {7, 20, 30}  # 22 dropped
+
+
+def test_audio_frame_fingerprint_finds_clipped_rejects_shared_jingle(spark):
+    """The r16 clipped-audio tier (audio analog of the video offset
+    test above — same class algebra): the CLIPPED replica (22 = frames
+    1..n-1 of 20) is invisible to the whole-clip fingerprint's banded
+    dedup but found by the offset tier at voted offset −1 with every
+    frame close; the shared-jingle pairs (8,11)/(25,28) fail the
+    fraction rule; DC-shifted aligned replicas vote offset 0. Frame
+    signatures of the clipped doc are BIT-identical to the source's
+    shifted frames — fixed frame anchoring is the whole point."""
+    from yfinance_etl_spark.multimodal.audio import (
+        _audio_seq_cls,
+        audio_frame_fingerprint,
+        synthesize_audio_seq_assets,
+    )
+    from yfinance_etl_spark.multimodal.video import video_neardup_offset
+
+    assert _audio_seq_cls(22) == "clip" and _audio_seq_cls(11) == "share"
+    docs = spark.createDataFrame([(i,) for i in range(36)], "doc_id long")
+    fsig = audio_frame_fingerprint(
+        synthesize_audio_seq_assets(docs)
+    ).localCheckpoint()
+
+    sig = {(r.doc_id, r.frame_idx): (r.dhash_hi, r.dhash_lo)
+           for r in fsig.collect()}
+    nf20 = max(k for d, k in sig if d == 20) + 1
+    nf22 = max(k for d, k in sig if d == 22) + 1
+    assert nf22 == nf20 - 1  # intro frame dropped
+    for k in range(nf22):  # post-trim frames bit-identical, shifted by 1
+        assert sig[(22, k)] == sig[(20, k + 1)]
+
+    offs = {
+        (r.doc_a, r.doc_b): (r.offset, r.n_close_frames, r.n_frames_min)
+        for r in video_neardup_offset(fsig).collect()
+    }
+    assert offs[(20, 22)][0] == -1
+    assert offs[(20, 22)][1] == offs[(20, 22)][2]
+    assert (8, 11) not in offs and (25, 28) not in offs
+    for pair in ((6, 7), (17, 18), (28, 29)):  # DC-shifted aligned reps
+        assert offs[pair][0] == 0
+
+
+def test_audio_frame_fingerprint_drops_trailing_partial_frame(spark):
+    """The documented contract: a clip that is not frame-aligned loses
+    its trailing partial frame (sub-fingerprints need full frames), and
+    a clip shorter than one frame yields no rows at all."""
+    import pandas as pd
+
+    from yfinance_etl_spark.multimodal.audio import (
+        SEQ_FRAME_SAMPLES,
+        audio_frame_fingerprint,
+        wav_bytes,
+    )
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "content": [
+                    wav_bytes([100] * (SEQ_FRAME_SAMPLES + 50)),
+                    wav_bytes([100] * (SEQ_FRAME_SAMPLES - 1)),
+                ],
+            }
+        )
+    )
+    rows = audio_frame_fingerprint(assets).collect()
+    assert {(r.doc_id, r.frame_idx) for r in rows} == {(1, 0)}

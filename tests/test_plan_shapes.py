@@ -754,6 +754,7 @@ def test_modality_dedup_band_joins_are_equi_never_cartesian(spark):
         "dedup_audio_fingerprint",
         "dedup_video_frames",
         "dedup_video_offset",  # r16: seed + vote + verify, all equi
+        "dedup_audio_offset",  # r16: audio frames through the same tier
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

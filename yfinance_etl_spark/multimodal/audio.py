@@ -222,6 +222,180 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     return assets.select("doc_id", "content").mapInPandas(fp, AUDIO_FP_SCHEMA)
 
 
+#: frame-sequence fingerprint geometry (r16 clipped-audio tier): a clip
+#: is a sequence of fixed-length frames of ``SEQ_FRAME_SAMPLES`` samples;
+#: within a frame, 65 floor-edge sub-blocks -> 64 adjacent energy
+#: comparisons packed exactly like the whole-clip fingerprint — so each
+#: FRAME carries a word in the image-dHash contract and the sequence
+#: matches video's FRAME_DHASH_SCHEMA.
+SEQ_SUBBLOCKS = FP_FRAMES  # 65 sub-blocks -> 64 bits, shared geometry
+SEQ_FRAME_SAMPLES = 130  # 2 samples per sub-block
+SEQ_N_BASE, SEQ_N_MOD = 4, 3  # frames per clip: SEQ_N_BASE + base % SEQ_N_MOD
+
+AUDIO_SEQ_FP_SCHEMA = (
+    "doc_id bigint, frame_idx int, dhash_hi bigint, dhash_lo bigint"
+)
+
+
+def _audio_seq_cls(doc_id: int) -> str:
+    """Planted-duplicate class of a doc's clip in the frame-sequence
+    corpus — the video fixture's class algebra (video.py::_video_cls)
+    replayed over audio, because the dup taxonomy is the same:
+
+    * ``rep``  (doc_id % 11 == 7): full aligned replica of doc_id-1 with
+      frame 0's sub-block 0 DC-shifted — at most ONE energy comparison
+      flips (offset-0 vote).
+    * ``clip`` (doc_id % 13 == 9, % 11 ∉ {7, 9}): frames 1..n-1 of
+      doc_id-2, bit-identical — the CLIPPED re-upload (intro trimmed)
+      the whole-clip fingerprint is blind to; votes offset −1. The %11
+      guard keeps the source clip class-free by modular arithmetic.
+    * ``share`` (doc_id % 17 == 11, % 11 ∉ {7, 10}, % 13 ∉ {9, 12},
+      ≥ 3): frame 0 only carries doc_id-3's frame-0 sample formula —
+      the shared-jingle pair the fraction rule must REJECT.
+    * ``plain`` otherwise.
+    """
+    if doc_id % 11 == 7:
+        return "rep"
+    if doc_id % 13 == 9 and doc_id % 11 not in (7, 9):
+        return "clip"
+    if (
+        doc_id % 17 == 11
+        and doc_id % 11 not in (7, 10)
+        and doc_id % 13 not in (9, 12)
+        and doc_id >= 3
+    ):
+        return "share"
+    return "plain"
+
+
+def _seq_subblock_samples(src: int, k: int, j: int) -> tuple[int, int]:
+    """The two int16 samples of sub-block ``j`` of frame ``k`` of source
+    scene ``src`` — one md5 digest covers BOTH (batched-digest noise,
+    the video-fixture discipline): hex chars 1-4 and 5-8 of
+    md5('<src>:<k>:<j>'), each recentred to int16."""
+    import hashlib
+
+    hx = hashlib.md5(f"{src}:{k}:{j}".encode()).hexdigest()
+    return (
+        int(hx[:4], 16) - 32768,
+        int(hx[4:8], 16) - 32768,
+    )
+
+
+def synthesize_audio_seq_assets(docs: DataFrame) -> DataFrame:
+    """Real-WAV clips for the CLIPPED-audio dedup corpus: each clip is
+    ``SEQ_N_BASE + base % SEQ_N_MOD`` frames of ``SEQ_FRAME_SAMPLES``
+    md5-noise samples (minus the dropped intro frame for ``clip`` docs),
+    packed through the same RIFF encoder as every other audio fixture.
+    Duplicate classes per :func:`_audio_seq_cls`; the DC shift on a
+    ``rep``'s frame 0 wraps both samples of sub-block 0 by +8000
+    (mod-int16), moving exactly one sub-block energy."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                doc_id = int(d)
+                cls = _audio_seq_cls(doc_id)
+                base = (
+                    doc_id - 1 if cls == "rep"
+                    else doc_id - 2 if cls == "clip"
+                    else doc_id
+                )
+                n_frames = (SEQ_N_BASE + base % SEQ_N_MOD) - (
+                    1 if cls == "clip" else 0
+                )
+                samples: list[int] = []
+                for k in range(n_frames):
+                    src = doc_id - 3 if cls == "share" and k == 0 else base
+                    ks = 0 if cls == "share" and k == 0 else (
+                        k + 1 if cls == "clip" else k
+                    )
+                    for j in range(SEQ_SUBBLOCKS):
+                        v0, v1 = _seq_subblock_samples(src, ks, j)
+                        if cls == "rep" and k == 0 and j == 0:
+                            v0 = ((v0 + 8000 + 32768) % 65536) - 32768
+                            v1 = ((v1 + 8000 + 32768) % 65536) - 32768
+                        samples.append(v0)
+                        samples.append(v1)
+                rows.append(
+                    (
+                        doc_id,
+                        wav_bytes(samples),
+                        ("audio", SAMPLE_RATE, "audio/wav"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
+
+    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+
+
+def audio_frame_fingerprint(
+    assets: DataFrame, frame_samples: int = SEQ_FRAME_SAMPLES
+) -> DataFrame:
+    """Frame-SEQUENCE audio fingerprint (r16) — the clipped-audio analog
+    of video's per-frame signature: decode the REAL WAV bytes, cut the
+    sample stream into fixed-length frames of ``frame_samples``, and
+    fingerprint EACH frame with the whole-clip geometry (65 floor-edge
+    sub-blocks → 64 adjacent-energy bits → the image-dHash word pair).
+    This is the Haitsma-Kalker sub-fingerprint stream proper: the
+    whole-clip form (``audio_fingerprint``) re-anchors its frame grid at
+    sample 0, so ANY leading trim scrambles every bit; a fixed frame
+    length keeps post-trim frames bit-identical and turns clip detection
+    into sequence alignment.
+
+    Output matches ``video.FRAME_DHASH_SCHEMA`` (doc_id, frame_idx,
+    dhash_hi, dhash_lo) — so ``video.video_neardup_offset`` (16-bit seed
+    bands → offset vote → verify-at-offset → fraction rule), which is
+    generic over ANY per-frame signature sequence, composes UNCHANGED
+    over audio. A trailing partial frame is dropped (a real clip is not
+    frame-aligned; sub-fingerprints need full frames — documented
+    contract, the oracle replays it). Energies are int64-exact; no float
+    enters the signature."""
+
+    import numpy as np
+
+    nsub = SEQ_SUBBLOCKS
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _rate, _ch, samples = parse_wav(bytes(content))
+                nf = len(samples) // frame_samples
+                if nf == 0:
+                    continue  # shorter than one frame: no sub-fingerprint
+                s = np.asarray(
+                    samples[: nf * frame_samples], dtype=np.int64
+                ).reshape(nf, frame_samples)
+                # floor-edge sub-block index within a frame (the shared
+                # grid convention: i * nsub // frame_samples); scatter-add
+                # sample squares into (frame, sub-block) energies in ONE
+                # ufunc call (np.add.at indexes the leading axis, so work
+                # transposed)
+                sub = np.arange(frame_samples, dtype=np.int64) * nsub // frame_samples
+                energy_t = np.zeros((nsub, nf), dtype=np.int64)
+                np.add.at(energy_t, sub, (s * s).T)
+                energy = energy_t.T
+                bits = energy[:, 1:] > energy[:, :-1]
+                j = np.arange(nsub - 1, dtype=np.int64)
+                # np.where evaluates BOTH branches: clamp the shift so the
+                # discarded branch never shifts past the int64 sign bit
+                w_hi = np.where(j < 32, np.int64(1) << np.minimum(j, 31), np.int64(0))
+                w_lo = np.where(j >= 32, np.int64(1) << np.maximum(j - 32, 0), np.int64(0))
+                hi = (bits * w_hi).sum(axis=1)
+                lo = (bits * w_lo).sum(axis=1)
+                for k in range(nf):
+                    rows.append((int(doc_id), k, int(hi[k]), int(lo[k])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dhash_hi", "dhash_lo"]
+            )
+
+    return assets.select("doc_id", "content").mapInPandas(
+        fp, AUDIO_SEQ_FP_SCHEMA
+    )
+
+
 def audio_features(assets: DataFrame) -> DataFrame:
     """Decode + feature-extract: rate, channel count, per-channel frame
     count, duration, RMS (int64-exact sum of squares, taken over ALL

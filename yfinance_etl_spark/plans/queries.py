@@ -5997,6 +5997,122 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CLIPPED-audio near-dup (r16, the audio analog of dedup_video_offset —
+# the watch-list gap "audio has no offset analog"): the whole-clip
+# fingerprint re-anchors its frame grid at sample 0, so trimming the
+# intro scrambles every bit. audio_frame_fingerprint cuts the stream
+# into FIXED-length frames and fingerprints each one into the
+# FRAME_DHASH word contract, so video_neardup_offset (seed bands with
+# no temporal key → offset vote → verify at the voted offset →
+# fraction rule) composes UNCHANGED over audio — the offset tier is
+# signature-generic, and the oracle reuses _video_offset_tail verbatim
+# over an audio signature chain.
+# ---------------------------------------------------------------------------
+
+def _audio_seq_ctes(p: str = "auds_") -> str:
+    """Replay of the clipped-audio corpus (audio.py::
+    synthesize_audio_seq_assets + audio_frame_fingerprint) up to
+    per-frame signatures: CTEs ending in ``{p}sig(doc_id, k, h_hi,
+    h_lo)`` and ``{p}nfr(doc_id, nf)`` — the shape
+    ``_video_offset_tail`` composes onto. Sub-block ``j`` of frame
+    ``k`` of source scene ``src`` carries TWO int16 samples from ONE
+    md5 digest (hex 1-4 / 5-8, recentred); a ``rep``'s frame-0
+    sub-block 0 wraps both by +8000 mod-int16."""
+    return f"""{p}g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 7 THEN 'rep'
+              WHEN doc_id % 13 = 9 AND doc_id % 11 NOT IN (7, 9) THEN 'clip'
+              WHEN doc_id % 17 = 11 AND doc_id % 11 NOT IN (7, 10)
+                   AND doc_id % 13 NOT IN (9, 12) AND doc_id >= 3 THEN 'share'
+              ELSE 'plain' END AS cls
+  FROM documents
+),
+{p}g2 AS (
+  SELECT doc_id, cls,
+         CASE cls WHEN 'rep' THEN doc_id - 1
+                  WHEN 'clip' THEN doc_id - 2 ELSE doc_id END AS base,
+         CASE cls WHEN 'rep' THEN 4 + (doc_id - 1) % 3
+                  WHEN 'clip' THEN 3 + (doc_id - 2) % 3
+                  ELSE 4 + doc_id % 3 END AS nf
+  FROM {p}g
+),
+{p}fr AS (
+  SELECT doc_id, k,
+         CASE WHEN cls = 'share' AND k = 0 THEN doc_id - 3 ELSE base END AS src,
+         CASE WHEN cls = 'share' AND k = 0 THEN 0
+              WHEN cls = 'clip' THEN k + 1 ELSE k END AS ks,
+         (cls = 'rep' AND k = 0) AS shifted
+  FROM {p}g2, UNNEST(range(0, nf)) AS tk(k)
+),
+{p}sv AS (
+  SELECT doc_id, k, j, shifted,
+         CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                                 CAST(ks AS VARCHAR) || ':' ||
+                                 CAST(j AS VARCHAR)), 1, 4) AS INT)
+           - 32768 AS v0,
+         CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                                 CAST(ks AS VARCHAR) || ':' ||
+                                 CAST(j AS VARCHAR)), 5, 4) AS INT)
+           - 32768 AS v1
+  FROM {p}fr, UNNEST(range(0, 65)) AS tj(j)
+),
+{p}en AS (
+  SELECT doc_id, k, j,
+         CAST(w0 AS BIGINT) * w0 + CAST(w1 AS BIGINT) * w1 AS e
+  FROM (
+    SELECT doc_id, k, j,
+           CASE WHEN shifted AND j = 0
+                THEN ((v0 + 8000 + 32768) % 65536) - 32768 ELSE v0 END AS w0,
+           CASE WHEN shifted AND j = 0
+                THEN ((v1 + 8000 + 32768) % 65536) - 32768 ELSE v1 END AS w1
+    FROM {p}sv
+  )
+),
+{p}bits AS (
+  SELECT a.doc_id, a.k, a.j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM {p}en a
+  JOIN {p}en b ON b.doc_id = a.doc_id AND b.k = a.k AND b.j = a.j + 1
+),
+{p}sig AS MATERIALIZED (
+  SELECT doc_id, k,
+         CAST(SUM(CASE WHEN j < 32 THEN CAST(bit AS BIGINT) << j
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN j >= 32 THEN CAST(bit AS BIGINT) << (j - 32)
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM {p}bits GROUP BY 1, 2
+),
+{p}nfr AS (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM {p}g2)"""
+
+
+_AUDIO_OFFSET_SQL = f"""
+WITH {_audio_seq_ctes()},
+{_video_offset_tail("auds_")}
+SELECT doc_a, doc_b, "offset", n_close_frames, n_frames_min FROM auds_opairs
+"""
+
+
+@_register("dedup_audio_offset", _AUDIO_OFFSET_SQL)
+def q_dedup_audio_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-audio near-dup (r16): the fixture plants CLIPPED replicas
+    (frames 1..n-1 of doc_id-2 — invisible to the whole-clip
+    fingerprint, voted at offset −1), DC-shifted aligned replicas
+    (offset 0), and shared-jingle pairs (one identical frame) the
+    fraction rule must reject. Spark decodes the real WAV bytes; the
+    oracle replays samples → sub-block energies → per-frame words →
+    the generic offset-vote tail."""
+    from yfinance_etl_spark.multimodal.audio import (
+        audio_frame_fingerprint,
+        synthesize_audio_seq_assets,
+    )
+    from yfinance_etl_spark.multimodal.video import video_neardup_offset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_neardup_offset(
+        audio_frame_fingerprint(synthesize_audio_seq_assets(docs))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ranking functions: rank / dense_rank / ntile in one oracle-gated query
 # (closes the SURVEY §2.5 promise — the reference never ranks, but the
 # engine exposes Spark's built-ins; row_number already backs
@@ -7173,6 +7289,7 @@ _WINDOW_PRIORITY = [
     # fixture classes + batched-digest pixels; bpe_merges /
     # bpe_token_counts: driver tier default + zero-word-doc rows;
     # training_mix_recipe: drops-CTE restructure)
+    "dedup_audio_offset",  # never (r16 late: clipped-audio tier)
     "bpe_tokenize",  # never
     "dedup_video_offset",  # never
     "training_mix_bpe_budget",  # never

@@ -491,8 +491,10 @@ def test_png_assets_are_real_pngs_and_dhash_rides_a_real_decode(spark):
         w, h, raw = _decode_png_mini(b)  # raises on any malformation
         assert (w, h) == (DHASH_COLS * bw, DHASH_ROWS * bh)
         # pixel spec replayed straight from the docstring arithmetic
+        # (batched-digest form: byte x%16 of md5('<base>:<y>:<x//16>'))
         for (x, y) in [(0, 0), (w - 1, h - 1), (w // 2, h // 3)]:
-            v = int(hashlib.md5(f"{base}:{x}:{y}".encode()).hexdigest()[:2], 16)
+            hx = hashlib.md5(f"{base}:{y}:{x // 16}".encode()).hexdigest()
+            v = int(hx[2 * (x % 16) : 2 * (x % 16) + 2], 16)
             if doc_id % 7 == 3 and x < bw and y < bh:
                 v = (v + 100) % 256
             assert raw[y * w + x] == v, (doc_id, x, y)

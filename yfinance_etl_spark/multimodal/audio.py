@@ -132,24 +132,26 @@ AUDIO_FP_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
 
 def _fp_samples(doc_id: int) -> list[int]:
     """Deterministic md5-noise samples for the fingerprint-dedup corpus:
-    sample i of scene ``base`` is the first 4 md5 hex chars of
-    '<base>:<i>' recentred to int16; docs with doc_id % 9 == 5 REPLAY
-    doc_id-1's scene with frame 0 DC-shifted (+8000 mod-wrapped) — the
-    planted near-dup, at most ONE energy comparison away. md5 noise, not
-    the sawtooth ``_samples`` formula: structured waveforms give every
-    frame the same energy and collapse all fingerprints together (the
-    image-dHash gradient lesson, multimodal/columns.py)."""
+    sample i of scene ``base`` is md5 hex chars [4*(i%8), 4*(i%8)+4) of
+    '<base>:<i//8>' recentred to int16 — one digest covers EIGHT
+    samples (batched-digest noise, the video-fixture discipline; 8×
+    fewer md5 calls than the r15 per-sample form). Docs with
+    doc_id % 9 == 5 REPLAY doc_id-1's scene with frame 0 DC-shifted
+    (+8000 mod-wrapped) — the planted near-dup, at most ONE energy
+    comparison away. md5 noise, not the sawtooth ``_samples`` formula:
+    structured waveforms give every frame the same energy and collapse
+    all fingerprints together (the image-dHash gradient lesson,
+    multimodal/columns.py)."""
     import hashlib
 
     base = doc_id - 1 if doc_id % 9 == 5 else doc_id
     n = N_BASE + base % N_MOD
     out = []
+    hx = ""
     for i in range(n):
-        v = (
-            int(hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:4], 16)
-            % 65536
-            - 32768
-        )
+        if i % 8 == 0:
+            hx = hashlib.md5(f"{base}:{i // 8}".encode()).hexdigest()
+        v = int(hx[4 * (i % 8) : 4 * (i % 8) + 4], 16) - 32768
         if doc_id % 9 == 5 and i * FP_FRAMES // n == 0:
             v = ((v + 8000 + 32768) % 65536) - 32768
         out.append(v)

@@ -2521,8 +2521,9 @@ def _image_pair_ctes(p: str = "img_") -> str:
 {p}px AS (
   SELECT doc_id, x // bw AS bi, y // bh AS bj,
          (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
-                                  CAST(x AS VARCHAR) || ':' ||
-                                  CAST(y AS VARCHAR)), 1, 2) AS INT)
+                                  CAST(y AS VARCHAR) || ':' ||
+                                  CAST(x // 16 AS VARCHAR)),
+                              2 * (x % 16) + 1, 2) AS INT)
           + CASE WHEN is_rep AND x < bw AND y < bh THEN 100 ELSE 0 END) % 256 AS v
   FROM {p}g2, UNNEST(range(0, 9*bw)) AS tx(x), UNNEST(range(0, 8*bh)) AS ty(y)
 ),
@@ -5727,8 +5728,9 @@ def _audio_pair_ctes(p: str = "aud_") -> str:
 {p}smp AS (
   SELECT doc_id, i, n, is_rep,
          CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
-                                 CAST(i AS VARCHAR)), 1, 4) AS INT)
-           % 65536 - 32768 AS v0
+                                 CAST(i // 8 AS VARCHAR)),
+                             4 * (i % 8) + 1, 4) AS INT)
+           - 32768 AS v0
   FROM {p}g2, UNNEST(range(0, n)) AS t(i)
 ),
 {p}smp2 AS (

@@ -777,3 +777,34 @@ def test_audio_frame_fingerprint_drops_trailing_partial_frame(spark):
     )
     rows = audio_frame_fingerprint(assets).collect()
     assert {(r.doc_id, r.frame_idx) for r in rows} == {(1, 0)}
+
+
+def test_training_mix_audio_seq_leg_drops_clipped_replica(spark):
+    """The capstone's clipped-audio leg (r16): a CLIPPED audio re-upload
+    (doc 22 = frames 1..n-1 of doc 20's clip) is invisible to the
+    whole-clip fingerprint tier but dropped from the mix once its
+    frame-sequence assets flow through the generic offset tier."""
+    from yfinance_etl_spark.multimodal.audio import (
+        synthesize_audio_fp_assets,
+        synthesize_audio_seq_assets,
+    )
+    from yfinance_etl_spark.operators.recipe import training_mix_multimodal
+
+    def text(doc_id):
+        return " ".join(f"w{j}x{doc_id}" for j in range(120))
+
+    docs = spark.createDataFrame(
+        [(i, "web", text(i)) for i in (1, 20, 22, 30)],
+        "doc_id long, source string, text string",
+    )
+    ids = docs.select("doc_id")
+
+    whole_clip_only = {r.doc_id for r in training_mix_multimodal(
+        docs, audio_assets=synthesize_audio_fp_assets(ids),
+        total=4, budget=500).collect()}
+    assert whole_clip_only == {1, 20, 22, 30}  # clip invisible
+
+    with_seq = {r.doc_id for r in training_mix_multimodal(
+        docs, audio_seq_assets=synthesize_audio_seq_assets(ids),
+        total=3, budget=500).collect()}
+    assert with_seq == {1, 20, 30}  # clipped replica 22 (of 20) dropped

@@ -128,6 +128,7 @@ def training_mix_multimodal(
     audio_assets: DataFrame | None = None,
     video_assets: DataFrame | None = None,
     include_video_offset: bool = False,
+    audio_seq_assets: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """The recipe over a MULTIMODAL corpus (r16, closes r15 missing #3):
@@ -146,10 +147,19 @@ def training_mix_multimodal(
     SAME per-frame signature frame (computed once, checkpointed,
     shared by both tiers).
 
+    ``audio_seq_assets`` (r16, the audio analog of the video offset
+    leg): clips fingerprinted per fixed-length FRAME
+    (``audio_frame_fingerprint``) and deduped through the SAME generic
+    offset-vote tier — so a clipped re-upload (intro trimmed) drops
+    from the mix exactly like a trimmed video.
+
     Scale shape: each tier is the already-plan-pinned banded equi-join
     (no Cartesian anywhere); the union is pair-frame-sized; everything
     downstream is the text recipe unchanged."""
-    from yfinance_etl_spark.multimodal.audio import audio_fingerprint
+    from yfinance_etl_spark.multimodal.audio import (
+        audio_fingerprint,
+        audio_frame_fingerprint,
+    )
     from yfinance_etl_spark.multimodal.columns import image_dhash
     from yfinance_etl_spark.multimodal.video import (
         video_frame_dhash,
@@ -169,4 +179,8 @@ def training_mix_multimodal(
             fsig = fsig.localCheckpoint(eager=True)  # shared by both tiers
             asset_pairs.append(video_neardup_offset(fsig))
         asset_pairs.append(video_neardup(fsig))
+    if audio_seq_assets is not None:
+        asset_pairs.append(
+            video_neardup_offset(audio_frame_fingerprint(audio_seq_assets))
+        )
     return training_mix(docs, asset_pairs=asset_pairs, **kwargs)

@@ -6824,6 +6824,7 @@ def _recipe_sql(
     n_merges: int = 8,
     budget: int | None = None,
     video_offset: bool = False,
+    audio_offset: bool = False,
 ) -> str:
     """The training-mix composition oracle. ``multimodal=True`` extends
     the drop set with the three modality near-dup chains (image dHash,
@@ -6889,6 +6890,12 @@ FROM pcum"""
         # chain above already carries
         mm_ctes += f""",
 {_video_offset_tail()}"""
+    if multimodal and audio_offset:
+        # the clipped-audio leg: its own signature chain, then the SAME
+        # generic offset-vote tail over the auds_ prefix
+        mm_ctes += f""",
+{_audio_seq_ctes()},
+{_video_offset_tail("auds_")}"""
     text_drop = """SELECT mi.doc_b AS doc_id
     FROM minter mi
     JOIN msizes sa ON sa.doc_id = mi.doc_a
@@ -6904,9 +6911,9 @@ FROM pcum"""
     JOIN kept ka ON ka.doc_id = c.doc_a
     JOIN kept kb ON kb.doc_id = c.doc_b"""
             for p in (
-                ("img_", "aud_", "vid_", "vid_o")
-                if video_offset
-                else ("img_", "aud_", "vid_")
+                ("img_", "aud_", "vid_")
+                + (("vid_o",) if video_offset else ())
+                + (("auds_o",) if audio_offset else ())
             )
         )
         if multimodal
@@ -7026,6 +7033,7 @@ _RECIPE_BPE_SQL = _recipe_sql(budget_unit="bpe", budget=_RECIPE_BUDGET * 4)
 _RECIPE_FULL_SQL = _recipe_sql(
     multimodal=True,
     video_offset=True,
+    audio_offset=True,
     budget_unit="bpe",
     budget=_RECIPE_BUDGET * 4,
 )
@@ -7072,12 +7080,16 @@ def q_training_mix_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_mix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition (r16): curation → near-dup dedup with
     text MinHash ∪ image dHash ∪ audio fingerprint ∪ video aligned ∪
-    video OFFSET-VOTED pairs → exact quota mixture → shard packing
-    budgeted in the mix's OWN learned BPE unit. Every stage the engine
-    grew r12–r16, in one lazy-until-eager-contract plan, hash-matched
-    against one DuckDB CTE chain that replays pixels, samples, frames,
-    offsets, shingles, quotas, merges, and prefix sums end to end."""
-    from yfinance_etl_spark.multimodal.audio import synthesize_audio_fp_assets
+    video OFFSET-VOTED ∪ CLIPPED-audio offset pairs → exact quota
+    mixture → shard packing budgeted in the mix's OWN learned BPE
+    unit. Every stage the engine grew r12–r16, in one
+    lazy-until-eager-contract plan, hash-matched against one DuckDB
+    CTE chain that replays pixels, samples, frames, offsets, shingles,
+    quotas, merges, and prefix sums end to end."""
+    from yfinance_etl_spark.multimodal.audio import (
+        synthesize_audio_fp_assets,
+        synthesize_audio_seq_assets,
+    )
     from yfinance_etl_spark.multimodal.columns import synthesize_png_assets
     from yfinance_etl_spark.multimodal.video import synthesize_video_assets
     from yfinance_etl_spark.operators.recipe import training_mix_multimodal
@@ -7090,6 +7102,7 @@ def q_training_mix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_assets=synthesize_audio_fp_assets(ids),
         video_assets=synthesize_video_assets(ids),
         include_video_offset=True,
+        audio_seq_assets=synthesize_audio_seq_assets(ids),
         total=_RECIPE_TOTAL,
         budget=_RECIPE_BUDGET * 4,
         budget_unit="bpe",
@@ -7298,6 +7311,8 @@ _WINDOW_PRIORITY = [
     "training_mix_full",  # never
     "training_mix_multimodal",  # never
     "dedup_video_frames",  # r15, content changed r16
+    "dedup_image_phash",  # r15, batched-digest pixels r16 late
+    "dedup_audio_fingerprint",  # r15, batched-digest samples r16 late
     "bpe_merges",  # r15, tier changed r16
     "bpe_token_counts",  # r15, contract changed r16
     "training_mix_recipe",  # r15, oracle restructured r16

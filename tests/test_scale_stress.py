@@ -834,3 +834,47 @@ def test_recorded_recipe_mm_sweep_supports_the_multimodal_claims():
     assert summ["wall_growth_exponent"] <= 1.2, summ
     for m in ("image", "audio", "video"):
         assert summ[f"pairs_{m}_growth_exponent"] <= 1.2, summ
+
+
+def test_recorded_offsetdup_sweep_supports_the_density_claims():
+    # tools/scale_stress.py offsetdup — the r16 offset-voting tiers
+    # (trimmed video + clipped audio) at scale: with 16-bit seed bands
+    # and NO temporal key, seed volume follows planted-dup density
+    # (~linear in corpus, never the frame-pair square), voted and
+    # verified pairs track it, and both modalities — same class
+    # algebra, different signal — agree on the verified pair count
+    import json
+    import pathlib
+
+    lines = [
+        json.loads(ln)
+        for ln in (
+            pathlib.Path(__file__).resolve().parents[1] / "scale_stress_results.jsonl"
+        )
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    rs = [r for r in lines if r.get("kind") == "offsetdup"]
+    assert len(rs) >= 6, "offsetdup sweep not recorded"
+    assert max(r["n_docs"] for r in rs) >= 16 * min(r["n_docs"] for r in rs)
+    for r in rs:
+        assert r["n_out"] > 0, r  # plants detected at every scale
+        assert r["n_voted_pairs"] >= r["n_out"], r
+    summs = {
+        r["modality"]: r
+        for r in lines
+        if r.get("kind") == "offsetdup_summary"
+    }
+    for modality in ("video", "audioseq"):
+        s = summs[modality]
+        assert s["seed_growth_exponent"] <= 1.2, s  # density, not square
+        assert s["out_growth_exponent"] <= 1.1, s
+    # cross-modality agreement at matching scale (same planted classes)
+    by_scale: dict = {}
+    for r in rs:
+        by_scale.setdefault((r["factor"], r["n_docs"]), {})[r["modality"]] = r
+    for key, mods in by_scale.items():
+        if {"video", "audioseq"} <= set(mods):
+            a, v = mods["audioseq"]["n_out"], mods["video"]["n_out"]
+            assert abs(a - v) <= max(3, v // 100), (key, a, v)

@@ -2645,6 +2645,106 @@ def main_recipe_mm(factors: list[int]) -> None:
     )
 
 
+def main_offsetdup(factors: list[int]) -> None:
+    """Offset-voting near-dup sweep (r16 late): BOTH offset tiers —
+    trimmed-video and clipped-audio — over a corpus blown up ×factor
+    (planted-dup classes are id-modular, so near-dup DENSITY is
+    scale-invariant). Claims under test: (a) SEED volume — the 16-bit
+    band join with NO temporal key — follows planted-dup density
+    (~linear in corpus; random band collisions at 1/65536 per frame
+    pair stay a rounding error at these scales, and the measured
+    exponent is the proof), never the frame-pair square; (b) voted
+    pairs and verified outputs track density; (c) wall near-linear.
+    One JSON line per (factor, modality), kind="offsetdup", then a
+    per-modality exponent summary."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.multimodal.audio import (
+        audio_frame_fingerprint,
+        synthesize_audio_seq_assets,
+    )
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_frame_dhash,
+        video_neardup_offset,
+    )
+    from yfinance_etl_spark.operators.synth import blow_up_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-stress-offsetdup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    sigs = {
+        "video": lambda ids: video_frame_dhash(synthesize_video_assets(ids)),
+        "audioseq": lambda ids: audio_frame_fingerprint(
+            synthesize_audio_seq_assets(ids)
+        ),
+    }
+    # warm-up: JIT/codegen for both Python stages
+    for fsig in sigs.values():
+        video_neardup_offset(fsig(docs0.limit(50))).count()
+
+    rows = []
+    for f in factors:
+        ids = (
+            blow_up_documents(docs0.withColumn("text", F.lit("x")), f)
+            .select("doc_id")
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = ids.count()
+        for modality, mk in sigs.items():
+            diag: dict = {}
+            t0 = time.perf_counter()
+            fsig = mk(ids)
+            out = video_neardup_offset(fsig, diag=diag)
+            n_out = out.count()
+            wall = round(time.perf_counter() - t0, 2)
+            row = {
+                "kind": "offsetdup",
+                "sf_dir": sf_dir,
+                "factor": f,
+                "modality": modality,
+                "n_docs": n_docs,
+                "n_seed_pairs": diag["n_seed_pairs"],
+                "n_voted_pairs": diag["n_voted_pairs"],
+                "n_out": n_out,
+                "sec_offsetdup": wall,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    for modality in sigs:
+        ms = [r for r in rows if r["modality"] == modality]
+        lo, hi = ms[0], ms[-1]
+        growth = hi["n_docs"] / lo["n_docs"]
+        print(
+            json.dumps(
+                {
+                    "kind": "offsetdup_summary",
+                    "modality": modality,
+                    "corpus_growth": round(growth, 2),
+                    "seed_growth_exponent": round(
+                        math.log(hi["n_seed_pairs"] / lo["n_seed_pairs"])
+                        / math.log(growth),
+                        2,
+                    ),
+                    "out_growth_exponent": round(
+                        math.log(hi["n_out"] / lo["n_out"]) / math.log(growth), 2
+                    ),
+                    "wall_growth_exponent": round(
+                        math.log(hi["sec_offsetdup"] / lo["sec_offsetdup"])
+                        / math.log(growth),
+                        2,
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main_bpe(merge_counts: list[int]) -> None:
     """BPE merge-count sweep (r16, clears the r15 `weak`): the axis
     under test is N_MERGES, not corpus size — a production tokenizer
@@ -2741,6 +2841,8 @@ if __name__ == "__main__":
         main_bpe([int(x) for x in argv[1:]] or [8, 64, 512])
     elif argv and argv[0] == "recipe_mm":
         main_recipe_mm([int(x) for x in argv[1:]] or [1, 4, 16])
+    elif argv and argv[0] == "offsetdup":
+        main_offsetdup([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "pagerank":
         main_pagerank([int(x) for x in argv[1:]] or [1, 4, 16])
     elif argv and argv[0] == "annappend":

@@ -287,7 +287,10 @@ def video_neardup(
 
 
 def video_neardup_offset(
-    fsig: DataFrame, hamming_max: int = 7, min_frac: float = 0.5
+    fsig: DataFrame,
+    hamming_max: int = 7,
+    min_frac: float = 0.5,
+    diag: dict | None = None,
 ) -> DataFrame:
     """OFFSET-TOLERANT temporal near-dup (r16, closes r15 missing #4):
     the aligned tier requires ``a.frame_idx == b.frame_idx``, so a
@@ -318,7 +321,14 @@ def video_neardup_offset(
     Every stage is an equi join keyed by (band) or (doc, frame) — no
     Cartesian anywhere; the verify join volume is |voted pairs| ×
     overlap frames, not a square. Returns (doc_a, doc_b, offset,
-    n_close_frames, n_frames_min)."""
+    n_close_frames, n_frames_min).
+
+    ``diag`` (optional) receives the stage cardinalities the 100 TB
+    claim rests on (``n_seed_pairs``: distinct band-colliding frame
+    pairs, ``n_voted_pairs``: candidate pairs entering verify) for the
+    scale sweep / production monitoring. Requesting it localCheckpoints
+    the seed and vote frames — eager Spark jobs at construction time,
+    the quota_sample/kmeans eager-contract precedent."""
     fsig = fsig.localCheckpoint(eager=True)
     nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     bands = fsig.select(
@@ -368,6 +378,9 @@ def video_neardup_offset(
         # a frame pair collides in up to 4 bands; one vote each
         .distinct()
     )
+    if diag is not None:
+        seeds = seeds.localCheckpoint(eager=True)
+        diag["n_seed_pairs"] = seeds.count()
     from pyspark.sql import Window
 
     wv = Window.partitionBy("doc_a", "doc_b").orderBy(
@@ -382,6 +395,9 @@ def video_neardup_offset(
         .filter("__rn = 1")
         .select("doc_a", "doc_b", "offset")
     )
+    if diag is not None:
+        votes = votes.localCheckpoint(eager=True)
+        diag["n_voted_pairs"] = votes.count()
     sa = fsig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("frame_idx").alias("ka"),

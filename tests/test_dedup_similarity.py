@@ -2264,3 +2264,45 @@ def test_dhash_neardup_pigeonhole_on_randomized_pairs(spark):
     }
     for pair, d in expected.items():
         assert got.get(pair) == d, (pair, d, got.get(pair))
+
+
+def test_dhash_delta_neardup_cross_pairs_only_and_pigeonhole(spark):
+    """The multimodal delta tier (r16 late): only NEW×CORPUS pairs are
+    emitted — corpus-internal near-dups (already resolved in previous
+    snapshots) and new-internal near-dups (the self-join tier's job on
+    the delta) never appear; recall at the Hamming-7 boundary is the
+    self-join tier's pigeonhole guarantee unchanged; Hamming 8 with all
+    eight bands dirtied is correctly missed (contract, not a bug)."""
+    from yfinance_etl_spark.operators.dedup import dhash_delta_neardup
+
+    base = 0x0123456789ABCDEF
+    hi, lo = base >> 32, base & 0xFFFFFFFF
+
+    def flip_low_bits(lo_word, n):  # dirty n bits inside ONE band
+        return lo_word ^ ((1 << n) - 1)
+
+    new_rows = [
+        (1, hi, lo),                      # dup of corpus 10 (exact)
+        (2, hi, flip_low_bits(lo, 7)),    # dup of corpus 10 at Hamming 7
+        # Hamming 8 spread over all 8 bands vs corpus 10: every band dirty
+        (3, hi ^ 0x01010101, lo ^ 0x01010101),
+        (4, hi ^ 0xDEAD, lo),             # near-dup of NEW 1 only: no output
+    ]
+    corpus_rows = [
+        (10, hi, lo),
+        (11, hi, lo),                     # corpus-internal dup of 10: no output
+        (12, ~hi & 0xFFFFFFFF, ~lo & 0xFFFFFFFF),
+    ]
+    schema = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    got = {
+        (r.new_doc_id, r.corpus_doc_id): r.hamming
+        for r in dhash_delta_neardup(
+            spark.createDataFrame(new_rows, schema),
+            spark.createDataFrame(corpus_rows, schema),
+        ).collect()
+    }
+    assert got[(1, 10)] == 0 and got[(1, 11)] == 0
+    assert got[(2, 10)] == 7 and got[(2, 11)] == 7  # pigeonhole at the edge
+    assert not any(a == 3 for a, _ in got)  # 8 dirty bands: no seed, missed
+    assert not any(a == 4 for a, _ in got)  # new-internal pair: not this tier
+    assert not any(a in (10, 11, 12) for a, _ in got)  # corpus never re-pairs

@@ -863,3 +863,47 @@ def test_stream_ema_ttl_evicts_inactive_keys_with_batch_twin(spark, tmp_path):
     for u in range(1, 11):
         r = final_ema(out_ttl, u)
         assert r.n_events == 1 and abs(r.ema_value - float(u)) < 1e-12
+
+
+def test_stream_image_delta_foreachbatch_zero_state_and_batch_equality(spark, tmp_path):
+    """The multimodal delta stream (r16 late): same zero-streaming-state
+    mechanism as the text form (stateOperators empty in every progress),
+    and the sink equals the batch dhash_delta_neardup output on the same
+    split — with NO verify stage anywhere, each batch is one signature
+    map plus one asymmetric band join."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.multimodal.columns import (
+        image_dhash,
+        synthesize_png_assets,
+    )
+    from yfinance_etl_spark.operators.dedup import (
+        dhash_delta_neardup,
+        dhash_delta_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    pred = F.col("doc_id") % 10 < 2
+    sig_fn = lambda b: image_dhash(synthesize_png_assets(b.select("doc_id")))  # noqa: E731
+    corpus_sig = sig_fn(docs.filter(~pred)).localCheckpoint(eager=True)
+    stream = ST.read_documents_stream(spark, sf).filter(pred)
+    progresses = dhash_delta_stream(
+        stream, corpus_sig, sig_fn, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert len(progresses) >= 1
+    for p in progresses:
+        assert list(p["stateOperators"]) == []
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .drop("batch_id")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dhash_delta_neardup(
+            sig_fn(docs.filter(pred)), corpus_sig
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -383,6 +383,27 @@ AUDITS: dict[str, str] = {
         "square. No CartesianProduct, popcount verify before every "
         "aggregate."
     ),
+    "dedup_image_delta": (
+        "Cross-snapshot multimodal delta tier (r16 late): ONE "
+        "checkpointed signature pass over the full asset table "
+        "(ExistingRDD — the split-form cache rule), filtered into "
+        "new/corpus sides, then an ASYMMETRIC band equi-join (no "
+        "doc_id ordering predicate — cross-set by construction, the "
+        "corpus never re-pairs with itself) with the exact popcount "
+        "verify riding the join's own carried word columns — NO second "
+        "corpus-touching verify stage exists in the plan (the MinHash "
+        "delta's re-shingle join has no analog here). No Cartesian."
+    ),
+    "dedup_audio_offset": (
+        "Clipped-audio tier (r16 late): the SAME generic offset-vote "
+        "plan as dedup_video_offset — the per-frame signature frame "
+        "here comes from audio_frame_fingerprint (WAV decode + "
+        "fixed-length frame energies in one Arrow-batched python "
+        "stage, checkpointed once), and everything downstream (16-bit "
+        "seed bands, offset vote window, verify-at-offset equi join, "
+        "fraction rule) is video_neardup_offset unchanged — the plan "
+        "must be shape-identical to the video tier's."
+    ),
     "training_mix_bpe_budget": (
         "The recipe packing in the mix's own learned unit (r16): "
         "curation -> dedup -> quota unchanged; the picked frame (quota "
@@ -395,10 +416,11 @@ AUDITS: dict[str, str] = {
     ),
     "training_mix_full": (
         "The capstone composition (r16): text MinHash + image dHash + "
-        "audio fingerprint + video aligned + video OFFSET-VOTED pair "
-        "frames union into one both-ends-kept drop set (the video "
-        "tiers SHARE one checkpointed per-frame signature frame — the "
-        "decode runs once); the pick is the prefiltered quota form; "
+        "audio fingerprint + video aligned + video OFFSET-VOTED + "
+        "CLIPPED-audio offset pair frames union into one "
+        "both-ends-kept drop set (the video tiers SHARE one "
+        "checkpointed per-frame signature frame — the decode runs "
+        "once); the pick is the prefiltered quota form; "
         "shards are budgeted in the mix's own learned BPE unit (the "
         "learn ran at construction on the type-bounded picked frame). "
         "Every join equi-keyed, no Cartesian, nothing corpus-sized "

@@ -332,25 +332,11 @@ def simhash_neardup(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     return cand.filter(F.col("hamming") <= hamming_max).distinct()
 
 
-def dhash_neardup(sig: DataFrame, hamming_max: int = 7) -> DataFrame:
-    """Image near-dup over dHash signatures — the multimodal member of
-    the Hamming-LSH family (r14 verdict 'What's missing #3': every dedup
-    tier was text/embedding-side). Input is ``image_dhash``'s
-    (doc_id, dhash_hi, dhash_lo) frame: a 64-bit perceptual signature
-    split into two 32-bit words. Same banded shape as
-    ``simhash_neardup``, widened to EIGHT 8-bit bands (4 per word):
-    pairs within Hamming ≤ 7 have their differing bits in at most 7
-    bands, so at least one band matches exactly — recall 1.0 at the
-    default threshold by pigeonhole, not probability. Candidates verify
-    with the exact popcount over both words before the distinct, so the
-    dedup shuffle carries survivors only (the simhash_neardup r11
-    placement note applies unchanged).
-
-    At corpus scale the band join is the whole story: candidate volume
-    follows true near-dup density (plus 8/2^8 random band collisions),
-    never the image-pair square. Returns (doc_a, doc_b, hamming)."""
-    sig = sig.localCheckpoint(eager=True)
-    bands = sig.select(
+def _dhash_bands(sig: DataFrame) -> DataFrame:
+    """The 8 × 8-bit band explode over a dHash-word frame (4 bands per
+    32-bit word) — shared by the self-join tier (``dhash_neardup``) and
+    the cross-snapshot tier (``dhash_delta_neardup``)."""
+    return sig.select(
         "doc_id",
         "dhash_hi",
         "dhash_lo",
@@ -371,6 +357,74 @@ def dhash_neardup(sig: DataFrame, hamming_max: int = 7) -> DataFrame:
             )
         ).alias("bd"),
     ).select("doc_id", "dhash_hi", "dhash_lo", "bd.band_id", "bd.band_val")
+
+
+def dhash_delta_neardup(
+    new_sig: DataFrame, corpus_sig: DataFrame, hamming_max: int = 7
+) -> DataFrame:
+    """Cross-snapshot (delta) near-dup over dHash-word signatures — the
+    MULTIMODAL member of the delta-dedup family (``minhash_delta_neardup``
+    is the text member): dedup the NEW snapshot's image/audio signatures
+    against the EXISTING corpus's, never re-pairing the corpus with
+    itself. Accepts any frame in the (doc_id, dhash_hi, dhash_lo) word
+    contract — image dHash and whole-clip audio fingerprints both
+    qualify, so one persisted signature table per modality serves every
+    incremental crawl run.
+
+    Simpler than the text delta pass in exactly the way that matters at
+    scale: the 64-bit word IS the full signature, so the exact popcount
+    verify rides the band join's own carried columns — there is NO
+    second corpus-touching verify stage (MinHash needs the candidate
+    re-shingle; here an incremental run pays signature compute for the
+    delta plus ONE asymmetric band equi-join, full stop). Recall is the
+    self-join tier's pigeonhole guarantee unchanged (Hamming ≤ 7 ⇒ one
+    clean band of the 8).
+
+    Callers sharing one signature frame across both sides (the
+    split-form cache rule) should checkpoint the FULL frame once and
+    pass filtered views — this function deliberately does not
+    checkpoint its inputs. Returns (new_doc_id, corpus_doc_id,
+    hamming)."""
+    n, c = _dhash_bands(new_sig).alias("n"), _dhash_bands(corpus_sig).alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_val") == F.col("c.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            (
+                F.bit_count(F.col("n.dhash_hi").bitwiseXOR(F.col("c.dhash_hi")))
+                + F.bit_count(F.col("n.dhash_lo").bitwiseXOR(F.col("c.dhash_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        # a pair collides in up to 8 bands; report it once
+        .distinct()
+    )
+
+
+def dhash_neardup(sig: DataFrame, hamming_max: int = 7) -> DataFrame:
+    """Image near-dup over dHash signatures — the multimodal member of
+    the Hamming-LSH family (r14 verdict 'What's missing #3': every dedup
+    tier was text/embedding-side). Input is ``image_dhash``'s
+    (doc_id, dhash_hi, dhash_lo) frame: a 64-bit perceptual signature
+    split into two 32-bit words. Same banded shape as
+    ``simhash_neardup``, widened to EIGHT 8-bit bands (4 per word):
+    pairs within Hamming ≤ 7 have their differing bits in at most 7
+    bands, so at least one band matches exactly — recall 1.0 at the
+    default threshold by pigeonhole, not probability. Candidates verify
+    with the exact popcount over both words before the distinct, so the
+    dedup shuffle carries survivors only (the simhash_neardup r11
+    placement note applies unchanged).
+
+    At corpus scale the band join is the whole story: candidate volume
+    follows true near-dup density (plus 8/2^8 random band collisions),
+    never the image-pair square. Returns (doc_a, doc_b, hamming)."""
+    sig = sig.localCheckpoint(eager=True)
+    bands = _dhash_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = a.join(
         b,
@@ -666,6 +720,74 @@ def minhash_delta_neardup_split(
     return _delta_verified(cand, sa, sb, threshold)
 
 
+def _fresh_sink_guard(checkpoint_dir: str, out_dir: str, clear_sink: bool) -> None:
+    """The sink/checkpoint pairing contract shared by every
+    foreachBatch delta stream (see ``delta_neardup_stream``'s docstring
+    for the full rationale): URI-form paths are rejected (the os.path
+    guards cannot see them), and a FRESH checkpoint with an EXISTING
+    sink raises unless ``clear_sink=True`` explicitly opts into
+    clearing it — a new stream identity must never silently inherit (or
+    delete) batch_id directories from an earlier run."""
+    import os
+    import shutil
+
+    for label, p in (("checkpoint_dir", checkpoint_dir), ("out_dir", out_dir)):
+        if "://" in p or p.startswith("file:"):
+            raise ValueError(
+                f"{label} must be a plain local path (got {p!r}): the "
+                "fresh-checkpoint/fresh-sink pairing guard cannot see "
+                "URI-form paths"
+            )
+    if not os.path.isdir(checkpoint_dir) and os.path.isdir(out_dir):
+        if not clear_sink:
+            raise ValueError(
+                f"fresh checkpoint {checkpoint_dir!r} with existing sink "
+                f"{out_dir!r}: a new stream identity cannot safely share a "
+                "sink with an earlier run (stale batch_id directories would "
+                "surface as phantom pairs). Pass clear_sink=True to clear "
+                "the sink explicitly, or point at the original checkpoint."
+            )
+        shutil.rmtree(out_dir)
+
+
+def dhash_delta_stream(
+    new_stream: DataFrame,
+    corpus_sig: DataFrame,
+    sig_fn,
+    out_dir: str,
+    checkpoint_dir: str,
+    hamming_max: int = 7,
+    clear_sink: bool = False,
+) -> list:
+    """Continuous (streaming) form of ``dhash_delta_neardup`` — the
+    multimodal leg of the incremental-crawl family: new documents (with
+    their binary assets synthesized/decoded per batch by ``sig_fn``,
+    any batch-DataFrame → (doc_id, dhash_hi, dhash_lo) transform, e.g.
+    ``image_dhash ∘ synthesize_png_assets``) arrive as a STREAM; every
+    micro-batch signatures the DELTA alone and band-joins it against
+    the STATIC persisted corpus signature table inside ``foreachBatch``.
+
+    Globally exact with ZERO streaming state for the same reason as the
+    text form: a doc's whole signature derives from its single row, so
+    a cross pair materializes in exactly one batch — and with no
+    re-verify stage (the word IS the signature) each batch is literally
+    one map stage plus one asymmetric equi-join. Same idempotent
+    batch_id-scoped sink and fresh-checkpoint/fresh-sink guard as
+    ``delta_neardup_stream``; read the sink back with
+    ``read_delta_pairs``."""
+    from yfinance_etl_spark.streaming.streams import run_foreachbatch
+
+    _fresh_sink_guard(checkpoint_dir, out_dir, clear_sink)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = dhash_delta_neardup(sig_fn(batch_df), corpus_sig, hamming_max)
+        out.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return run_foreachbatch(new_stream, _batch, checkpoint_dir)
+
+
 def delta_neardup_stream(
     new_stream: DataFrame,
     corpus_bands: DataFrame,
@@ -727,33 +849,9 @@ def delta_neardup_stream(
     Reference analog: the re-download-and-recompute loop
     (streamlit_app.py:819-822) is the batch antipattern this replaces.
     """
-    import os
-    import shutil
-
     from yfinance_etl_spark.streaming.streams import run_foreachbatch
 
-    # URI-style paths would make the os.path guards below silently
-    # vacuous — reject them instead of skipping the contract
-    for label, p in (("checkpoint_dir", checkpoint_dir), ("out_dir", out_dir)):
-        if "://" in p or p.startswith("file:"):
-            raise ValueError(
-                f"{label} must be a plain local path (got {p!r}): the "
-                "fresh-checkpoint/fresh-sink pairing guard cannot see "
-                "URI-form paths"
-            )
-    # fresh checkpoint => fresh sink (docstring contract): a new stream
-    # identity must not inherit batch_id directories from an earlier run
-    # whose decomposition it won't reproduce
-    if not os.path.isdir(checkpoint_dir) and os.path.isdir(out_dir):
-        if not clear_sink:
-            raise ValueError(
-                f"fresh checkpoint {checkpoint_dir!r} with existing sink "
-                f"{out_dir!r}: a new stream identity cannot safely share a "
-                "sink with an earlier run (stale batch_id directories would "
-                "surface as phantom pairs). Pass clear_sink=True to clear "
-                "the sink explicitly, or point at the original checkpoint."
-            )
-        shutil.rmtree(out_dir)
+    _fresh_sink_guard(checkpoint_dir, out_dir, clear_sink)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if corpus_docs is None:

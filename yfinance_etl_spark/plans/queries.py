@@ -2583,6 +2583,84 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-snapshot IMAGE delta dedup (r16 late): the multimodal member of
+# the delta-dedup family. New-snapshot image signatures band-join the
+# static corpus signature table asymmetrically — the corpus never
+# re-pairs with itself, and because the 64-bit dHash word IS the full
+# signature there is no corpus-touching verify stage at all (the
+# popcount rides the band join's carried columns). Batch and streaming
+# (foreachBatch, zero streaming state) forms share one oracle — the
+# bounded-input stream/batch equivalence claim, multimodal edition.
+# ---------------------------------------------------------------------------
+
+_IMAGE_DELTA_SQL = f"""
+WITH {_image_pair_ctes()}
+SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       CAST(bit_count(xor(n.dhash_hi, c.dhash_hi))
+            + bit_count(xor(n.dhash_lo, c.dhash_lo)) AS INT) AS hamming
+FROM img_bands n
+JOIN img_bands c ON n.band_id = c.band_id AND n.band_val = c.band_val
+WHERE n.doc_id % 10 < 2 AND NOT (c.doc_id % 10 < 2)
+  AND bit_count(xor(n.dhash_hi, c.dhash_hi))
+      + bit_count(xor(n.dhash_lo, c.dhash_lo)) <= 7
+"""
+
+
+@_register("dedup_image_delta", _IMAGE_DELTA_SQL)
+def q_dedup_image_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form: ONE signature pass over the full asset table
+    (checkpointed — the split-form cache rule), filtered into the
+    new/corpus sides by the delta family's shared doc_id % 10 < 2
+    split, through the asymmetric band tier."""
+    from yfinance_etl_spark.multimodal.columns import (
+        image_dhash,
+        synthesize_png_assets,
+    )
+    from yfinance_etl_spark.operators.dedup import dhash_delta_neardup
+
+    pred = F.col("doc_id") % 10 < 2
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sig = image_dhash(synthesize_png_assets(docs)).localCheckpoint(eager=True)
+    return dhash_delta_neardup(sig.filter(pred), sig.filter(~pred))
+
+
+@_register("stream_image_delta_dedup", _IMAGE_DELTA_SQL)
+def q_stream_image_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form: new documents arrive as a stream, each
+    micro-batch synthesizes + decodes + dHashes ITS OWN assets (the
+    delta alone pays signature compute) and band-joins the static
+    checkpointed corpus signature table inside foreachBatch — zero
+    streaming state (per-batch exactness: a doc's signature derives
+    from its single row). Same oracle as the batch form."""
+    from yfinance_etl_spark.multimodal.columns import (
+        image_dhash,
+        synthesize_png_assets,
+    )
+    from yfinance_etl_spark.operators.dedup import (
+        dhash_delta_stream,
+        read_delta_pairs,
+    )
+    from yfinance_etl_spark.scratch import scratch_dir
+    from yfinance_etl_spark.streaming import streams as ST
+
+    pred = F.col("doc_id") % 10 < 2
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus_sig = image_dhash(
+        synthesize_png_assets(docs.filter(~pred))
+    ).localCheckpoint(eager=True)
+    new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
+    base = scratch_dir("yfinance_etl_stream_imgdelta", f"{sf_dir}:img", fresh=True)
+    dhash_delta_stream(
+        new_stream,
+        corpus_sig,
+        lambda b: image_dhash(synthesize_png_assets(b.select("doc_id"))),
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    return read_delta_pairs(spark, f"{base}/out")
+
+
+# ---------------------------------------------------------------------------
 # S6/S7 + L1: news-feed REST connector (paginated, query-pushdown) feeding
 # the sentiment scorer — the reference's fetch_news → TextBlob → bucket
 # pipeline (streamlit_app.py:464-481) as one lazy plan over the source
@@ -7305,6 +7383,8 @@ _WINDOW_PRIORITY = [
     # bpe_token_counts: driver tier default + zero-word-doc rows;
     # training_mix_recipe: drops-CTE restructure)
     "dedup_audio_offset",  # never (r16 late: clipped-audio tier)
+    "dedup_image_delta",  # never (r16 late: multimodal delta tier)
+    "stream_image_delta_dedup",  # never (r16 late: its streaming form)
     "bpe_tokenize",  # never
     "dedup_video_offset",  # never
     "training_mix_bpe_budget",  # never

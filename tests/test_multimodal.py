@@ -808,3 +808,35 @@ def test_training_mix_audio_seq_leg_drops_clipped_replica(spark):
         docs, audio_seq_assets=synthesize_audio_seq_assets(ids),
         total=3, budget=500).collect()}
     assert with_seq == {1, 20, 30}  # clipped replica 22 (of 20) dropped
+
+
+def test_video_delta_neardup_offset_cross_snapshot_only(spark):
+    """The sequence delta member (r16 late): with the %10<2 split, the
+    trimmed replica straddling the boundary (20 new / 22 corpus) is
+    found at voted offset −1 with every overlap frame close; the
+    boundary-straddling aligned replica (40 new / 39 corpus) at offset
+    0 with reversed roles; the shared-single-still pair (11 new /
+    8 corpus) fails the fraction; corpus-internal replicas — (6,7),
+    (17,18), (28,29), all corpus-side — generate NOTHING."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_delta_neardup_offset,
+        video_frame_dhash,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(45)], "doc_id long")
+    fsig = video_frame_dhash(synthesize_video_assets(docs))
+    got = {
+        (r.new_doc_id, r.corpus_doc_id): (r.offset, r.n_close_frames, r.n_frames_min)
+        for r in video_delta_neardup_offset(
+            fsig, F.col("doc_id") % 10 < 2
+        ).collect()
+    }
+    assert got[(20, 22)][0] == -1
+    assert got[(20, 22)][1] == got[(20, 22)][2]
+    assert got[(40, 39)][0] == 0  # roles reversed vs the self form
+    assert (11, 8) not in got and (8, 11) not in got
+    for pair in ((6, 7), (7, 6), (17, 18), (18, 17), (28, 29), (29, 28)):
+        assert pair not in got  # corpus never re-pairs with itself

@@ -383,6 +383,16 @@ AUDITS: dict[str, str] = {
         "square. No CartesianProduct, popcount verify before every "
         "aggregate."
     ),
+    "dedup_video_delta_offset": (
+        "The delta family's sequence member (r16 late): one "
+        "checkpointed per-frame signature pass (ExistingRDD) filtered "
+        "into new/corpus sides, asymmetric 16-bit seed band equi-join "
+        "(disjoint sides — no ordering predicate, the corpus never "
+        "re-pairs with itself), then the SHARED vote window + "
+        "verify-at-offset equi-join + fraction tail of the self form — "
+        "plan shape identical to dedup_video_offset except the seed "
+        "join's side filters. No Cartesian."
+    ),
     "dedup_image_delta": (
         "Cross-snapshot multimodal delta tier (r16 late): ONE "
         "checkpointed signature pass over the full asset table "

@@ -331,7 +331,16 @@ def video_neardup_offset(
     the quota_sample/kmeans eager-contract precedent."""
     fsig = fsig.localCheckpoint(eager=True)
     nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    bands = fsig.select(
+    bands = _offset_bands(fsig)
+    a, b = bands.alias("a"), bands.alias("b")
+    seeds = _offset_seeds(a, b, F.col("a.doc_id") < F.col("b.doc_id"), hamming_max)
+    return _offset_vote_verify(seeds, fsig, nframes, hamming_max, min_frac, diag)
+
+
+def _offset_bands(fsig: DataFrame) -> DataFrame:
+    """The 4 × 16-bit seed-band explode over a per-frame signature frame
+    — shared by the self-join and delta offset tiers."""
+    return fsig.select(
         "doc_id",
         "frame_idx",
         "dhash_hi",
@@ -356,13 +365,19 @@ def video_neardup_offset(
         "doc_id", "frame_idx", "dhash_hi", "dhash_lo",
         "bd.band_id", "bd.band_val",
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    seeds = (
+
+
+def _offset_seeds(a: DataFrame, b: DataFrame, side_pred, hamming_max: int) -> DataFrame:
+    """Seed join over two aliased band frames: band equi-key plus
+    ``side_pred`` (doc ordering for the self form; nothing extra for
+    the delta form, whose sides are already disjoint), popcount filter,
+    one distinct vote per frame pair."""
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & side_pred,
         )
         .filter(
             F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
@@ -378,6 +393,19 @@ def video_neardup_offset(
         # a frame pair collides in up to 4 bands; one vote each
         .distinct()
     )
+
+
+def _offset_vote_verify(
+    seeds: DataFrame,
+    fsig: DataFrame,
+    nframes: DataFrame,
+    hamming_max: int,
+    min_frac: float,
+    diag: dict | None,
+) -> DataFrame:
+    """Stages 2-3 of the offset tier (vote → verify-at-offset →
+    fraction rule), shared by the self-join and delta forms — the seed
+    frame is the only stage that differs between them."""
     if diag is not None:
         seeds = seeds.localCheckpoint(eager=True)
         diag["n_seed_pairs"] = seeds.count()
@@ -433,4 +461,51 @@ def video_neardup_offset(
             >= F.ceil(F.lit(min_frac) * F.col("n_frames_min"))
         )
         .select("doc_a", "doc_b", "offset", "n_close_frames", "n_frames_min")
+    )
+
+
+def video_delta_neardup_offset(
+    fsig: DataFrame,
+    new_pred,
+    hamming_max: int = 7,
+    min_frac: float = 0.5,
+    diag: dict | None = None,
+) -> DataFrame:
+    """Cross-snapshot OFFSET-TOLERANT sequence near-dup (r16 late) —
+    the delta member of the offset family, closing the square: every
+    modality now has a self-join AND a delta tier, and the sequence
+    modalities (video frames, audio clip frames) get offset voting in
+    BOTH. New-snapshot sequences band-join the corpus's per-frame
+    signatures asymmetrically (the corpus never re-pairs with itself —
+    its internal offset structure was resolved in previous runs), then
+    the SAME vote → verify-at-offset → fraction tail as the self form.
+
+    One-table split form (the ``minhash_delta_neardup_split`` /
+    ``dedup_image_delta`` shape): both snapshots live in ``fsig`` and
+    ``new_pred`` (a Column predicate over doc_id) marks the NEW side —
+    signatures are per-frame, so filter-after == filter-before and the
+    one checkpointed full-table signature frame serves the seed sides,
+    the verify, AND the frame counts. A row where ``new_pred``
+    evaluates NULL lands on the CORPUS side (coalesced — a missing
+    snapshot marker must never drop a doc from the pass). In
+    production ``fsig`` is the persisted per-frame signature parquet;
+    an incremental run unions the delta's freshly-decoded frames.
+
+    Returns (new_doc_id, corpus_doc_id, offset, n_close_frames,
+    n_frames_min)."""
+    new_pred = F.coalesce(new_pred, F.lit(False))
+    fsig = fsig.localCheckpoint(eager=True)
+    nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    bands = _offset_bands(fsig)
+    a = bands.filter(new_pred).alias("a")
+    b = bands.filter(~new_pred).alias("b")
+    seeds = _offset_seeds(a, b, F.lit(True), hamming_max)
+    return _offset_vote_verify(
+        seeds, fsig, nframes, hamming_max, min_frac, diag
+    ).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("corpus_doc_id"),
+        "offset",
+        "n_close_frames",
+        "n_frames_min",
     )

@@ -5984,10 +5984,12 @@ def _video_offset_ctes(p: str = "vid_") -> str:
 {_video_offset_tail(p)}"""
 
 
-def _video_offset_tail(p: str = "vid_") -> str:
+def _video_offset_tail(p: str = "vid_", side_cond: str = "a.doc_id < b.doc_id") -> str:
     """The offset-tier CTEs WITHOUT the signature chain — composable
     after ``_video_pair_ctes`` (which already carries ``{p}sig`` /
-    ``{p}nfr``) in the full-recipe oracle."""
+    ``{p}nfr``) in the full-recipe oracle. ``side_cond`` swaps the
+    self form's doc ordering for the delta form's disjoint-side split
+    (the only stage the two forms differ in)."""
     return f"""{p}obands AS (
   SELECT doc_id, k, h_hi, h_lo, b AS band_id,
          CASE WHEN b < 2 THEN (h_hi >> (16*b)) & 65535
@@ -5998,7 +6000,7 @@ def _video_offset_tail(p: str = "vid_") -> str:
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS ka, b.k AS kb
   FROM {p}obands a
   JOIN {p}obands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-               AND a.doc_id < b.doc_id
+               AND {side_cond}
   WHERE bit_count(xor(a.h_hi, b.h_hi))
         + bit_count(xor(a.h_lo, b.h_lo)) <= 7
 ),
@@ -6033,6 +6035,35 @@ _VIDEO_OFFSET_SQL = f"""
 WITH {_video_offset_ctes()}
 SELECT doc_a, doc_b, "offset", n_close_frames, n_frames_min FROM vid_opairs
 """
+
+
+_VIDEO_DELTA_OFFSET_SQL = f"""
+WITH {_video_sig_ctes()},
+{_video_offset_tail(side_cond="a.doc_id % 10 < 2 AND NOT (b.doc_id % 10 < 2)")}
+SELECT doc_a AS new_doc_id, doc_b AS corpus_doc_id, "offset",
+       n_close_frames, n_frames_min
+FROM vid_opairs
+"""
+
+
+@_register("dedup_video_delta_offset", _VIDEO_DELTA_OFFSET_SQL)
+def q_dedup_video_delta_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot offset-voting video delta (r16 late): the delta
+    family's sequence member. One per-frame signature pass over the
+    full asset table (checkpointed — the split-form rule), the delta
+    family's shared doc_id % 10 < 2 split, asymmetric 16-bit seed
+    bands, then the shared vote → verify-at-offset → fraction tail. A
+    trimmed re-upload straddling the snapshot boundary is found at its
+    voted offset; corpus-internal structure generates zero candidates."""
+    from yfinance_etl_spark.multimodal.video import (
+        synthesize_video_assets,
+        video_delta_neardup_offset,
+        video_frame_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fsig = video_frame_dhash(synthesize_video_assets(docs))
+    return video_delta_neardup_offset(fsig, F.col("doc_id") % 10 < 2)
 
 
 @_register("dedup_video_offset", _VIDEO_OFFSET_SQL)
@@ -7385,6 +7416,7 @@ _WINDOW_PRIORITY = [
     "dedup_audio_offset",  # never (r16 late: clipped-audio tier)
     "dedup_image_delta",  # never (r16 late: multimodal delta tier)
     "stream_image_delta_dedup",  # never (r16 late: its streaming form)
+    "dedup_video_delta_offset",  # never (r16 late: sequence delta member)
     "bpe_tokenize",  # never
     "dedup_video_offset",  # never
     "training_mix_bpe_budget",  # never

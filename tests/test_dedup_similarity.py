@@ -1402,9 +1402,10 @@ def test_pq_recall_curve_and_exact_scores(spark):
 def test_pq_encode_and_reconstruct_are_map_side(spark):
     """The scale claims plan-pinned: encoding is ONE projection (no
     Exchange, no join, no Python node — all m codebook literals ride the
-    same select), and reconstruction adds only broadcast hash joins
-    against the tiny code->centroid frames (corpus never shuffles to be
-    decoded)."""
+    same select), and since r16 reconstruction is a single projection
+    too (map-literal ``element_at`` decode — the pre-r16 form paid one
+    BroadcastExchange + hash join per subspace for the same doubles):
+    the corpus never shuffles OR joins to be decoded."""
     from yfinance_etl_spark.operators.pq import pq_codes, pq_reconstruct, pq_train
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1415,8 +1416,7 @@ def test_pq_encode_and_reconstruct_are_map_side(spark):
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan, py_op
     rplan = pq_reconstruct(codes, books)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in rplan, rplan
-    assert rplan.count("BroadcastHashJoin") == 4, rplan
+    assert "Exchange" not in rplan and "Join" not in rplan, rplan
 
 
 def test_signature_store_append_completes_the_crawl_cycle(spark, tmp_path):
@@ -1605,6 +1605,41 @@ def test_pq_train_full_dim_finite_check_and_null_vector(spark):
     )
     with _pytest.raises(ValueError, match="NULL or non-finite"):
         pq_train(emb_null, m=4, k=1, iters=1)
+
+
+def test_pq_train_batched_rounds_match_per_subspace_kmeans(spark):
+    """The r16 batched pq_train (one aggregate job per Lloyd round for
+    all m subspaces) must return BIT-IDENTICAL codebooks to the previous
+    form — m independent ``kmeans`` calls over the slices — because five
+    registered ann_* query hashes flow through these books. Same seeds
+    (k smallest vec_ids), same decimal cell means and rounding, same
+    reseed rule, so exact float equality is the contract, not isclose."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.clustering import kmeans
+    from yfinance_etl_spark.operators.pq import PQ_ITERS, PQ_K, PQ_M, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batched = pq_train(emb)
+
+    # the pre-r16 form, verbatim: slice, per-subspace kmeans, collect
+    vec = F.col("embedding").cast("array<double>")
+    first = emb.select(vec.alias("v")).first()
+    w = len(first["v"]) // PQ_M
+    reference = []
+    for i in range(PQ_M):
+        sliced = emb.select(
+            "vec_id", F.slice(vec, i * w + 1, w).alias("embedding")
+        )
+        _, cent_df = kmeans(
+            sliced, k=PQ_K, iters=PQ_ITERS, vec_col="embedding",
+            check_finite=False,
+        )
+        reference.append(sorted(
+            (int(r.cent_id), [float(x) for x in r.cent])
+            for r in cent_df.collect()
+        ))
+    assert batched == reference
 
 
 def test_scaled_plane_count_rule_and_bounds(spark):

@@ -32,6 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from yfinance_etl_spark.operators.partitioning import spread
+
 SAMPLE_RATE = 8000
 N_BASE, N_MOD = 160, 320  # clip length: N_BASE + doc_id % N_MOD samples
 
@@ -120,7 +122,7 @@ def synthesize_audio_assets(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
 
-    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+    return spread(docs.select("doc_id")).mapInPandas(synth, AUDIO_ASSET_SCHEMA)
 
 
 #: fingerprint geometry: 65 equal-ish time frames -> 64 adjacent energy
@@ -175,7 +177,7 @@ def synthesize_audio_fp_assets(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
 
-    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+    return spread(docs.select("doc_id")).mapInPandas(synth, AUDIO_ASSET_SCHEMA)
 
 
 def audio_fingerprint(assets: DataFrame) -> DataFrame:
@@ -329,7 +331,7 @@ def synthesize_audio_seq_assets(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
 
-    return docs.select("doc_id").mapInPandas(synth, AUDIO_ASSET_SCHEMA)
+    return spread(docs.select("doc_id")).mapInPandas(synth, AUDIO_ASSET_SCHEMA)
 
 
 def audio_frame_fingerprint(

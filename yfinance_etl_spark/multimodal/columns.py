@@ -36,6 +36,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from yfinance_etl_spark.operators.partitioning import spread
 from pyspark.sql import functions as F
 
 #: optional imaging backend — found via find_spec at import time, never a
@@ -708,7 +710,7 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
 
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         gen,
         "doc_id bigint, content binary, "
         "meta struct<kind: string, width: int, height: int, mime: string>",

@@ -34,6 +34,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from yfinance_etl_spark.operators.partitioning import spread
 from pyspark.sql import functions as F
 
 from yfinance_etl_spark.multimodal.columns import (
@@ -178,7 +180,7 @@ def synthesize_video_assets(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "content", "meta"])
 
-    return docs.select("doc_id").mapInPandas(gen, VIDEO_ASSET_SCHEMA)
+    return spread(docs.select("doc_id")).mapInPandas(gen, VIDEO_ASSET_SCHEMA)
 
 
 def video_frame_dhash(assets: DataFrame) -> DataFrame:

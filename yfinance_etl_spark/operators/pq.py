@@ -36,7 +36,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yfinance_etl_spark.operators.clustering import _sqdist, kmeans
+from yfinance_etl_spark.operators.clustering import _sqdist
 from yfinance_etl_spark.operators.similarity import _rank_topk, cosine
 
 #: default geometry: 4 subspaces × 8 centroids over the 64-dim fixture —
@@ -90,11 +90,32 @@ def pq_train(
     runs ONCE on the FULL-dim frame before slicing (a check on slice 0
     alone would let a NaN/inf confined to a later slice bypass the named
     guard and surface rounds later as an unnamed ANSI/centroid-literal
-    error — r12 review); it also rejects NULL vectors, so the dim probe
+    error — r12 review); it also rejects NULL vectors, so the seed probe
     below can never see one. ``check_finite=False`` skips that scan when
     the input is PROVABLY finite already — the IVFPQ build passes it for
     residuals (finite vector − finite centroid cannot be NaN/inf at
-    embedding magnitudes), saving one full-corpus pass per snapshot."""
+    embedding magnitudes), saving one full-corpus pass per snapshot.
+
+    The m trainings share ONE job chain (r16 optimization): one
+    checkpoint of the full-dim frame (the m slices are views of it), one
+    seed collect (the k smallest vec_ids seed every subspace — same rows,
+    sliced driver-side), and per Lloyd round ONE single-scan aggregate
+    job computing all m × k × (dim/m) centroid cells: the m argmin
+    assignments ride one projection as an array of cent_ids, the full
+    vector posexplodes once, and (sub, pos, cent_id) are recovered
+    arithmetically — map-side partials, k·dim cells total. The previous
+    form ran m independent ``kmeans`` calls (thread-pooled), each paying
+    its own checkpoint, seed collect, and per-round collect: ~4× the job
+    count and m scans per round for identical arithmetic — the
+    per-subspace assign expressions, decimal cell means, 9 dp rounding,
+    and starved-cluster farthest-point reseed (run per subspace only
+    when a cluster actually starves) are unchanged, so the books are
+    bit-identical (equivalence test: tests/test_dedup_similarity.py::
+    test_pq_train_batched_rounds_match_per_subspace_kmeans)."""
+    from yfinance_etl_spark.functions.scalar import STAT_SCALE, dsum
+    from yfinance_etl_spark.operators.clustering import COORD_DECIMALS
+    from yfinance_etl_spark.operators.partitioning import spread
+
     emb = embeddings.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("vec")
     )
@@ -102,36 +123,114 @@ def pq_train(
         from yfinance_etl_spark.operators.similarity import check_finite_vectors
 
         check_finite_vectors(emb, "vec", "vec_id")
-    first = emb.select("vec").first()
-    dim = len(first["vec"]) if first else 0
+    vecs = spread(emb).localCheckpoint(eager=True)
+    # seed = the k SMALLEST vec_ids of the (shared) frame — identical to
+    # seeding each slice independently, since slicing preserves vec_id
+    seed_rows = vecs.orderBy("vec_id").limit(k).collect()
+    dim = len(seed_rows[0]["vec"]) if seed_rows else 0
     if dim == 0 or dim % m:
         raise ValueError(f"PQ needs dim divisible by m; got dim={dim}, m={m}")
     w = dim // m
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (int(r["vec_id"]), [float(x) for x in r["vec"][i * w : (i + 1) * w]])
+            for r in seed_rows
+        ]
+        for i in range(m)
+    ]
 
-    def train_one(i: int) -> list[tuple[int, list[float]]]:
-        sliced = emb.select(
-            "vec_id", F.slice("vec", i * w + 1, w).alias("embedding")
-        )
-        _, cent_df = kmeans(
-            sliced, k=k, iters=iters, vec_col="embedding",
-            # the full-dim frame was checked above; re-checking every
-            # slice would pay m extra scans for nothing
-            check_finite=False,
-        )
-        return sorted(
-            (int(r.cent_id), [float(x) for x in r.cent])
-            for r in cent_df.collect()
+    def sub_col(i: int):
+        return F.slice(F.col("vec"), i * w + 1, w)
+
+    def assigned_sub(i: int) -> DataFrame:
+        """(vec_id, svec, cent_id, d2) for subspace i — the exact
+        ``clustering.assign`` algebra over the slice expression."""
+        best = F.array_min(_book_candidates(sub_col(i), books[i]))
+        return vecs.select(
+            "vec_id",
+            sub_col(i).alias("svec"),
+            best["cent_id"].alias("cent_id"),
+            best["d2"].alias("d2"),
         )
 
-    # the m trainings are independent and each round is a SMALL job
-    # (assign scan + k·(dim/m)-cell agg + k-row collects), so wall time is
-    # dominated by per-job scheduling overhead, not compute — submit them
-    # concurrently (the cache.cache_shared_stages pattern; results are
-    # deterministic per subspace regardless of scheduling order)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        return list(pool.map(train_one, range(m)))
+    for _ in range(iters):
+        # ONE aggregate job — and ONE SCAN — for all m subspaces: the m
+        # argmin assignments ride a single projection as an array of
+        # cent_ids, the FULL vector posexplodes once, and each exploded
+        # cell recovers its (sub, pos) coordinates and centroid id
+        # arithmetically (sub = p div w, pos = p mod w, cent_id =
+        # cids[sub]). The earlier union-of-m-branches form scanned the
+        # checkpoint m times per round and carried an m×-larger
+        # expression tree through analysis/codegen — measured 2.8-3.0 s
+        # vs 0.8-1.0 s per round at the sf0.1 fixture for identical
+        # cells. Two-step select because Spark 4.1 drops HOF-lambda
+        # struct field aliases when a generator shares the projection
+        # (the argmin struct resolves as col1/col2 beside posexplode),
+        # so the cent_id extraction must land before the explode.
+        cids = F.array(
+            *[
+                F.array_min(_book_candidates(sub_col(i), books[i]))["cent_id"]
+                for i in range(m)
+            ]
+        )
+        sub = (F.col("p") / w).cast("int")
+        cells = (
+            vecs.select(cids.alias("cids"), "vec")
+            .select("cids", F.posexplode("vec").alias("p", "val"))
+            .select(
+                sub.alias("sub"),
+                F.element_at("cids", sub + 1).alias("cent_id"),
+                F.pmod("p", F.lit(w)).cast("int").alias("pos"),
+                "val",
+            )
+            .groupBy("sub", "cent_id", "pos")
+            .agg(
+                F.round(dsum("val", STAT_SCALE) / F.count("val"), COORD_DECIMALS)
+                .cast("double")
+                .alias("cval")
+            )
+            .collect()
+        )
+        grids: list[dict[int, list[tuple[int, float]]]] = [{} for _ in range(m)]
+        for r in cells:
+            grids[r["sub"]].setdefault(r["cent_id"], []).append(
+                (r["pos"], r["cval"])
+            )
+        new_books = []
+        for i in range(m):
+            cents = sorted(
+                (cid, [v for _, v in sorted(pv)]) for cid, pv in grids[i].items()
+            )
+            missing = sorted(
+                {cid for cid, _ in books[i]} - {cid for cid, _ in cents}
+            )
+            if missing:
+                # deterministic farthest-point reseed, per starving
+                # subspace only (clustering._reseed_starved semantics:
+                # max d2 under this round's assignment, ties → smallest
+                # vec_id; at most k rows to the driver)
+                far = (
+                    assigned_sub(i)
+                    .orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+                    .limit(len(missing))
+                    .collect()
+                )
+                if len(far) < len(missing):
+                    raise ValueError(
+                        f"k-means cannot preserve k: {len(missing)} starved "
+                        f"clusters but only {len(far)} points available to "
+                        "reseed"
+                    )
+                cents = sorted(
+                    cents
+                    + [
+                        (cid, [float(x) for x in r["svec"]])
+                        for cid, r in zip(missing, far)
+                    ]
+                )
+            new_books.append(cents)
+        books = new_books
+    return [sorted((int(c), [float(x) for x in v]) for c, v in b) for b in books]
 
 
 def pq_codes(
@@ -184,25 +283,50 @@ def read_pq_codes(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _vec_map(rows: list[tuple[int, list[float]]]):
+    """``map(id → array<double>)`` LITERAL from driver-side (id, coords)
+    rows — the decode side of the ``_book_candidates`` literal-matrix
+    discipline. One SQL-parsed expression instead of a createDataFrame +
+    broadcast-hash-join pair per lookup table (r16: each removed join
+    was a BroadcastExchange + build in the plan; the codebooks/centroids
+    are config-sized driver values by construction, so a projection
+    lookup is their natural form). Same non-finite literal guard as the
+    candidate side: repr(nan)/repr(inf) would corrupt the SQL literal
+    into a parse error naming nothing."""
+    bad = [i for i, coords in rows
+           if not all(math.isfinite(float(x)) for x in coords)]
+    if bad:
+        raise ValueError(
+            f"lookup table contains non-finite coordinates (id={bad}); "
+            "clean the embedding column before indexing"
+        )
+    entries = ",".join(
+        f"{int(cid)}L,array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+        for cid, coords in rows
+    )
+    return F.expr(f"map({entries})")
+
+
 def pq_reconstruct(
     codes: DataFrame, books: list[list[tuple[int, list[float]]]],
     carry: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """(vec_id, label, rvec): decode codes back to the quantized vector —
-    m broadcast joins against the tiny (code → centroid) frames (k rows
-    each) followed by one concat. Map-side end to end: the corpus never
-    shuffles to be decoded, which is what makes stage-1 scoring over
-    reconstructions a pure scan."""
-    spark = codes.sparkSession
-    out = codes
-    for i, book in enumerate(books):
-        cdf = spark.createDataFrame(
-            [(int(cid), [float(x) for x in coords]) for cid, coords in book],
-            f"code_{i} bigint, cent_{i} array<double>",
-        )
-        out = out.join(F.broadcast(cdf), f"code_{i}")
-    rvec = F.concat(*[F.col(f"cent_{i}") for i in range(len(books))])
-    return out.select("vec_id", *carry, rvec.alias("rvec"))
+    one map-literal lookup per subspace (``element_at`` against the
+    k-entry codebook map) plus one concat, a SINGLE PROJECTION end to
+    end. Every code is a codebook cent_id by construction (``pq_codes``
+    emits only ids from ``books``), so the lookup is total — the
+    pre-r16 form spelled the same decode as m broadcast hash joins,
+    paying m BroadcastExchanges + builds per consumer for identical
+    values. The corpus never shuffles to be decoded, which is what
+    makes stage-1 scoring over reconstructions a pure scan."""
+    rvec = F.concat(
+        *[
+            F.element_at(_vec_map(book), F.col(f"code_{i}").cast("long"))
+            for i, book in enumerate(books)
+        ]
+    )
+    return codes.select("vec_id", *carry, rvec.alias("rvec"))
 
 
 def pq_topk(
@@ -332,12 +456,18 @@ def build_ivfpq_index(
     from yfinance_etl_spark.operators.similarity import ivf_assign
 
     assigned, cents = ivf_assign(embeddings, k_centroids)
+    # the coarse centroids are driver rows by construction (ivf_assign
+    # collected them to build its literal assign matrix) — attach them
+    # as a map literal instead of re-entering via a broadcast join
+    # (r16: one BroadcastExchange less in the build, same doubles)
+    cvec = F.element_at(
+        _vec_map(_cent_rows(cents)), F.col("list_id").cast("long")
+    )
     resid = (
-        assigned.join(cents, assigned.list_id == cents.cent_id)
-        .select(
+        assigned.select(
             "vec_id",
             "list_id",
-            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
+            F.zip_with("vec", cvec, lambda x, y: x - y).alias("residual"),
         )
         .localCheckpoint(eager=True)
     )
@@ -431,19 +561,15 @@ def append_ivfpq_index(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     check_finite_vectors(emb, "vec", "vec_id")
-    cent_rows = sorted(
-        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
-        for r in idx.centroids.collect()
-    )
+    cent_rows = _cent_rows(idx.centroids)
     assigned = ivf_assign_to(new_embeddings, cent_rows)
-    cents = F.broadcast(idx.centroids)
-    resid = (
-        assigned.join(cents, assigned.list_id == cents.cent_id)
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("vec", "cent_vec", lambda x, y: x - y).alias("residual"),
-        )
+    cvec = F.element_at(
+        _vec_map(cent_rows), F.col("list_id").cast("long")
+    )
+    resid = assigned.select(
+        "vec_id",
+        "list_id",
+        F.zip_with("vec", cvec, lambda x, y: x - y).alias("residual"),
     )
     codes = pq_codes(resid, idx.books, vec_col="residual", carry=("list_id",))
     write_partitioned(
@@ -622,20 +748,36 @@ def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     return IvfPqIndex(codes, cents, books)
 
 
-def _ivfpq_reconfull(index: IvfPqIndex) -> DataFrame:
+def _cent_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a centroid table to sorted driver rows — config-sized by
+    the IvfPqIndex contract (k_centroids rows), the same driver traffic
+    the pre-r16 BroadcastExchange of this table carried."""
+    return sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+        for r in centroids.collect()
+    )
+
+
+def _ivfpq_reconfull(
+    index: IvfPqIndex, cent_rows: list[tuple[int, list[float]]] | None = None
+) -> DataFrame:
     """(vec_id, list_id, rfull): the index's full reconstruction —
-    coarse centroid + residual decode, map-side broadcast joins end to
-    end. Shared by the probe path and the quantization-error monitor so
-    the reconstruction algebra cannot drift between them."""
-    cents = F.broadcast(index.centroids)
+    coarse centroid + residual decode as ONE map-literal projection
+    (every list_id is a centroid id by construction, so the
+    ``element_at`` lookup is total — the pre-r16 broadcast-join form
+    computed the same sum through one BroadcastExchange per consumer).
+    Shared by the probe path and the quantization-error monitor so the
+    reconstruction algebra cannot drift between them. ``cent_rows``
+    lets a caller that already collected the (config-sized) centroid
+    table share the rows instead of re-collecting."""
+    if cent_rows is None:
+        cent_rows = _cent_rows(index.centroids)
     recon_res = pq_reconstruct(index.codes, index.books, carry=("list_id",))
-    return (
-        recon_res.join(cents, recon_res.list_id == cents.cent_id)
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("rvec", "cent_vec", lambda x, y: x + y).alias("rfull"),
-        )
+    cvec = F.element_at(_vec_map(cent_rows), F.col("list_id").cast("long"))
+    return recon_res.select(
+        "vec_id",
+        "list_id",
+        F.zip_with("rvec", cvec, lambda x, y: x + y).alias("rfull"),
     )
 
 
@@ -883,8 +1025,8 @@ def ivfpq_topk(
         raise ValueError(
             f"rerank_factor must be an int or 'auto', got {rerank_factor!r}"
         )
-    cents = F.broadcast(index.centroids)
-    recon = _ivfpq_reconfull(index)
+    cent_rows = _cent_rows(index.centroids)
+    recon = _ivfpq_reconfull(index, cent_rows)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
     )
@@ -895,19 +1037,35 @@ def ivfpq_topk(
     q = emb.filter(qpred).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
-    # probe selection: the query's n_probe highest-cosine coarse lists
-    # (the ivf_topk expression, shared tie policy)
-    from pyspark.sql import Window
-
-    probe_scored = q.crossJoin(cents).select(
-        "q_id", "q_vec", "cent_id",
-        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim"),
+    # probe selection: the query's n_probe highest-cosine coarse lists —
+    # the ivf_assign_to literal-matrix candidates (same (-round(sim,6),
+    # cent_id) struct order = sim desc, ties lowest id), array_sorted and
+    # sliced MAP-SIDE on the query rows. The pre-r16 form crossJoined the
+    # broadcast centroid table and ranked with Window.partitionBy(q_id):
+    # one BroadcastExchange + one shuffle/sort stage over n_q·k rows to
+    # pick the same n_probe ids this projection picks in place.
+    cand = F.transform(
+        F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in coords) + ")"
+                for _, coords in cent_rows
+            ) + ")"
+        ),
+        lambda cent, i: F.struct(
+            (-F.round(cosine(F.col("q_vec"), cent), 6)).alias("neg_sim"),
+            F.expr(
+                "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
+            )[i].alias("cent_id"),
+        ),
     )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     probes = F.broadcast(
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "q_vec", F.col("cent_id").alias("list_id"))
+        q.select(
+            "q_id", "q_vec",
+            F.slice(F.array_sort(cand), 1, n_probe).alias("pl"),
+        ).select(
+            "q_id", "q_vec",
+            F.explode(F.col("pl")["cent_id"]).alias("list_id"),
+        )
     )
     stage1 = (
         recon.join(probes, "list_id")

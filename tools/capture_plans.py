@@ -23,9 +23,17 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
+    warm = "--cache" in names
+    names = [n for n in names if n != "--cache"]
     os.makedirs(OUT, exist_ok=True)
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
+    if warm:
+        # mirror bench conditions: shared-stage cache entries substitute
+        # into matching subplans, which is part of the claimed plan shape
+        from yfinance_etl_spark.cache import cache_shared_stages
+
+        cache_shared_stages(spark, SF_DIR)
     for name in names:
         df = REGISTRY[name].fn(spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

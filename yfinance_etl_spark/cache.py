@@ -15,9 +15,15 @@ Nothing here changes results: cache substitution is purely physical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from yfinance_etl_spark.catalog import load_table
-from yfinance_etl_spark.operators.dedup import doc_hashes, doc_shingles, jaccard_pairs
+from yfinance_etl_spark.operators.dedup import (
+    char_grams,
+    doc_hashes,
+    doc_shingles,
+    jaccard_pairs,
+)
 from yfinance_etl_spark.operators.rag import chunk_embeddings, doc_embeddings
 from yfinance_etl_spark.operators.windows import daily_bars
 
@@ -47,6 +53,21 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         # thresholded consumers + a slim (doc_a, doc_b) frame for the
         # contrastive miner's anti-join fallback.
         jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None),
+        # the HASHED character-gram frame (doc_id, pos, xxhash64(gm))
+        # every ExactSubstr-family match join rebuilds — and rebuilds
+        # TWICE per query, once per side of the gram-hash self-join
+        # (_hashed_gram_matches; r16). Cached in the narrow hashed form,
+        # not the 32-char gram strings: numeric columns only (~30 MB at
+        # sf0.1, corpus-chars-linear rows — the same bound the gram
+        # shuffle itself carries), and measured SAFE where the string
+        # form was not (caching the gram strings made repeated
+        # substring_dup_winnowed executions progressively slower:
+        # 13 → 25 → 30 s across three same-session reps vs a flat
+        # ~7 s uncached — the hashed form is flat at 2.4/4.3/7.8 s for
+        # spans/cut/winnowed with spans ~2× faster than uncached).
+        char_grams(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "pos", F.xxhash64("gm").alias("h")
+        ),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),
         # whole-doc embeddings: computed on BOTH branches of the

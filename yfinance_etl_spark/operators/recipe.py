@@ -90,7 +90,21 @@ def training_mix(
     if diag is not None:
         drops = drops.localCheckpoint(eager=True)
     surv = kept.join(drops, "doc_id", "left_anti")
-    picked = quota_sample(surv, "source", key="doc_id", total=total, salt=salt)
+    # Decide on small rows, attach the payload once (guide §8 / r16):
+    # quota_sample runs TWO eager scans of its input at call time (the
+    # stratum-count checkpoint and the survivor checkpoint) — fed the
+    # full (doc_id, source, text) survivor frame, each scan re-ran the
+    # ENTIRE curation + text-MinHash + modality-pair pipeline upstream
+    # of the (lazy) drop join. Checkpointing just the (doc_id, source)
+    # proxy runs that pipeline ONCE, the quota pick ranks id-sized rows,
+    # and the sample-sized picked frame joins text back from the source
+    # corpus (AQE broadcasts the picked side — the corpus is never
+    # shuffled to be re-attached). Pick semantics depend only on
+    # (source, doc_id), so the sample is row-identical.
+    surv_ids = surv.select("doc_id", "source").localCheckpoint(eager=True)
+    picked = quota_sample(
+        surv_ids, "source", key="doc_id", total=total, salt=salt
+    ).join(docs.select("doc_id", "text"), "doc_id")
     if budget_unit == "bpe":
         from yfinance_etl_spark.operators.bpe import bpe_learn, bpe_token_counts
 

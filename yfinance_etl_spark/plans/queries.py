@@ -2030,7 +2030,7 @@ def q_stream_ema_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TTL'd (production-eviction) form of the stateful EMA under
     the processing-time trigger it requires, hash-gated (r13 verdict
     #4). Determinism against trigger timing is BY CONSTRUCTION: the
-    events are re-laid-out hash-partitioned by user_id into 4 files and
+    events are re-laid-out hash-partitioned by user_id into 2 files and
     fed one file per trigger, so every key's full history arrives in
     exactly ONE micro-batch — its published EMA is the fold over all
     its rows no matter when the TTL later evicts its state, and the
@@ -2047,7 +2047,13 @@ def q_stream_ema_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("yfinance_etl_ema_ttl", sf_dir, fresh=True)
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    ev.repartition(4, "user_id").write.mode("overwrite").parquet(f"{base}/src")
+    # 2 hash-partitioned files (r16; was 4): the determinism contract
+    # only needs each key's FULL history in one micro-batch, which any
+    # user_id hash layout gives — per-batch cost is dominated by the
+    # applyInPandasWithState stage's fixed work, so fewer, larger
+    # batches at 8 state partitions measured ~2x faster (10-15 s ->
+    # ~5.5 s interleaved) with identical published rows
+    ev.repartition(2, "user_id").write.mode("overwrite").parquet(f"{base}/src")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2055,6 +2061,7 @@ def q_stream_ema_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ST.run_update_processing_trigger(
         ST.ema_stream(stream, alpha=0.1, ttl_ms=200),
+        state_partitions=8,
         drained_state_rows=0,
         timeout_sec=30.0,
     )

@@ -1345,9 +1345,10 @@ def _ed_passjoin_candidates(d: DataFrame, k: int) -> DataFrame:
     * PROBE side: each doc emits, for every partner length L within ±k of
       its own, every block number, and every start shift in [-k, k], the
       hash of the substring a matching partner block would occupy:
-      bounded (2k+1)·(k+1)·(2k+1) emissions per doc (405 at k=4; a
-      constant, deduplicated before the join — adjacent L often yield
-      identical substrings).
+      bounded (2k+1)·(k+1)·(2k+1) emissions per doc (405 at k=4, a
+      constant; adjacent L often hash identical substrings, but the
+      ~1.2× repetition rides the existing join shuffle instead of
+      paying its own distinct exchange — see the in-line note).
 
     Completeness: if lev(a,b) <= k, at least one of a's k+1 blocks is
     untouched by the <= k edits (pigeonhole) and appears contiguously in
@@ -1396,7 +1397,15 @@ def _ed_passjoin_candidates(d: DataFrame, k: int) -> DataFrame:
             "blk",
             F.xxhash64(F.expr("substr(text, pos, blen)")).alias("h"),
         )
-        .distinct()
+        # NO .distinct() here (r16, guide §2.4): probe emissions repeat
+        # only when adjacent (L, shift) windows hash identical substrings
+        # — measured ~1.2× duplication on the fixture corpus, a
+        # text-local, scale-invariant factor — so the distinct bought a
+        # ~17% row cut at the price of a FULL exchange of the
+        # corpus×405-emission probe frame (its largest shuffle; 4.2 vs
+        # 2.2 s on the probe stage alone at sf0.1). Duplicate emissions
+        # only multiply already-matching join rows, and ``pairs``
+        # dedups below — the candidate SET is provably identical.
     )
     pairs = (
         idx.join(probe, ["blk", "plen", "h"])
@@ -1829,15 +1838,31 @@ def substring_contamination(
     ExactSubstr diagonal machinery, then collapses to one row per
     candidate doc.
     """
-    # split BEFORE gramming: the predicate is a map-side filter on the
-    # doc scan, so neither gram side ever joins back to a doc-level flag
-    bench = char_grams(docs.filter(bench_pred), min_len).select(
+    # split AFTER gramming (r16; was filter-before-gram): the predicate
+    # is still a map-side filter — Catalyst pushes it below the explode
+    # when it references only doc_id — and both sides now share ONE
+    # unfiltered char_grams subplan, the exact frame the shared-stage
+    # cache pins (cache.py: the hashed gram entry), so neither side
+    # re-explodes the corpus when that stage is resident. CONTRACT
+    # (tightened, all callers conform): ``bench_pred`` must reference
+    # only ``doc_id`` — it filters the gram frame, which carries no
+    # other doc column.
+    grams = char_grams(docs, min_len)
+    bench = grams.filter(bench_pred).select(
         F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
         F.xxhash64("gm").alias("h"), "gm",
     )
-    cand = char_grams(docs.filter(~bench_pred), min_len).select(
-        F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
-        F.xxhash64("gm").alias("h"),
+    # the candidate side never needs the gram string (the verify
+    # re-derives it from text), so it builds on the HASHED gram subplan
+    # — hash-select first, filter on top, exactly the shared-cache
+    # entry's shape so the resident stage substitutes for the
+    # corpus-majority side
+    cand = (
+        grams.select("doc_id", "pos", F.xxhash64("gm").alias("h"))
+        .filter(~bench_pred)
+        .select(
+            F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h"
+        )
     )
     ta = docs.filter(~bench_pred).select(
         F.col("doc_id").alias("da"), F.col("text").alias("__ta")

@@ -77,17 +77,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    cached = cache_shared_stages(spark, sf_dir)
     # Warm the scan path of every base table the cache stage doesn't touch
     # (codegen compile + footer reads + page cache): otherwise whichever
     # query the registry puts FIRST absorbs ~1s of suite-wide cold-start
     # and reads as a phantom regression (price_band_join: 2.0s cold vs
-    # 0.7s warm). Untimed setup, like a cluster's steady state.
+    # 0.7s warm). Untimed setup, like a cluster's steady state. The warms
+    # are tiny independent scans, so they run CONCURRENTLY with the cache
+    # materialization (guide §2.6 back-fill — they ride the cache stage's
+    # idle tail instead of adding ~2 s of sequential jobs after it).
+    from concurrent.futures import ThreadPoolExecutor
+
     from yfinance_etl_spark.catalog import TABLES, load_table
 
-    for t in TABLES:
-        if t not in ("lineitem", "documents"):  # cached above
-            materialize(load_table(spark, sf_dir, t))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        warm_futs = [
+            pool.submit(materialize, load_table(spark, sf_dir, t))
+            for t in TABLES
+            if t not in ("lineitem", "documents")  # cached below
+        ]
+        cached = cache_shared_stages(spark, sf_dir)
+        for f in warm_futs:
+            f.result()
     setup_sec = time.perf_counter() - t0
 
     # Heavy queries (per-invocation index builds / streaming loops) run

@@ -38,21 +38,6 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         doc_shingles(load_table(spark, sf_dir, "documents")),
         # map-only but md5-dense: shared by the MinHash and SimHash queries
         doc_hashes(load_table(spark, sf_dir, "documents")),
-        # the inverted-index self-join the pair/clustering/graph queries
-        # build on — cached UNFILTERED (r14) so thresholded consumers
-        # substitute Filter(InMemoryRelation) and the contrastive-pair
-        # miner (which needs below-threshold pairs too) hits the same entry.
-        # Size measured at bench scale (r14 advice): 20.3 MB at sf0.1,
-        # the largest entry but ~40% of a ~50 MB total against a 128 GiB
-        # heap — no eviction pressure on the other shared stages. The
-        # bound is structural, not lucky: jaccard_pairs' candidate set is
-        # banded (shared-shingle pairs under the 0.5 max-df cap), so the
-        # frame grows with true near-pair density, not the doc-pair
-        # square. If a future corpus pushes this entry past ~10% of
-        # storage memory, split it: a floor-filtered pair frame for the
-        # thresholded consumers + a slim (doc_a, doc_b) frame for the
-        # contrastive miner's anti-join fallback.
-        jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None),
         # the HASHED character-gram frame (doc_id, pos, xxhash64(gm))
         # every ExactSubstr-family match join rebuilds — and rebuilds
         # TWICE per query, once per side of the gram-hash self-join
@@ -74,16 +59,38 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         # embedding-cosine dedup self-join unless cached
         doc_embeddings(load_table(spark, sf_dir, "documents")),
     ]
-    for df in cached:
+    # the inverted-index self-join the pair/clustering/graph queries
+    # build on — cached UNFILTERED (r14) so thresholded consumers
+    # substitute Filter(InMemoryRelation) and the contrastive-pair
+    # miner (which needs below-threshold pairs too) hits the same entry.
+    # Size measured at bench scale (r14 advice): 20.3 MB at sf0.1,
+    # the largest entry but ~40% of a ~50 MB total against a 128 GiB
+    # heap — no eviction pressure on the other shared stages. The
+    # bound is structural, not lucky: jaccard_pairs' candidate set is
+    # banded (shared-shingle pairs under the 0.5 max-df cap), so the
+    # frame grows with true near-pair density, not the doc-pair
+    # square. If a future corpus pushes this entry past ~10% of
+    # storage memory, split it: a floor-filtered pair frame for the
+    # thresholded consumers + a slim (doc_a, doc_b) frame for the
+    # contrastive miner's anti-join fallback.
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None)
+    for df in [*cached, pairs]:
         df.cache()
     # materialize eagerly so queries only ever read memory; submit the
     # jobs concurrently (one per cached frame) — they contend on different
     # inputs (lineitem vs documents) and local[32] has idle cores during
-    # each one's tail stages
+    # each one's tail stages. jaccard_pairs materializes in a SECOND wave:
+    # its shingle self-join builds ON the doc_shingles entry, and racing
+    # an UNmaterialized shingle cache in wave 1 made both sides recompute
+    # the documents explode per partition (measured: 6.4 s concurrent vs
+    # ~3 s over the materialized entry — r16 session 2); every other
+    # entry is an independent base, so wave 1 is maximally parallel.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(cached)) as pool:
         list(pool.map(lambda df: df.count(), cached))
+    pairs.count()
+    cached.append(pairs)
     return cached
 
 

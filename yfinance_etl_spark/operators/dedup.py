@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from yfinance_etl_spark.operators.partitioning import spread as _spread
-from yfinance_etl_spark.operators.text import fingerprint, word_shingles
+from yfinance_etl_spark.operators.text import fingerprint, tokens, word_shingles
 
 N_HASHES = 16
 BAND_ROWS = 4  # → 4 bands of 4 rows: S-curve midpoint (1/4)^(1/4) ≈ 0.707,
@@ -73,15 +73,29 @@ def doc_hashes(docs: DataFrame) -> DataFrame:
     groupBy(doc_id) round-trip (the previous shape) paid a full shuffle of
     every (doc, shingle) pair for nothing. At 100 TB that shuffle is the
     difference between a map-only signature stage and terabytes of
-    exchange. Docs with no shingles (< n tokens) keep an empty array and
-    are filtered by the signature ops, matching the exploded form where
-    they simply had no rows.
-    """
+    exchange.
+
+    Docs with no shingles (< n tokens, or NULL text) are EXCLUDED here,
+    by a CHEAP precondition on the token count placed BEFORE the md5
+    projection (r16). The previous contract — emit an empty array, let
+    each signature op ``filter(size(hs) > 0)`` — collapsed the entire
+    shingle+md5 HOF into the filter CONDITION, which Catalyst then
+    pushed below the ``_spread`` exchange: on a non-cached input (the
+    delta/stream banding paths) the engine's densest expression ran
+    TWICE per row, once of those on the scan's own few partitions
+    (measured: 2.4 s vs 0.7 s for a 1.6k-doc delta at sf0.1 — the
+    single-partition filter pass dominated the operator). The token-
+    count precondition is exactly ``word_shingles``'s non-empty guard
+    (size(tokens) - (n-1) >= 1 ⇔ hs non-empty; NULL text sizes to -1
+    and drops, as the empty array did), so the row set every signature
+    op consumed is unchanged — the ops simply no longer need their own
+    filter."""
     hs = F.transform(
         F.array_distinct(word_shingles("text")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    return _spread(docs).select("doc_id", hs.alias("hs"))
+    nonempty = docs.filter(F.size(tokens("text")) >= 3)  # word_shingles n=3
+    return _spread(nonempty).select("doc_id", hs.alias("hs"))
 
 
 @F.pandas_udf(ArrayType(LongType()))
@@ -192,7 +206,7 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     to recombine what was never apart. max |a·h| < 2⁵·2³² ≪ 2⁶³, no
     overflow.) A band is the '|'-join of its BAND_ROWS consecutive minima.
     """
-    minh = doc_hashes(docs).filter(F.size("hs") > 0).select(
+    minh = doc_hashes(docs).select(
         "doc_id", minhash_sigs_udf("hs").alias("mh")
     ).select(
         "doc_id",
@@ -229,10 +243,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     matrix runs in the Arrow/numpy twin (``simhash_sig_udf``); the
     Catalyst reference form lives in ``simhash_sig_catalyst``.
     """
-    return (
-        doc_hashes(docs)
-        .filter(F.size("hs") > 0)
-        .select("doc_id", simhash_sig_udf("hs").alias("simhash"))
+    return doc_hashes(docs).select(
+        "doc_id", simhash_sig_udf("hs").alias("simhash")
     )
 
 
@@ -1558,7 +1570,12 @@ def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
     )
 
 
-def _hashed_gram_matches(grams: DataFrame, docs: DataFrame, L: int) -> DataFrame:
+def _hashed_gram_matches(
+    grams: DataFrame,
+    docs: DataFrame,
+    L: int,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
     """Verified intra-corpus gram matches (da, db, pa, pb) via the
     NARROW-key join: the corpus-chars-sized gram frame crosses the match
     shuffle as (doc_id, pos, xxhash64(gm)) — an 8-byte key instead of the
@@ -1569,8 +1586,19 @@ def _hashed_gram_matches(grams: DataFrame, docs: DataFrame, L: int) -> DataFrame
     re-derives both grams from the original texts (two doc_id-keyed joins
     against ``docs`` — text-sized, i.e. ~40x lighter than re-shuffling
     the gram frame) and keeps the row iff they are equal, so an xxhash64
-    collision can only ever ADD work, never a wrong span."""
+    collision can only ever ADD work, never a wrong span.
+
+    ``doc_filter`` (a (doc_id) frame) restricts the match join to grams
+    of the listed docs via a semi-join placed AFTER the hash projection
+    — the filter-after-gramming rule (r16, the substring_contamination
+    precedent): a per-row projection commutes with a doc_id semi-join,
+    and hashing FIRST keeps the hashed-gram subplan exactly the frame
+    ``cache_shared_stages`` pins, so a filtered consumer (the winnowed
+    tier's candidate-doc slice) substitutes the shared InMemoryRelation
+    instead of re-gramming the corpus per side."""
     hg = grams.select("doc_id", "pos", F.xxhash64("gm").alias("h"))
+    if doc_filter is not None:
+        hg = hg.join(doc_filter, "doc_id", "left_semi")
     a, b = hg.alias("a"), hg.alias("b")
     cand = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1662,8 +1690,18 @@ def substring_dup_spans(
         )
     # fingerprint candidate join stays ON THE GRAM: the set is already
     # ~2/(w+1) of all grams, and a hash-only key would admit collision
-    # pairs the md5-selection oracle replay does not
-    fp = winnow_select(grams, winnow_w)
+    # pairs the md5-selection oracle replay does not.
+    #
+    # EAGER in the winnowed tier (r16; kmeans/quota_sample precedent):
+    # the fingerprint frame is consumed by BOTH candidate-join sides,
+    # and the candidate frame by three more consumers (both branches of
+    # the doc_id union and the match semi-join) — Spark re-executes a
+    # duplicated subtree per consumer, so without the checkpoints the
+    # per-doc winnow window (the tier's dominant stage: corpus-grams
+    # rows through an md5-keyed sliding min) ran twice and the candidate
+    # join up to three times per action. Both frames are
+    # fingerprint-/pair-sized, far below the gram blow-up.
+    fp = winnow_select(grams, winnow_w).localCheckpoint(eager=True)
     fa, fb = fp.alias("fa"), fp.alias("fb")
     cand = (
         fa.join(
@@ -1675,16 +1713,16 @@ def substring_dup_spans(
             F.col("fa.doc_id").alias("da"), F.col("fb.doc_id").alias("db")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     docs_in = (
         cand.select(F.col("da").alias("doc_id"))
         .unionByName(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    g2 = grams.join(docs_in, "doc_id", "left_semi")
-    matches = _hashed_gram_matches(g2, docs, min_len).join(
-        cand, ["da", "db"], "left_semi"
-    )
+    matches = _hashed_gram_matches(
+        grams, docs, min_len, doc_filter=docs_in
+    ).join(cand, ["da", "db"], "left_semi")
     return _merge_diagonal_spans(matches, min_len)
 
 

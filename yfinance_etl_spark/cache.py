@@ -23,6 +23,7 @@ from yfinance_etl_spark.operators.dedup import (
     doc_hashes,
     doc_shingles,
     jaccard_pairs,
+    minhash_bands,
 )
 from yfinance_etl_spark.operators.rag import chunk_embeddings, doc_embeddings
 from yfinance_etl_spark.operators.windows import daily_bars
@@ -74,7 +75,14 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     # thresholded consumers + a slim (doc_a, doc_b) frame for the
     # contrastive miner's anti-join fallback.
     pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=None)
-    for df in [*cached, pairs]:
+    # the full-table banded MinHash signature frame: the corpus side of
+    # every delta/crawl/stream dedup query (bands.filter(corp) =
+    # Filter(InMemoryRelation)) plus the lsh/banded self-join tiers and
+    # the recipes' text pair stage — ~11 suite consumers rebuild this
+    # exact subplan (r16). 4 rows/doc of (long, int, string): tiny.
+    bands = minhash_bands(load_table(spark, sf_dir, "documents"))
+    wave2 = [pairs, bands]
+    for df in [*cached, *wave2]:
         df.cache()
     # materialize eagerly so queries only ever read memory; submit the
     # jobs concurrently (one per cached frame) — they contend on different
@@ -89,8 +97,12 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
     with ThreadPoolExecutor(max_workers=len(cached)) as pool:
         list(pool.map(lambda df: df.count(), cached))
-    pairs.count()
-    cached.append(pairs)
+    # wave 2: pairs builds ON the doc_shingles entry, bands ON doc_hashes
+    # — both now materialized, so these two read memory (and are
+    # independent of each other, hence their own small pool)
+    with ThreadPoolExecutor(max_workers=len(wave2)) as pool:
+        list(pool.map(lambda df: df.count(), wave2))
+    cached.extend(wave2)
     return cached
 
 

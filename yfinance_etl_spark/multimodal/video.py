@@ -206,7 +206,10 @@ def video_frame_dhash(assets: DataFrame) -> DataFrame:
 
 
 def video_neardup(
-    fsig: DataFrame, hamming_max: int = 7, min_frac: float = 0.5
+    fsig: DataFrame,
+    hamming_max: int = 7,
+    min_frac: float = 0.5,
+    checkpointed: bool = False,
 ) -> DataFrame:
     """Temporal near-dup over per-frame dHash signatures: band-join
     candidates keyed on (frame_idx, band_id, band_val) — alignment IS
@@ -219,8 +222,12 @@ def video_neardup(
     frame is never missed — recall of the frame stage is 1.0 by
     construction, and the fraction rule on top is exact arithmetic.
 
-    Returns (doc_a, doc_b, n_close_frames, n_frames_min)."""
-    fsig = fsig.localCheckpoint(eager=True)
+    ``checkpointed=True`` asserts the caller already checkpointed
+    ``fsig`` (the multimodal recipe shares one frame across both video
+    tiers) — re-checkpointing a checkpoint is a redundant full copy job
+    (r16). Returns (doc_a, doc_b, n_close_frames, n_frames_min)."""
+    if not checkpointed:
+        fsig = fsig.localCheckpoint(eager=True)
     nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     bands = fsig.select(
         "doc_id",
@@ -293,6 +300,7 @@ def video_neardup_offset(
     hamming_max: int = 7,
     min_frac: float = 0.5,
     diag: dict | None = None,
+    checkpointed: bool = False,
 ) -> DataFrame:
     """OFFSET-TOLERANT temporal near-dup (r16, closes r15 missing #4):
     the aligned tier requires ``a.frame_idx == b.frame_idx``, so a
@@ -330,8 +338,10 @@ def video_neardup_offset(
     pairs, ``n_voted_pairs``: candidate pairs entering verify) for the
     scale sweep / production monitoring. Requesting it localCheckpoints
     the seed and vote frames — eager Spark jobs at construction time,
-    the quota_sample/kmeans eager-contract precedent."""
-    fsig = fsig.localCheckpoint(eager=True)
+    the quota_sample/kmeans eager-contract precedent.
+    ``checkpointed=True``: see :func:`video_neardup`."""
+    if not checkpointed:
+        fsig = fsig.localCheckpoint(eager=True)
     nframes = fsig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     bands = _offset_bands(fsig)
     a, b = bands.alias("a"), bands.alias("b")

@@ -1541,31 +1541,39 @@ def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
     gram somewhere inside it: any shared substring of
     >= L + w - 1 characters is GUARANTEED a shared fingerprint.
 
-    The (hash, pos) argmin travels as one lexicographic string key
-    (fixed-width md5 hex + ':' + zero-padded pos) so a single windowed
-    MIN computes it — the identical expression runs in DuckDB, which is
-    what keeps the winnowed tier oracle-replayable; the gram itself rides
+    The (hash, pos) argmin travels as a struct-min over
+    (unhex(md5), pos): Spark orders BINARY unsigned-lexicographically,
+    and fixed-width lowercase hex is a monotone image of its bytes
+    ('0'–'9' < 'a'–'f' maps nibble order 0–15 order-preservingly), so
+    the 16-byte digest selects the SAME gram as the oracle's md5-hex
+    string comparison while each sliding-window comparison touches 16
+    bytes instead of a 43-char concat (md5 hex + ':' + zero-padded pos
+    — the pre-r16 key, which also paid the concat/lpad per row and a
+    substring-parse to recover pos). pos breaks digest ties numerically
+    — identical to the zero-padded suffix — and is unique per row, so
+    the gm field never participates in the comparison. The gram rides
     the same struct-min, so no join back to the gram frame is needed to
-    recover fingerprint content. Cost: one window per document ordered by
-    pos (a doc-partitioned sort, no cross-doc shuffle beyond the doc_id
-    hash), output ~2/(w+1) of the grams."""
-    key = F.concat(
-        F.md5(F.col("gm")), F.lit(":"), F.lpad(F.col("pos").cast("string"), 10, "0")
-    )
+    recover fingerprint content. Cost: one window per document ordered
+    by pos (a doc-partitioned sort, no cross-doc shuffle beyond the
+    doc_id hash), output ~2/(w+1) of the grams."""
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(-(w - 1), Window.currentRow)
     )
-    # struct min orders field-by-field; mk embeds pos so it is unique per
-    # row and the gm field never participates in the comparison
     sel = grams.select(
         "doc_id",
-        F.min(F.struct(key.alias("mk"), F.col("gm"))).over(win).alias("s"),
+        F.min(
+            F.struct(
+                F.unhex(F.md5(F.col("gm"))).alias("mh"),
+                F.col("pos"),
+                F.col("gm"),
+            )
+        ).over(win).alias("s"),
     ).distinct()
     return sel.select(
         "doc_id",
-        F.substring("s.mk", 34, 10).cast("bigint").alias("pos"),
+        F.col("s.pos").cast("bigint").alias("pos"),
         F.col("s.gm").alias("gm"),
     )
 

@@ -170,6 +170,8 @@ def training_mix_multimodal(
     Scale shape: each tier is the already-plan-pinned banded equi-join
     (no Cartesian anywhere); the union is pair-frame-sized; everything
     downstream is the text recipe unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from yfinance_etl_spark.multimodal.audio import (
         audio_fingerprint,
         audio_frame_fingerprint,
@@ -182,19 +184,46 @@ def training_mix_multimodal(
     )
     from yfinance_etl_spark.operators.dedup import dhash_neardup
 
-    asset_pairs = []
-    if image_assets is not None:
-        asset_pairs.append(dhash_neardup(image_dhash(image_assets)))
-    if audio_assets is not None:
-        asset_pairs.append(dhash_neardup(audio_fingerprint(audio_assets)))
-    if video_assets is not None:
+    # Each tier eagerly checkpoints its signature frame at construction
+    # (their documented eager contracts), so building the list inline ran
+    # 3-5 INDEPENDENT synthesis+decode+checkpoint jobs back to back while
+    # most cores idled through each job's small tail stages. Submit the
+    # per-modality constructions from a thread pool instead (guide §2.6
+    # overlap; the scheduler interleaves their stages) and collect in a
+    # FIXED order — the drop-set union is order-insensitive (distinct on
+    # doc_id), but determinism costs nothing. The video pair is one task:
+    # its two tiers share the checkpointed frame sequentially by design.
+    def _image():
+        return dhash_neardup(image_dhash(image_assets))
+
+    def _audio():
+        return dhash_neardup(audio_fingerprint(audio_assets))
+
+    def _video():
         fsig = video_frame_dhash(video_assets)
         if include_video_offset:
             fsig = fsig.localCheckpoint(eager=True)  # shared by both tiers
-            asset_pairs.append(video_neardup_offset(fsig))
-        asset_pairs.append(video_neardup(fsig))
+            return [
+                video_neardup_offset(fsig, checkpointed=True),
+                video_neardup(fsig, checkpointed=True),
+            ]
+        return [video_neardup(fsig)]
+
+    def _audio_seq():
+        return [video_neardup_offset(audio_frame_fingerprint(audio_seq_assets))]
+
+    tasks = []
+    if image_assets is not None:
+        tasks.append(lambda: [_image()])
+    if audio_assets is not None:
+        tasks.append(lambda: [_audio()])
+    if video_assets is not None:
+        tasks.append(_video)
     if audio_seq_assets is not None:
-        asset_pairs.append(
-            video_neardup_offset(audio_frame_fingerprint(audio_seq_assets))
-        )
+        tasks.append(_audio_seq)
+    asset_pairs: list[DataFrame] = []
+    if tasks:
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for frames in pool.map(lambda fn: fn(), tasks):
+                asset_pairs.extend(frames)
     return training_mix(docs, asset_pairs=asset_pairs, **kwargs)

@@ -1787,6 +1787,11 @@ def cut_dup_spans(docs: DataFrame, min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
     # split — the rebuild's empty gap segment makes that equivalent)
     wd = Window.partitionBy("doc_id").orderBy("s0", "e0")
     prev_max = F.max("e0").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    # EAGER (r16; kmeans/quota_sample precedent): the merged-interval
+    # frame feeds THREE plan branches (gaps, tails, stats) — without the
+    # checkpoint each branch re-executed the whole match join + both
+    # window passes upstream of it. Interval-sized (pairs sharing text),
+    # far below the gram blow-up.
     merged = (
         cuts.withColumn(
             "ng",
@@ -1798,6 +1803,7 @@ def cut_dup_spans(docs: DataFrame, min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
         )
         .groupBy("doc_id", "grp")
         .agg(F.min("s0").alias("cs"), F.max("e0").alias("ce"))
+        .localCheckpoint(eager=True)
     )
     # kept segments, 1-based substring coordinates: the gap BEFORE each
     # cut ([prev_ce+2, cs] — empty when cuts touch) and the tail after

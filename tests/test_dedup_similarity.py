@@ -644,6 +644,58 @@ def test_winnow_select_is_content_defined(spark):
     assert any(g in mid for g in shared_sel), (sel[0], sel[1])
 
 
+def test_winnow_binary_min_key_matches_legacy_hex_concat_key(spark):
+    """Pin the r16/r17 key equivalence (ADVICE r16): the struct-min over
+    (unhex(md5(gm)), pos) must select the SAME gram per window as the
+    legacy concat key  md5-hex || ':' || lpad(pos)  — i.e. unsigned
+    BINARY ordering of the 16-byte digest is a monotone image of the
+    lowercase-hex string collation the DuckDB oracle compares, with pos
+    as the identical numeric tie-break. Repetitive text maximises digest
+    near-ties (the same gram recurs at many positions inside one
+    window, so selection repeatedly falls through to the pos
+    tie-break)."""
+    from pyspark.sql import functions as F
+
+    from yfinance_etl_spark.operators.dedup import char_grams, winnow_select
+
+    rep = ("abcd" * 40) + "xyz" + ("abcd" * 40)  # heavy gram repetition
+    docs = spark.createDataFrame(
+        [(0, rep), (1, "zz" + rep[: len(rep) // 2])],
+        "doc_id bigint, text string",
+    )
+    grams = char_grams(docs, 32)
+    got = {
+        (r.doc_id, r.pos, r.gm) for r in winnow_select(grams, 8).collect()
+    }
+    # legacy selection, computed directly over the same gram frame
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    key = F.concat(
+        F.md5("gm"), F.lit(":"), F.lpad(F.col("pos").cast("string"), 10, "0")
+    )
+    legacy = (
+        grams.select(
+            "doc_id",
+            F.min(F.struct(key.alias("k"), F.col("pos"), F.col("gm")))
+            .over(win)
+            .alias("s"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.col("s.pos").cast("bigint").alias("pos"),
+            F.col("s.gm").alias("gm"),
+        )
+    )
+    want = {(r.doc_id, r.pos, r.gm) for r in legacy.collect()}
+    assert got == want
+
+
 def test_substring_contamination_hand_computed(spark):
     from pyspark.sql import functions as F
 

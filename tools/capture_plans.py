@@ -1,6 +1,7 @@
 """Capture `.explain("formatted")` for registered queries into
-plans/r16/<query>_<tag>.txt — the judge-facing before/after plan
-artifacts for the optimization rounds.
+plans/<round>/<query>_<tag>.txt — the judge-facing before/after plan
+artifacts for the optimization rounds (round dir via $PLANS_ROUND,
+default r17).
 
 Usage: python tools/capture_plans.py <tag> <query> [...]
        python tools/capture_plans.py after --all-touched   (reads names from stdin)
@@ -17,7 +18,7 @@ from yfinance_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r16")
+                   "plans", os.environ.get("PLANS_ROUND", "r17"))
 
 
 def main() -> int:

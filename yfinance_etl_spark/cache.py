@@ -15,16 +15,23 @@ Nothing here changes results: cache substitution is purely physical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from yfinance_etl_spark.catalog import load_table
 from yfinance_etl_spark.operators.dedup import (
-    char_grams,
     doc_hashes,
     doc_shingles,
+    hashed_grams,
     jaccard_pairs,
     minhash_bands,
 )
+from yfinance_etl_spark.multimodal.audio import (
+    audio_fingerprint,
+    audio_frame_fingerprint,
+    synthesize_audio_fp_assets,
+    synthesize_audio_seq_assets,
+)
+from yfinance_etl_spark.multimodal.columns import image_dhash, synthesize_png_assets
+from yfinance_etl_spark.multimodal.video import synthesize_video_assets, video_frame_dhash
 from yfinance_etl_spark.operators.rag import chunk_embeddings, doc_embeddings
 from yfinance_etl_spark.operators.windows import daily_bars
 
@@ -39,26 +46,51 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         doc_shingles(load_table(spark, sf_dir, "documents")),
         # map-only but md5-dense: shared by the MinHash and SimHash queries
         doc_hashes(load_table(spark, sf_dir, "documents")),
-        # the HASHED character-gram frame (doc_id, pos, xxhash64(gm))
-        # every ExactSubstr-family match join rebuilds — and rebuilds
-        # TWICE per query, once per side of the gram-hash self-join
-        # (_hashed_gram_matches; r16). Cached in the narrow hashed form,
-        # not the 32-char gram strings: numeric columns only (~30 MB at
-        # sf0.1, corpus-chars-linear rows — the same bound the gram
-        # shuffle itself carries), and measured SAFE where the string
-        # form was not (caching the gram strings made repeated
+        # the DIGEST character-gram frame (doc_id, pos, xxhash64(gm),
+        # unhex(md5(gm))) every ExactSubstr-family match join rebuilds —
+        # and rebuilds TWICE per query, once per side of the gram-hash
+        # self-join (_hashed_gram_matches; r16) — plus, r17, the md5
+        # selection key the winnowing fingerprint pass spent ~2.1 s/query
+        # recomputing over every gram. Cached in the narrow digest form,
+        # not the 32-char gram strings: numeric/binary columns only
+        # (~50 MB at sf0.1, corpus-chars-linear rows — the same bound the
+        # gram shuffle itself carries), and measured SAFE where the
+        # string form was not (caching the gram strings made repeated
         # substring_dup_winnowed executions progressively slower:
         # 13 → 25 → 30 s across three same-session reps vs a flat
-        # ~7 s uncached — the hashed form is flat at 2.4/4.3/7.8 s for
-        # spans/cut/winnowed with spans ~2× faster than uncached).
-        char_grams(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "pos", F.xxhash64("gm").alias("h")
-        ),
+        # ~7 s uncached — the hashed form is flat, with spans ~2× faster
+        # than uncached). Consumers project the digest they need off the
+        # shared frame; InMemoryTableScan prunes the other column.
+        hashed_grams(load_table(spark, sf_dir, "documents")),
         # chunk+embed is the pandas-UDF stage both RAG queries share
         chunk_embeddings(load_table(spark, sf_dir, "documents")),
         # whole-doc embeddings: computed on BOTH branches of the
         # embedding-cosine dedup self-join unless cached
         doc_embeddings(load_table(spark, sf_dir, "documents")),
+        # the four MODALITY SIGNATURE frames (r17, VERDICT item 1): each is
+        # the synthesize→decode→signature mapInPandas chain that the
+        # standalone dedup queries AND both training-mix capstones rebuild —
+        # the capstones re-synthesized every modality's assets per query.
+        # Cached post-signature (corpus-row-sized ints: doc_id + hash
+        # words), so one Python pass per suite covers 9 consumers:
+        # dedup_{image_phash,image_delta,audio_fingerprint,video_frames,
+        # video_offset,video_delta_offset,audio_offset},
+        # training_mix_{multimodal,full} (+ stream_image_delta_dedup's
+        # corpus side). Measured (this box, warm): 2.6 s to materialize all
+        # four in parallel vs −17 s summed across those consumers
+        # (capstones −3.2/−5.3 alone). At 100 TB this is the guide-§8
+        # decide-on-small-rows discipline applied across queries: decode
+        # once, share the signature proxy, never re-decode the payload.
+        image_dhash(synthesize_png_assets(load_table(spark, sf_dir, "documents"))),
+        audio_fingerprint(
+            synthesize_audio_fp_assets(load_table(spark, sf_dir, "documents"))
+        ),
+        video_frame_dhash(
+            synthesize_video_assets(load_table(spark, sf_dir, "documents"))
+        ),
+        audio_frame_fingerprint(
+            synthesize_audio_seq_assets(load_table(spark, sf_dir, "documents"))
+        ),
     ]
     # the inverted-index self-join the pair/clustering/graph queries
     # build on — cached UNFILTERED (r14) so thresholded consumers

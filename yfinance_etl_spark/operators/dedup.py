@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from yfinance_etl_spark.operators.partitioning import spread as _spread
-from yfinance_etl_spark.operators.text import fingerprint, tokens, word_shingles
+from yfinance_etl_spark.operators.text import (
+    SHINGLE_N,
+    fingerprint,
+    tokens,
+    word_shingles,
+)
 
 N_HASHES = 16
 BAND_ROWS = 4  # → 4 bands of 4 rows: S-curve midpoint (1/4)^(1/4) ≈ 0.707,
@@ -94,7 +99,9 @@ def doc_hashes(docs: DataFrame) -> DataFrame:
         F.array_distinct(word_shingles("text")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    nonempty = docs.filter(F.size(tokens("text")) >= 3)  # word_shingles n=3
+    # size(tokens) >= n ⇔ word_shingles' m >= 1 guard (SHINGLE_N keeps
+    # the filter and the shingle width from desyncing — r17 ADVICE)
+    nonempty = docs.filter(F.size(tokens("text")) >= SHINGLE_N)
     return _spread(nonempty).select("doc_id", hs.alias("hs"))
 
 
@@ -492,6 +499,14 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh_set"))
+        # BOTH verify-join sides project off this frame, and Spark
+        # re-executes the duplicated subtree per consumer — the in-bench
+        # plan audit (r17, VERDICT item 2) showed the semi-join +
+        # collect_set aggregation running twice per action, once under
+        # each BroadcastExchange. Candidate-doc-sized, so the eager copy
+        # is far cheaper than the second collect_set pass (interleaved
+        # A/B: 1.6-2.0 s vs 2.0-3.2 s per execution under bench cache).
+        .localCheckpoint(eager=True)
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
@@ -1532,7 +1547,39 @@ def char_grams(docs: DataFrame, L: int = SUBSTR_MIN_LEN) -> DataFrame:
     )
 
 
-def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
+def _gram_digests(grams: DataFrame) -> DataFrame:
+    """(doc_id, pos, h, mh) — the shared DIGEST projection over a char-gram
+    frame: h = xxhash64(gm) (the match-join key) and mh = unhex(md5(gm))
+    (the winnowing selection key), built in ONE projection so every
+    ExactSubstr-family consumer shares the exact subplan
+    ``cache_shared_stages`` pins (r17: the md5 projection alone measured
+    ~2.1 s of the winnowed tier's 3.2 s fingerprint job — computing both
+    digests once per suite instead of once per query is the win; a
+    consumer that needs only one digest projects it off this frame, and
+    WITHOUT the cache Catalyst's project-collapse prunes the unused
+    digest expression entirely, so the uncached form pays nothing extra).
+    Numeric/binary columns only — the 32-char gram strings stay out of
+    the frame (r16: caching the strings was a measured pathology)."""
+    return grams.select(
+        "doc_id",
+        "pos",
+        F.xxhash64("gm").alias("h"),
+        F.unhex(F.md5("gm")).alias("mh"),
+    )
+
+
+def hashed_grams(docs: DataFrame, L: int = SUBSTR_MIN_LEN) -> DataFrame:
+    """The cache-entry form of :func:`_gram_digests` built straight from
+    the documents frame — what ``cache_shared_stages`` materializes."""
+    return _gram_digests(char_grams(docs, L))
+
+
+def winnow_select(
+    grams: DataFrame,
+    w: int = WINNOW_W,
+    docs: DataFrame | None = None,
+    L: int = SUBSTR_MIN_LEN,
+) -> DataFrame:
     """Winnowing fingerprints (doc_id, pos, gm): for every window of ``w``
     consecutive grams of a document, select the gram with the smallest
     (md5(gram), pos) key — the SIGMOD'03 document-fingerprinting scheme.
@@ -1551,31 +1598,49 @@ def winnow_select(grams: DataFrame, w: int = WINNOW_W) -> DataFrame:
     — the pre-r16 key, which also paid the concat/lpad per row and a
     substring-parse to recover pos). pos breaks digest ties numerically
     — identical to the zero-padded suffix — and is unique per row, so
-    the gm field never participates in the comparison. The gram rides
-    the same struct-min, so no join back to the gram frame is needed to
-    recover fingerprint content. Cost: one window per document ordered
-    by pos (a doc-partitioned sort, no cross-doc shuffle beyond the
-    doc_id hash), output ~2/(w+1) of the grams."""
+    the selected (pos, gm) is fully determined by the (mh, pos) min.
+
+    r17: the selection runs over the shared DIGEST frame
+    (:func:`_gram_digests` — the subplan ``cache_shared_stages`` pins),
+    so under the bench cache the per-query md5 pass over every gram
+    (~2.1 s of the tier's 3.2 s fingerprint job at sf0.1) becomes an
+    InMemoryTableScan; the gram TEXT no longer rides the sliding min
+    and is recovered afterwards on the fingerprint-sized output only —
+    from ``docs`` via substring(text, pos+1, L) when given (one
+    doc_id equi-join against the text table, the verify pass's
+    pattern), else by an equi-join back to the gram frame on
+    (doc_id, pos). Both recoveries are exact (char_grams defines
+    gm := substring(text, pos+1, L)). Cost: one window per document
+    ordered by pos (a doc-partitioned sort, no cross-doc shuffle beyond
+    the doc_id hash), output ~2/(w+1) of the grams."""
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(-(w - 1), Window.currentRow)
     )
-    sel = grams.select(
-        "doc_id",
-        F.min(
-            F.struct(
-                F.unhex(F.md5(F.col("gm"))).alias("mh"),
-                F.col("pos"),
-                F.col("gm"),
-            )
-        ).over(win).alias("s"),
-    ).distinct()
-    return sel.select(
+    sel = (
+        _gram_digests(grams)
+        .select("doc_id", "pos", "mh")
+        .select(
+            "doc_id",
+            F.min(F.struct(F.col("mh"), F.col("pos"))).over(win).alias("s"),
+        )
+        .distinct()
+    )
+    picked = sel.select(
         "doc_id",
         F.col("s.pos").cast("bigint").alias("pos"),
-        F.col("s.gm").alias("gm"),
     )
+    if docs is not None:
+        return picked.join(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id",
+            "pos",
+            F.expr(f"substring(text, pos + 1, {L})").alias("gm"),
+        )
+    return picked.join(
+        grams.withColumn("pos", F.col("pos").cast("bigint")),
+        ["doc_id", "pos"],
+    ).select("doc_id", "pos", "gm")
 
 
 def _hashed_gram_matches(
@@ -1604,7 +1669,7 @@ def _hashed_gram_matches(
     ``cache_shared_stages`` pins, so a filtered consumer (the winnowed
     tier's candidate-doc slice) substitutes the shared InMemoryRelation
     instead of re-gramming the corpus per side."""
-    hg = grams.select("doc_id", "pos", F.xxhash64("gm").alias("h"))
+    hg = _gram_digests(grams).select("doc_id", "pos", "h")
     if doc_filter is not None:
         hg = hg.join(doc_filter, "doc_id", "left_semi")
     a, b = hg.alias("a"), hg.alias("b")
@@ -1709,7 +1774,9 @@ def substring_dup_spans(
     # rows through an md5-keyed sliding min) ran twice and the candidate
     # join up to three times per action. Both frames are
     # fingerprint-/pair-sized, far below the gram blow-up.
-    fp = winnow_select(grams, winnow_w).localCheckpoint(eager=True)
+    fp = winnow_select(grams, winnow_w, docs=docs, L=min_len).localCheckpoint(
+        eager=True
+    )
     fa, fb = fp.alias("fa"), fp.alias("fb")
     cand = (
         fa.join(
@@ -1910,7 +1977,8 @@ def substring_contamination(
     # entry's shape so the resident stage substitutes for the
     # corpus-majority side
     cand = (
-        grams.select("doc_id", "pos", F.xxhash64("gm").alias("h"))
+        _gram_digests(grams)
+        .select("doc_id", "pos", "h")
         .filter(~bench_pred)
         .select(
             F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h"

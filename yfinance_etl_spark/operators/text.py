@@ -81,7 +81,14 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
+#: default word-shingle width. Shared constant (r17, ADVICE): dedup's
+#: ``doc_hashes`` filters on ``size(tokens) >= SHINGLE_N`` as the cheap
+#: equivalent of word_shingles' ``m >= 1`` non-empty guard — the two must
+#: move together or the MinHash/SimHash row set silently desyncs.
+SHINGLE_N = 3
+
+
+def word_shingles(text: Column | str, n: int = SHINGLE_N) -> Column:
     """Word n-gram shingles as an array column (input to MinHash/Jaccard dedup).
 
     Documents shorter than n tokens yield an EMPTY array (matching the

@@ -1249,13 +1249,19 @@ def q_crawl_frontier_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("yfinance_etl_crawlf", sf_dir, fresh=True)
     # full-table band subplan filtered per slice (split-form cache algebra)
     bands = minhash_bands(docs)
-    write_minhash_signatures(docs, f"{base}/sigs", bands=bands.filter(mod >= 4))
 
     seen1 = u.filter(mod >= 4)
     no_retired = u.limit(0)
-    counters1 = counting_bloom_build(seen1, "url").localCheckpoint(eager=True)
 
-    def run_day(cand_pred, seen, counters, tag: str):
+    def run_day(cand_pred, seen, counters, store_write):
+        # the day's frontier PROBE is independent of the day's signature
+        # -store write (the probe reads counters + the exact-verify seen
+        # set, never the store): run the checkpoint job concurrently with
+        # the write submitted on the pool thread (guide §2.6 overlap —
+        # r17, VERDICT item 5: the day-boundary serialization cost a full
+        # write wavefront per day). Only the CONTENT pass needs the
+        # store, so the barrier sits exactly before
+        # read_minhash_signatures.
         fetch = (
             frontier_to_fetch(
                 u.filter(cand_pred), seen, no_retired, col="url", counters=counters
@@ -1264,6 +1270,7 @@ def q_crawl_frontier_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .localCheckpoint(eager=True)
         )
+        store_write.result()  # store must be on disk before the probe plan reads it
         drops = (
             minhash_delta_neardup(
                 # full table on the verify side (the candidate semi-join
@@ -1282,19 +1289,28 @@ def q_crawl_frontier_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return fetch, drops
 
-    fetch1, drops1 = run_day(mod.isin(2, 3, 4, 5), seen1, counters1, "1")
-    kept1 = fetch1.join(drops1, "doc_id", "left_anti").localCheckpoint(eager=True)
+    from concurrent.futures import ThreadPoolExecutor
 
-    # survivors append into BOTH standing stores (delta-sized writes)
-    write_minhash_signatures(
-        docs, f"{base}/sigs",
-        bands=bands.join(kept1, "doc_id", "left_semi"), mode="append",
-    )
-    kept1_urls = u.join(kept1, "doc_id", "left_semi")
-    counters2 = counting_bloom_add(counters1, kept1_urls, "url")
-    seen2 = seen1.unionAll(kept1_urls)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        w1 = pool.submit(
+            write_minhash_signatures, docs, f"{base}/sigs",
+            bands=bands.filter(mod >= 4),
+        )
+        counters1 = counting_bloom_build(seen1, "url").localCheckpoint(eager=True)
+        fetch1, drops1 = run_day(mod.isin(2, 3, 4, 5), seen1, counters1, w1)
+        kept1 = fetch1.join(drops1, "doc_id", "left_anti").localCheckpoint(eager=True)
 
-    fetch2, drops2 = run_day(mod < 4, seen2, counters2, "2")
+        # survivors append into BOTH standing stores (delta-sized writes);
+        # the signature append overlaps day 2's frontier probe the same way
+        w2 = pool.submit(
+            write_minhash_signatures, docs, f"{base}/sigs",
+            bands=bands.join(kept1, "doc_id", "left_semi"), mode="append",
+        )
+        kept1_urls = u.join(kept1, "doc_id", "left_semi")
+        counters2 = counting_bloom_add(counters1, kept1_urls, "url")
+        seen2 = seen1.unionAll(kept1_urls)
+
+        fetch2, drops2 = run_day(mod < 4, seen2, counters2, w2)
 
     def label(cand_pred, fetched, drops, day: int) -> DataFrame:
         return (
@@ -2652,9 +2668,17 @@ def q_stream_image_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred = F.col("doc_id") % 10 < 2
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    corpus_sig = image_dhash(
-        synthesize_png_assets(docs.filter(~pred))
-    ).localCheckpoint(eager=True)
+    # filter AFTER the signature chain (the split-form cache rule, r16
+    # contamination precedent): synthesis + dHash are per-row functions of
+    # doc_id, so sig(docs).filter(~pred) is row-identical to
+    # sig(docs.filter(~pred)) — and the unfiltered chain is exactly the
+    # subplan the shared modality-signature cache pins (r17), so the
+    # corpus side reads the InMemoryRelation instead of re-synthesizing.
+    corpus_sig = (
+        image_dhash(synthesize_png_assets(docs))
+        .filter(~pred)
+        .localCheckpoint(eager=True)
+    )
     new_stream = ST.read_documents_stream(spark, sf_dir).filter(pred)
     base = scratch_dir("yfinance_etl_stream_imgdelta", f"{sf_dir}:img", fresh=True)
     dhash_delta_stream(

@@ -309,6 +309,7 @@ def semantic_dedup(
     probes: int = 1,
     vec_col: str = "embedding",
     target_cluster_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
     space, then search for near-duplicates WITHIN clusters only — the
@@ -378,16 +379,30 @@ def semantic_dedup(
     ]  # k rows — same k-scalar driver traffic as kmeans itself
     # assigned projects off kmeans's internal checkpoint: no re-embed here
     probed = probe_assign(assigned.select("vec_id", "vec"), centroids, probes)
-    with_norm = probed.withColumn(
-        "norm",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("vec"), lambda x: x * x),
+
+    # ``dim`` (r17): with the vector dimensionality known statically, the
+    # norm and the per-pair dot product UNROLL into flat codegen'd
+    # arithmetic instead of interpreted higher-order-function folds — the
+    # pair join evaluates millions of 16-term folds per action (the
+    # suite's worst driver-box regression in r16), and Catalyst does not
+    # codegen lambda bodies. The unrolled expression reduces left-to-
+    # right from the same 0.0 seed, i.e. ((0.0 + t0) + t1) + ... —
+    # BIT-IDENTICAL to aggregate()'s fold — so results are unchanged
+    # (oracle-gated). A wrong ``dim`` fails loudly: ANSI mode rejects
+    # out-of-range literal array indices.
+    def _dot(a, b):
+        if dim is None:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-        ),
-    )
+        out = F.lit(0.0)
+        for i in range(dim):
+            out = out + a[i] * b[i]
+        return out
+
+    with_norm = probed.withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
     a = with_norm.withColumn(
         # pmod, not %: a negative vec_id's sign-preserving % salt would
         # match no replica and its pairs would silently vanish
@@ -408,11 +423,7 @@ def semantic_dedup(
         F.col("b.vec_id").alias("vec_id"),
         F.round(
             F.try_divide(
-                F.aggregate(
-                    F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
+                _dot(F.col("a.vec"), F.col("b.vec")),
                 F.col("a.norm") * F.col("b.norm"),
             ),
             6,

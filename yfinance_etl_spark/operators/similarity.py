@@ -20,10 +20,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _dot(a, b, dim: int | None = None):
+    """Σ a_i·b_i as a left-to-right fold from a 0.0 seed. With ``dim``
+    known statically (r17) the fold UNROLLS into flat codegen'd
+    arithmetic — ((0.0 + t0) + t1) + …, the exact evaluation order of
+    the aggregate() fold, so results are bit-identical — instead of an
+    interpreted higher-order-function lambda per element (Catalyst does
+    not codegen lambda bodies; at ~10⁵–10⁶ in-bucket pairs × 64 dims the
+    interpreter was the per-pair cost). A wrong ``dim`` fails loudly:
+    ANSI mode rejects out-of-range literal array indices."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * b[i]
+    return out
 
 
 def cosine(a, b):

@@ -4798,13 +4798,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: none (the reference dedups nothing); this is the
     training-pipeline extension surface."""
     from yfinance_etl_spark.operators.clustering import semantic_dedup
-    from yfinance_etl_spark.operators.rag import doc_embeddings
+    from yfinance_etl_spark.operators.rag import EMBED_DIM, doc_embeddings
 
     embs = doc_embeddings(_t(spark, sf_dir, "documents")).withColumnRenamed(
         "doc_id", "vec_id"
     )
     return semantic_dedup(
-        embs, k=_SD_K, iters=_SD_ITERS, tau=_SD_TAU, probes=_SD_PROBES
+        embs, k=_SD_K, iters=_SD_ITERS, tau=_SD_TAU, probes=_SD_PROBES,
+        dim=EMBED_DIM,
     )
 
 

@@ -23,6 +23,7 @@ from yfinance_etl_spark.operators.dedup import (
     hashed_grams,
     jaccard_pairs,
     minhash_bands,
+    minhash_lsh_pairs_plan,
 )
 from yfinance_etl_spark.multimodal.audio import (
     audio_fingerprint,
@@ -113,28 +114,50 @@ def cache_shared_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     # the recipes' text pair stage — ~11 suite consumers rebuild this
     # exact subplan (r16). 4 rows/doc of (long, int, string): tiny.
     bands = minhash_bands(load_table(spark, sf_dir, "documents"))
-    wave2 = [pairs, bands]
-    for df in [*cached, *wave2]:
+    # the VERIFIED MinHash-LSH pair frame at the suite threshold (r17):
+    # dedup_minhash_lsh and all four training-mix recipes rebuild this
+    # exact frame per query (~2-3 s each). Cached in its checkpoint-free
+    # canonical form (minhash_lsh_pairs_plan); minhash_lsh_neardup
+    # returns that plan directly when it detects the entry resident
+    # (_plan_is_cached), else falls back to its self-checkpointing
+    # construction — identical rows either way. Builds ON the bands and
+    # shingles entries, hence wave 2. Pair-count-sized output (tiny by
+    # LSH design).
+    lsh_pairs = minhash_lsh_pairs_plan(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+    derived = [pairs, bands, lsh_pairs]
+    for df in [*cached, *derived]:
         df.cache()
-    # materialize eagerly so queries only ever read memory; submit the
-    # jobs concurrently (one per cached frame) — they contend on different
-    # inputs (lineitem vs documents) and local[32] has idle cores during
-    # each one's tail stages. jaccard_pairs materializes in a SECOND wave:
-    # its shingle self-join builds ON the doc_shingles entry, and racing
-    # an UNmaterialized shingle cache in wave 1 made both sides recompute
-    # the documents explode per partition (measured: 6.4 s concurrent vs
-    # ~3 s over the materialized entry — r16 session 2); every other
-    # entry is an independent base, so wave 1 is maximally parallel.
+    # Materialize eagerly so queries only ever read memory — with
+    # DEPENDENCY-DRIVEN overlap (r17; the r16 two-wave barriers cost the
+    # driver-box setup ~9 s of serialization): every independent base
+    # entry is submitted at once, and each derived entry starts the
+    # moment the entries it builds ON are materialized — never before
+    # (racing an unmaterialized upstream recomputes it per partition,
+    # the r16 jaccard_pairs lesson: 6.4 s concurrent vs ~3 s after), and
+    # never as a global barrier wave (pairs at ~4.7 s no longer gates
+    # lsh_pairs behind it). Dependencies: jaccard_pairs ON doc_shingles;
+    # minhash_bands ON doc_hashes; lsh_pairs ON bands + doc_shingles.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(cached)) as pool:
-        list(pool.map(lambda df: df.count(), cached))
-    # wave 2: pairs builds ON the doc_shingles entry, bands ON doc_hashes
-    # — both now materialized, so these two read memory (and are
-    # independent of each other, hence their own small pool)
-    with ThreadPoolExecutor(max_workers=len(wave2)) as pool:
-        list(pool.map(lambda df: df.count(), wave2))
-    cached.extend(wave2)
+    with ThreadPoolExecutor(max_workers=len(cached) + 2) as pool:
+        futs = [pool.submit(df.count) for df in cached]
+        f_shingles, f_hashes = futs[1], futs[2]  # positions in `cached` above
+
+        def _pairs_chain():
+            f_shingles.result()
+            pairs.count()
+
+        def _lsh_chain():
+            f_hashes.result()
+            bands.count()
+            f_shingles.result()
+            lsh_pairs.count()
+
+        for f in [*futs, pool.submit(_pairs_chain), pool.submit(_lsh_chain)]:
+            f.result()
+    cached.extend(derived)
     return cached
 
 

@@ -65,23 +65,25 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the did-this-label-change flag rides the round's own projection
+        # (r17): the convergence test used to be a SECOND job joining the
+        # new checkpoint back to the old one — per round, a full
+        # label-frame shuffle join just to count inequalities. Computing
+        # the flag where both values are already side by side makes the
+        # count a checkpoint-partition scan (no recompute, no join): one
+        # substantive job per round instead of two.
+        newc = F.least(F.col("component"), F.coalesce("nbr_min", "component"))
         new_labels = (
             labels.join(msgs, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                newc.alias("component"),
+                (newc != F.col("component")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     if changed:

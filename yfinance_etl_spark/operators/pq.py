@@ -82,6 +82,7 @@ def pq_train(
     iters: int = PQ_ITERS,
     vec_col: str = "embedding",
     check_finite: bool = True,
+    checkpointed: bool = False,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train the m subspace codebooks: the engine's deterministic Lloyd on
     each contiguous dim/m slice. Returns m driver-side codebooks of
@@ -123,7 +124,13 @@ def pq_train(
         from yfinance_etl_spark.operators.similarity import check_finite_vectors
 
         check_finite_vectors(emb, "vec", "vec_id")
-    vecs = spread(emb).localCheckpoint(eager=True)
+    # ``checkpointed=True``: the caller guarantees the input frame is
+    # already an eagerly-materialized checkpoint (the IVFPQ build passes
+    # its residual checkpoint) — re-checkpointing a checkpoint is a
+    # redundant full-copy job (the r16 video.py lesson); the per-round
+    # scans then read the caller's checkpoint through the cast
+    # projection, which is map-only.
+    vecs = emb if checkpointed else spread(emb).localCheckpoint(eager=True)
     # seed = the k SMALLEST vec_ids of the (shared) frame — identical to
     # seeding each slice independently, since slicing preserves vec_id
     seed_rows = vecs.orderBy("vec_id").limit(k).collect()
@@ -463,18 +470,29 @@ def build_ivfpq_index(
     cvec = F.element_at(
         _vec_map(_cent_rows(cents)), F.col("list_id").cast("long")
     )
+    from yfinance_etl_spark.operators.partitioning import spread
+
+    # spread BEFORE the checkpoint (r17): this checkpoint now also serves
+    # as pq_train's materialized input (checkpointed=True below skips its
+    # redundant re-checkpoint), so it must carry the parallel layout the
+    # per-round training scans need — an under-partitioned source would
+    # otherwise pin every Lloyd round to the scan's own 1-2 partitions.
     resid = (
-        assigned.select(
-            "vec_id",
-            "list_id",
-            F.zip_with("vec", cvec, lambda x, y: x - y).alias("residual"),
+        spread(
+            assigned.select(
+                "vec_id",
+                "list_id",
+                F.zip_with("vec", cvec, lambda x, y: x - y).alias("residual"),
+            )
         )
         .localCheckpoint(eager=True)
     )
     # residuals of ivf_assign-checked vectors minus finite centroids are
-    # finite by construction — skip pq_train's corpus pass
+    # finite by construction — skip pq_train's corpus pass; the residual
+    # frame is the eager checkpoint above — skip pq_train's re-checkpoint
     books = pq_train(
-        resid, m=m, k=kc, iters=iters, vec_col="residual", check_finite=False
+        resid, m=m, k=kc, iters=iters, vec_col="residual",
+        check_finite=False, checkpointed=True,
     )
     codes = pq_codes(resid, books, vec_col="residual", carry=("list_id",))
     return IvfPqIndex(codes, cents, books)

@@ -521,6 +521,14 @@ def main() -> int:
         "show — the machine-checked twin of each claim lives in",
         "`tests/test_plan_shapes.py` — followed by `explain(\"formatted\")`.",
         "",
+        "**r17 drift root cause (VERDICT item 10, controlled)**: the broad",
+        "0.7–0.9× drift on untouched queries is MACHINE STATE, not",
+        "shared-cache storage pressure — `tools/cache_pressure_leg.py` ran",
+        "interleaved fresh-JVM legs with the full r17 entry set vs the",
+        "r16-era set and timed a 12-query panel that touches none of the",
+        "new entries: full/reduced ratios scatter 0.88–1.17 (mean ~0.98,",
+        "no systematic inflation; `bench_drift.json::r17_cache_pressure`).",
+        "",
     ]
     sections: list[tuple[str, str, object]] = [
         (name, claim, None) for name, claim in AUDITS.items()

@@ -505,37 +505,39 @@ def minhash_lsh_pairs_plan(docs: DataFrame, threshold: float = 0.7) -> DataFrame
 
 
 def _lsh_verify_tail(
-    docs: DataFrame, cand: DataFrame, threshold: float,
-    checkpoint_sets: bool = False,
+    docs: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verify over a candidate frame: shingles semi-filtered
-    to candidate docs, per-doc sets, array_intersect Jaccard, threshold.
-    ``checkpoint_sets`` materializes the per-doc set frame eagerly — BOTH
-    verify-join sides project off it, and Spark re-executes the
-    duplicated subtree per consumer (the r17 in-bench plan audit showed
-    the collect_set pass running twice per action; A/B 1.6-2.0 s vs
-    2.0-3.2 s). Left lazy for the cache-entry form, whose one setup
-    materialization wears the duplication once."""
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        doc_shingles(docs)
-        .join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
-    )
-    if checkpoint_sets:
-        sets = sets.localCheckpoint(eager=True)
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = inter / (F.size("set_a") + F.size("set_b") - inter)
-    return (
+    """Exact-Jaccard verify over a candidate frame — the JOIN-COUNT shape
+    (r17; the DuckDB oracle's own ``inter`` CTE): matching shingles are
+    counted through two candidate-keyed equi-joins against the shingle
+    frame, and per-doc sizes are a plain count aggregate. Identical
+    values to the earlier per-doc collect_set + array_intersect form —
+    ``doc_shingles`` is distinct, so |set_a ∩ set_b| == the join-count
+    and set sizes == the count aggregate — verified row-for-row on the
+    full frame, and ~1.7× cheaper to execute (interleaved A/B:
+    2.4-4.0 s → 1.3-2.2 s materializing the cache entry): the per-pair
+    shingle fan-out is candidate-pairs × shingles-per-doc (tiny by LSH
+    design), where collect_set paid a duplicated ObjectHashAggregate
+    over the full shingle frame once per verify-join side. Every
+    ``doc_shingles`` reference reads the shared cache entry when
+    resident."""
+    sh = doc_shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
         cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__sz"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__sz").alias("__sa"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__sz").alias("__sb"))
+    jac = F.col("__c") / (F.col("__sa") + F.col("__sb") - F.col("__c"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
         .select("doc_a", "doc_b", "n_shared_bands", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -547,22 +549,19 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     Only same-bucket docs are joined (the LSH point); exact Jaccard then runs
     on the tiny candidate set. Returns (doc_a, doc_b, n_shared_bands, jaccard).
 
-    The verify step is candidate-local: shingles are semi-filtered to docs
-    that appear in some candidate pair, collected to per-doc sets, and the
-    pair's Jaccard computed with ``array_intersect`` after two doc_id equi-
-    joins. Cost scales with the CANDIDATE set (LSH keeps it tiny), not the
-    corpus — the full inverted-index re-join the earlier shape paid is gone.
+    The verify step is candidate-local (``_lsh_verify_tail``, the oracle's
+    join-count shape): matching shingles are counted through candidate-
+    keyed equi-joins, so cost scales with the CANDIDATE set (LSH keeps it
+    tiny), not the corpus — the full inverted-index re-join the earlier
+    shape paid is gone.
 
     r17: when the checkpoint-free canonical plan is resident in the shared
     cache (bench setup pins it — 5 suite consumers rebuild this exact
     frame), return that plan directly: the InMemoryRelation IS the
-    materialization, so the per-branch re-execution the checkpoints exist
+    materialization, so the per-branch re-execution the checkpoint exists
     to prevent never happens. Otherwise (oracle/test/ad-hoc sessions)
-    keep the checkpointed construction: `cand` feeds three plan branches
-    and `sets` two, and Spark re-executes duplicated subtrees per
-    consumer (the in-bench plan audit showed the collect_set pass running
-    twice per action; A/B 1.6-2.0 s vs 2.0-3.2 s). Identical rows on
-    both paths — the choice is purely physical."""
+    checkpoint ``cand``, which feeds three plan branches. Identical rows
+    on both paths — the choice is purely physical."""
     lazy = minhash_lsh_pairs_plan(docs, threshold)
     if _plan_is_cached(lazy):
         return lazy
@@ -582,7 +581,7 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         # semi-filter sides); materialize it once — it is tiny by LSH design
         .localCheckpoint(eager=True)
     )
-    return _lsh_verify_tail(docs, cand, threshold, checkpoint_sets=True)
+    return _lsh_verify_tail(docs, cand, threshold)
 
 
 def contamination_overlap(

@@ -714,22 +714,9 @@ def minhash_delta_neardup(
     if new_bands is None:
         new_bands = minhash_bands(new_docs)
     cand = _delta_candidates(new_bands, corpus_bands)
-
-    def _sets(docs: DataFrame, ids: DataFrame) -> DataFrame:
-        return (
-            doc_shingles(docs)
-            .join(ids, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
-        )
-
-    sa = _sets(
-        new_docs, cand.select(F.col("new_doc_id").alias("doc_id")).distinct()
-    ).select(F.col("doc_id").alias("new_doc_id"), F.col("sh_set").alias("set_a"))
-    sb = _sets(
-        corpus_docs, cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct()
-    ).select(F.col("doc_id").alias("corpus_doc_id"), F.col("sh_set").alias("set_b"))
-    return _delta_verified(cand, sa, sb, threshold)
+    return _delta_verify_tail(
+        cand, doc_shingles(new_docs), doc_shingles(corpus_docs), threshold
+    )
 
 
 def _delta_candidates(nb: DataFrame, cb: DataFrame,
@@ -755,13 +742,40 @@ def _delta_candidates(nb: DataFrame, cb: DataFrame,
     return cand.localCheckpoint(eager=True) if checkpoint else cand
 
 
-def _delta_verified(cand: DataFrame, sa: DataFrame, sb: DataFrame,
-                    threshold: float) -> DataFrame:
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = inter / (F.size("set_a") + F.size("set_b") - inter)
+def _delta_verify_tail(cand: DataFrame, sh_new: DataFrame,
+                       sh_corpus: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify over an asymmetric candidate frame — the
+    JOIN-COUNT shape (r17, the ``_lsh_verify_tail`` rewrite applied to
+    the delta family): matching shingles are counted through two
+    candidate-keyed equi-joins and per-doc sizes are plain count
+    aggregates. Identical values to the previous per-doc collect_set +
+    array_intersect form (``doc_shingles`` is distinct), cheaper to
+    execute (no duplicated ObjectHashAggregate per verify side), and —
+    the family-wide point — both shingle references are now FULL-TABLE
+    ``doc_shingles`` subplans, so the shared cache entry substitutes on
+    both sides of every crawl/delta/stream consumer (the inner joins
+    against candidate ids restrict them to candidate volume anyway;
+    the old semi-filter-then-collect shape did the restriction before
+    an aggregation the cache could never pin)."""
+    na = sh_new.select(F.col("doc_id").alias("new_doc_id"), "shingle")
+    cb = sh_corpus.select(F.col("doc_id").alias("corpus_doc_id"), "shingle")
+    inter = (
+        cand.join(na, "new_doc_id")
+        .join(cb, ["corpus_doc_id", "shingle"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    za = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__sa")).select(
+        F.col("doc_id").alias("new_doc_id"), "__sa"
+    )
+    zb = sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__sb")).select(
+        F.col("doc_id").alias("corpus_doc_id"), "__sb"
+    )
+    jac = F.col("__c") / (F.col("__sa") + F.col("__sb") - F.col("__c"))
     return (
-        cand.join(sa, "new_doc_id")
-        .join(sb, "corpus_doc_id")
+        cand.join(inter, ["new_doc_id", "corpus_doc_id"])
+        .join(za, "new_doc_id")
+        .join(zb, "corpus_doc_id")
         .select(
             "new_doc_id", "corpus_doc_id", "n_shared_bands",
             F.round(jac, 6).alias("jaccard"),
@@ -793,22 +807,8 @@ def minhash_delta_neardup_split(
     new_pred = F.coalesce(new_pred, F.lit(False))
     bands = minhash_bands(docs).localCheckpoint(eager=True)
     cand = _delta_candidates(bands.filter(new_pred), bands.filter(~new_pred))
-    cand_ids = (
-        cand.select(F.col("new_doc_id").alias("doc_id"))
-        .union(cand.select(F.col("corpus_doc_id").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        doc_shingles(docs)
-        .join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
-    )
-    sa = sets.select(F.col("doc_id").alias("new_doc_id"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("sh_set").alias("set_b")
-    )
-    return _delta_verified(cand, sa, sb, threshold)
+    sh = doc_shingles(docs)
+    return _delta_verify_tail(cand, sh, sh, threshold)
 
 
 def _fresh_sink_guard(checkpoint_dir: str, out_dir: str, clear_sink: bool) -> None:
